@@ -1,0 +1,167 @@
+"""WGS84 distance kernels.
+
+Two kernels:
+
+- ``vincenty_np`` — vectorized numpy Vincenty inverse on the WGS84
+  ellipsoid.  This reproduces the reference's GeographicLib
+  ``Geodesic.WGS84.Inverse(...).s12`` distances (SpatialJoin.scala:32-40) to
+  sub-millimeter at the scales covered by the reference's pinned goldens
+  (15689 m / 15685 m, BroadcastSpatialJoinTest.scala:115-119 — verified in
+  tests/test_geodesic.py).  Runs executor-side inside an Arrow pandas_udf.
+- ``haversine_expr`` — great-circle distance as a pure Spark Column
+  expression (mean-earth radius).  Stays entirely inside whole-stage
+  codegen; used for the engine's own large-scale queries where ~0.3%
+  spherical error is acceptable and JVM-side throughput matters.
+
+The distance is always between geometry *centroids*, rounded to Int meters
+(SpatialJoin.scala:36-39).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# WGS84
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_B = (1.0 - _F) * _A
+
+#: IUGG mean earth radius, used by the haversine kernel
+EARTH_RADIUS_M = 6371008.8
+
+
+def vincenty_np(lon1, lat1, lon2, lat2, iterations: int = 200, tol: float = 1e-13):
+    """Vectorized Vincenty inverse: geodesic distance in meters (float64).
+
+    Inputs are array-like degrees.  Non-convergent (near-antipodal) pairs —
+    which cannot occur in the reference's test envelope — fall back to the
+    spherical haversine value.  Coincident points return 0.
+    """
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon2 = np.asarray(lon2, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64)
+
+    rlon1, rlat1, rlon2, rlat2 = map(np.radians, (lon1, lat1, lon2, lat2))
+    U1 = np.arctan((1.0 - _F) * np.tan(rlat1))
+    U2 = np.arctan((1.0 - _F) * np.tan(rlat2))
+    L = rlon2 - rlon1
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+
+    lam = L.copy()
+    converged = np.zeros(lam.shape, dtype=bool)
+    sins = np.zeros_like(lam)
+    coss = np.ones_like(lam)
+    sig = np.zeros_like(lam)
+    cos2a = np.ones_like(lam)
+    cos2sm = np.zeros_like(lam)
+
+    for _ in range(iterations):
+        sinlam, coslam = np.sin(lam), np.cos(lam)
+        sins = np.sqrt(
+            (cosU2 * sinlam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * coslam) ** 2
+        )
+        coss = sinU1 * sinU2 + cosU1 * cosU2 * coslam
+        sig = np.arctan2(sins, coss)
+        safe_sins = np.where(sins == 0.0, 1.0, sins)
+        sina = np.where(sins == 0.0, 0.0, cosU1 * cosU2 * sinlam / safe_sins)
+        cos2a = 1.0 - sina**2
+        safe_cos2a = np.where(cos2a == 0.0, 1.0, cos2a)
+        cos2sm = np.where(
+            cos2a == 0.0, 0.0, coss - 2.0 * sinU1 * sinU2 / safe_cos2a
+        )
+        C = _F / 16.0 * cos2a * (4.0 + _F * (4.0 - 3.0 * cos2a))
+        lam_new = L + (1.0 - C) * _F * sina * (
+            sig + C * sins * (cos2sm + C * coss * (-1.0 + 2.0 * cos2sm**2))
+        )
+        converged = np.abs(lam_new - lam) < tol
+        lam = lam_new
+        if np.all(converged):
+            break
+
+    u2 = cos2a * (_A**2 - _B**2) / _B**2
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = B * sins * (
+        cos2sm
+        + B
+        / 4.0
+        * (
+            coss * (-1.0 + 2.0 * cos2sm**2)
+            - B / 6.0 * cos2sm * (-3.0 + 4.0 * sins**2) * (-3.0 + 4.0 * cos2sm**2)
+        )
+    )
+    dist = _B * A * (sig - dsig)
+
+    # coincident points: sins == 0 on first pass → sig == 0 → dist == 0 (fine)
+    if not np.all(converged):
+        dist = np.where(converged, dist, haversine_np(lon1, lat1, lon2, lat2))
+    return dist
+
+
+def haversine_np(lon1, lat1, lon2, lat2):
+    """Vectorized spherical haversine distance, meters (float64)."""
+    rlon1, rlat1, rlon2, rlat2 = map(
+        np.radians, map(lambda a: np.asarray(a, dtype=np.float64), (lon1, lat1, lon2, lat2))
+    )
+    dlat = rlat2 - rlat1
+    dlon = rlon2 - rlon1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def geodesic_distance_udf():
+    """Arrow pandas_udf: (lon1, lat1, lon2, lat2) → meters (double, unrounded).
+
+    Built lazily so importing this module does not require an active Spark
+    session.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _geodesic(
+        lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series
+    ) -> pd.Series:
+        out = vincenty_np(
+            lon1.to_numpy(np.float64, na_value=np.nan),
+            lat1.to_numpy(np.float64, na_value=np.nan),
+            lon2.to_numpy(np.float64, na_value=np.nan),
+            lat2.to_numpy(np.float64, na_value=np.nan),
+        )
+        return pd.Series(out)
+
+    return _geodesic
+
+
+def haversine_expr(lon1, lat1, lon2, lat2):
+    """Haversine distance as a pure Spark Column (meters, double).
+
+    All trig stays JVM-side (whole-stage codegen); use for engine-native
+    queries where the spherical model is acceptable.  The same formula is
+    emitted as ANSI SQL by :func:`haversine_sql` so DuckDB oracles match.
+    """
+    from pyspark.sql import functions as F
+
+    rlat1 = F.radians(lat1)
+    rlat2 = F.radians(lat2)
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlon = F.radians(lon2) - F.radians(lon1)
+    h = F.pow(F.sin(dlat / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(h))
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """The exact same haversine formula as ANSI SQL text (for DuckDB oracles).
+
+    Arithmetic is kept structurally identical to :func:`haversine_expr` so
+    both engines evaluate the same double-precision expression tree.
+    """
+    rlat1 = f"radians({lat1})"
+    rlat2 = f"radians({lat2})"
+    dlat2 = f"((radians({lat2}) - radians({lat1})) / 2)"
+    dlon2 = f"((radians({lon2}) - radians({lon1})) / 2)"
+    h = f"(pow(sin({dlat2}), 2) + cos({rlat1}) * cos({rlat2}) * pow(sin({dlon2}), 2))"
+    return f"({2.0 * EARTH_RADIUS_M!r} * asin(sqrt({h})))"

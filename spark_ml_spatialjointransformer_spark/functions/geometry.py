@@ -1,0 +1,427 @@
+"""Pure-Python/numpy geometry kernels: WKT parsing, centroids, spatial
+predicates.
+
+The container has neither shapely nor JTS, so the engine carries its own
+minimal 2-D geometry core covering exactly the surface the reference
+exercises (points, linestrings, polygons — WGS84 lon/lat; reference:
+DatasetGeometry.scala:82-120, README.md:150-153):
+
+- WKT reader for POINT / LINESTRING / POLYGON (+ MULTI* variants), FLOATING
+  precision (plain Python floats), null/empty → None
+  (parity: DatasetGeometry.scala:40-42,54-58);
+- centroid identical in definition to JTS ``Geometry.getCentroid`` (area
+  centroid for polygons incl. holes, length-weighted for lines, mean for
+  points) — feeds the geodesic distance kernel (SpatialJoin.scala:32-40);
+- DE-9IM-style predicates ``within / contains / intersects / overlaps``
+  sufficient for the reference's fixture envelope (simple convex-ish rings,
+  proper crossings).  Not a full robust-geometry library: collinear
+  overlapping edge cases follow simple conventions documented per-function.
+
+Everything here executes inside Arrow pandas_udf batches; per-batch
+memoization of parsed WKT (see ``operators.spatial_join``) keeps the
+broadcast side parse cost O(distinct geometries).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+Coords = list[tuple[float, float]]
+
+_NUM = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eEdD][-+]?\d+)?")
+_HEAD = re.compile(r"^\s*([A-Za-z]+)\s*(?:Z|M|ZM)?\s*(\(|EMPTY)", re.IGNORECASE)
+
+
+class Geometry:
+    """Parsed geometry: ``kind`` in {point, linestring, polygon} with
+    multiplicity via ``parts``.
+
+    - point: parts = [[(x, y)]]            (multipoint → several singletons)
+    - linestring: parts = [coords, ...]    (one per line)
+    - polygon: parts = [rings, ...] where rings = [shell, hole, ...]
+    """
+
+    __slots__ = ("kind", "parts")
+
+    def __init__(self, kind: str, parts):
+        self.kind = kind
+        self.parts = parts
+
+    @property
+    def dimension(self) -> int:
+        return {"point": 0, "linestring": 1, "polygon": 2}[self.kind]
+
+    def coords_flat(self) -> Coords:
+        out: Coords = []
+        if self.kind == "polygon":
+            for rings in self.parts:
+                for ring in rings:
+                    out.extend(ring)
+        else:
+            for part in self.parts:
+                out.extend(part)
+        return out
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Geometry({self.kind}, {self.parts!r})"
+
+
+def _coords_of(text: str) -> Coords:
+    nums = [float(m.group(0).replace("d", "e").replace("D", "e")) for m in _NUM.finditer(text)]
+    return list(zip(nums[0::2], nums[1::2]))
+
+
+def _split_groups(body: str) -> list[str]:
+    """Split a parenthesized WKT body into top-level ``( ... )`` groups."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(body[start + 1 : i])
+    return groups
+
+
+def parse_wkt(wkt: Optional[str]) -> Optional[Geometry]:
+    """Parse a 2-D WKT string; None/empty/unparseable → None (the reference
+    maps null/empty WKT to null geometry and the inner join drops the row —
+    DatasetGeometry.scala:40-42,64)."""
+    if wkt is None:
+        return None
+    m = _HEAD.match(wkt)
+    if not m:
+        return None
+    tag = m.group(1).upper()
+    if m.group(2).upper() == "EMPTY":
+        return None
+    body = wkt[m.end(2) - 1 :]
+    outer_groups = _split_groups(body)
+    if not outer_groups:
+        return None
+    outer = outer_groups[0]  # content inside the outermost parens
+
+    if tag == "POINT":
+        c = _coords_of(outer)
+        return Geometry("point", [[c[0]]]) if c else None
+    if tag == "MULTIPOINT":
+        c = _coords_of(outer)  # handles both "1 1, 2 2" and "(1 1),(2 2)"
+        return Geometry("point", [[p] for p in c]) if c else None
+    if tag == "LINESTRING":
+        c = _coords_of(outer)
+        return Geometry("linestring", [c]) if len(c) >= 2 else None
+    if tag == "MULTILINESTRING":
+        parts = [_coords_of(grp) for grp in _split_groups(outer)]
+        parts = [p for p in parts if len(p) >= 2]
+        return Geometry("linestring", parts) if parts else None
+    if tag == "POLYGON":
+        rings = [_coords_of(grp) for grp in _split_groups(outer)]
+        rings = [_close_ring(r) for r in rings if len(r) >= 3]
+        return Geometry("polygon", [rings]) if rings else None
+    if tag == "MULTIPOLYGON":
+        polys = []
+        for poly_grp in _split_groups(outer):
+            rings = [_coords_of(grp) for grp in _split_groups(poly_grp)]
+            rings = [_close_ring(r) for r in rings if len(r) >= 3]
+            if rings:
+                polys.append(rings)
+        return Geometry("polygon", polys) if polys else None
+    return None
+
+
+def _close_ring(ring: Coords) -> Coords:
+    if ring and ring[0] != ring[-1]:
+        return ring + [ring[0]]
+    return ring
+
+
+def point_geom(x: float, y: float) -> Geometry:
+    return Geometry("point", [[(x, y)]])
+
+
+# ---------------------------------------------------------------------------
+# centroid (JTS-compatible definitions)
+# ---------------------------------------------------------------------------
+
+def centroid(g: Geometry) -> tuple[float, float]:
+    """Centroid per JTS semantics: polygons → area centroid (holes negative),
+    linestrings → length-weighted, points → mean of points.  Degenerate
+    (zero-area polygon / zero-length line) falls back down the dimension
+    ladder, as JTS does."""
+    if g.kind == "polygon":
+        a_sum = cx = cy = 0.0
+        for rings in g.parts:
+            for k, ring in enumerate(rings):
+                sign = -1.0 if k > 0 else 1.0
+                for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+                    cross = x1 * y2 - x2 * y1
+                    a_sum += sign * cross
+                    cx += sign * (x1 + x2) * cross
+                    cy += sign * (y1 + y2) * cross
+        if a_sum != 0.0:
+            return cx / (3.0 * a_sum), cy / (3.0 * a_sum)
+        g = Geometry("linestring", [r for rings in g.parts for r in rings])
+    if g.kind == "linestring":
+        w_sum = cx = cy = 0.0
+        for part in g.parts:
+            for (x1, y1), (x2, y2) in zip(part, part[1:]):
+                w = ((x2 - x1) ** 2 + (y2 - y1) ** 2) ** 0.5
+                w_sum += w
+                cx += w * (x1 + x2) / 2.0
+                cy += w * (y1 + y2) / 2.0
+        if w_sum != 0.0:
+            return cx / w_sum, cy / w_sum
+        g = Geometry("point", [[p] for p in g.coords_flat()])
+    pts = g.coords_flat()
+    n = len(pts)
+    return sum(p[0] for p in pts) / n, sum(p[1] for p in pts) / n
+
+
+def bbox(g: Geometry) -> tuple[float, float, float, float]:
+    pts = g.coords_flat()
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+# ---------------------------------------------------------------------------
+# predicate primitives
+# ---------------------------------------------------------------------------
+
+def _orient(ax, ay, bx, by, cx, cy) -> float:
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _on_segment(px, py, ax, ay, bx, by) -> bool:
+    if _orient(ax, ay, bx, by, px, py) != 0.0:
+        return False
+    return min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by)
+
+
+def _segments_intersect(a1, a2, b1, b2) -> bool:
+    """Closed-segment intersection (touching counts)."""
+    d1 = _orient(*b1, *b2, *a1)
+    d2 = _orient(*b1, *b2, *a2)
+    d3 = _orient(*a1, *a2, *b1)
+    d4 = _orient(*a1, *a2, *b2)
+    if ((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0 and ((d3 > 0) != (d4 > 0)) and d3 != 0 and d4 != 0:
+        return True
+    return (
+        _on_segment(*a1, *b1, *b2)
+        or _on_segment(*a2, *b1, *b2)
+        or _on_segment(*b1, *a1, *a2)
+        or _on_segment(*b2, *a1, *a2)
+    )
+
+
+def _segments_cross_properly(a1, a2, b1, b2) -> bool:
+    """Proper crossing: interiors intersect at a single point."""
+    d1 = _orient(*b1, *b2, *a1)
+    d2 = _orient(*b1, *b2, *a2)
+    d3 = _orient(*a1, *a2, *b1)
+    d4 = _orient(*a1, *a2, *b2)
+    return ((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0 and ((d3 > 0) != (d4 > 0)) and d3 != 0 and d4 != 0
+
+
+def _point_in_ring(px, py, ring: Coords) -> int:
+    """Ray casting with boundary detection: 1 inside, 0 boundary, -1 outside."""
+    inside = False
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        if _on_segment(px, py, x1, y1, x2, y2):
+            return 0
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if xint > px:
+                inside = not inside
+    return 1 if inside else -1
+
+
+def point_in_polygon(px, py, g: Geometry) -> int:
+    """1 strictly inside, 0 on boundary, -1 outside (holes respected)."""
+    best = -1
+    for rings in g.parts:
+        r = _point_in_ring(px, py, rings[0])
+        if r == 0:
+            return 0
+        if r == 1:
+            inside = True
+            for hole in rings[1:]:
+                h = _point_in_ring(px, py, hole)
+                if h == 0:
+                    return 0
+                if h == 1:
+                    inside = False
+                    break
+            if inside:
+                return 1
+    return best
+
+
+def _edges(g: Geometry):
+    if g.kind == "polygon":
+        for rings in g.parts:
+            for ring in rings:
+                yield from zip(ring, ring[1:])
+    elif g.kind == "linestring":
+        for part in g.parts:
+            yield from zip(part, part[1:])
+
+
+def _any_edge_intersection(a: Geometry, b: Geometry, proper_only=False) -> bool:
+    eb = list(_edges(b))
+    test = _segments_cross_properly if proper_only else _segments_intersect
+    for s1, s2 in _edges(a):
+        for t1, t2 in eb:
+            if test(s1, s2, t1, t2):
+                return True
+    return False
+
+
+def _interior_sample(g: Geometry) -> tuple[float, float]:
+    """A point in (or near) the interior of g: centroid if it lands inside,
+    else midpoint probes of a triangulation fan.  Adequate for the simple
+    fixture shapes; documented limitation for pathological concave rings."""
+    c = centroid(g)
+    if g.kind != "polygon" or point_in_polygon(c[0], c[1], g) == 1:
+        return c
+    shell = g.parts[0][0]
+    x0, y0 = shell[0]
+    for (x1, y1), (x2, y2) in zip(shell[1:], shell[2:]):
+        mx = (x0 + x1 + x2) / 3.0
+        my = (y0 + y1 + y2) / 3.0
+        if point_in_polygon(mx, my, g) == 1:
+            return (mx, my)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# predicates: a.op(b)
+# ---------------------------------------------------------------------------
+
+def within(a: Geometry, b: Geometry) -> bool:
+    """DE-9IM within: a ⊆ b with interior contact.
+
+    Coverage: point-in-polygon (strict interior — a point on the boundary is
+    NOT within, matching JTS); point-on-line; line/polygon-in-polygon via
+    all-vertices-contained + no proper boundary crossing + interior sample.
+    """
+    if b.kind == "polygon":
+        verts = a.coords_flat()
+        sides = [point_in_polygon(x, y, b) for x, y in verts]
+        if any(s == -1 for s in sides):
+            return False
+        if a.kind == "point":
+            return all(s == 1 for s in sides)
+        if _any_edge_intersection(a, b, proper_only=True):
+            return False
+        sx, sy = _interior_sample(a)
+        return point_in_polygon(sx, sy, b) >= 0 and (
+            any(s == 1 for s in sides) or point_in_polygon(sx, sy, b) == 1
+        )
+    if b.kind == "linestring":
+        if a.kind == "point":
+            ends = {part[0] for part in b.parts} | {part[-1] for part in b.parts}
+            return all(
+                any(_on_segment(x, y, *s1, *s2) for s1, s2 in _edges(b)) and (x, y) not in ends
+                for x, y in a.coords_flat()
+            )
+        if a.kind == "linestring":
+            # all vertices of a on b and all midpoints of a's edges on b
+            def on_b(x, y):
+                return any(_on_segment(x, y, *s1, *s2) for s1, s2 in _edges(b))
+
+            return all(on_b(x, y) for x, y in a.coords_flat()) and all(
+                on_b((s1[0] + s2[0]) / 2, (s1[1] + s2[1]) / 2) for s1, s2 in _edges(a)
+            )
+        return False
+    # b is point
+    if a.kind == "point":
+        bpts = set(b.coords_flat())
+        return all(p in bpts for p in a.coords_flat())
+    return False
+
+
+def contains(a: Geometry, b: Geometry) -> bool:
+    return within(b, a)
+
+
+def intersects(a: Geometry, b: Geometry) -> bool:
+    """Any contact (boundary or interior)."""
+    if a.kind == "point":
+        if b.kind == "point":
+            return bool(set(a.coords_flat()) & set(b.coords_flat()))
+        if b.kind == "polygon":
+            return any(point_in_polygon(x, y, b) >= 0 for x, y in a.coords_flat())
+        return any(
+            _on_segment(x, y, *s1, *s2) for x, y in a.coords_flat() for s1, s2 in _edges(b)
+        )
+    if b.kind == "point":
+        return intersects(b, a)
+    if _any_edge_intersection(a, b):
+        return True
+    # containment without boundary contact
+    if a.kind == "polygon":
+        x, y = b.coords_flat()[0]
+        if point_in_polygon(x, y, a) == 1:
+            return True
+    if b.kind == "polygon":
+        x, y = a.coords_flat()[0]
+        if point_in_polygon(x, y, b) == 1:
+            return True
+    return False
+
+
+def overlaps(a: Geometry, b: Geometry) -> bool:
+    """DE-9IM overlaps: same dimension, interiors intersect, and each
+    geometry has points the other lacks.
+
+    Polygon×polygon is exact for the fixture envelope (proper edge crossing
+    or mutual vertex containment ⇒ interior intersection).  Line×line uses
+    collinear-subsegment sharing.  Point×point is proper multipoint overlap.
+    """
+    if a.dimension != b.dimension:
+        return False
+    if a.kind == "point":
+        sa, sb = set(a.coords_flat()), set(b.coords_flat())
+        return bool(sa & sb) and bool(sa - sb) and bool(sb - sa)
+    if a.kind == "polygon":
+        if within(a, b) or within(b, a):
+            return False
+        interiors = (
+            _any_edge_intersection(a, b, proper_only=True)
+            or any(point_in_polygon(x, y, b) == 1 for x, y in a.coords_flat())
+            or any(point_in_polygon(x, y, a) == 1 for x, y in b.coords_flat())
+        )
+        if not interiors:
+            return False
+        a_out = any(point_in_polygon(x, y, b) == -1 for x, y in a.coords_flat())
+        b_out = any(point_in_polygon(x, y, a) == -1 for x, y in b.coords_flat())
+        return a_out and b_out
+    # linestrings: share a collinear subsegment but neither contains the other
+    if within(a, b) or within(b, a):
+        return False
+    for s1, s2 in _edges(a):
+        for t1, t2 in _edges(b):
+            if _orient(*s1, *s2, *t1) == 0 and _orient(*s1, *s2, *t2) == 0:
+                # collinear; check 1-D interval overlap with positive length
+                if abs(s2[0] - s1[0]) >= abs(s2[1] - s1[1]):
+                    lo1, hi1 = sorted((s1[0], s2[0]))
+                    lo2, hi2 = sorted((t1[0], t2[0]))
+                else:
+                    lo1, hi1 = sorted((s1[1], s2[1]))
+                    lo2, hi2 = sorted((t1[1], t2[1]))
+                if min(hi1, hi2) > max(lo1, lo2):
+                    return True
+    return False
+
+
+PREDICATE_FUNCS = {
+    "within": within,
+    "contains": contains,
+    "intersects": intersects,
+    "overlaps": overlaps,
+}

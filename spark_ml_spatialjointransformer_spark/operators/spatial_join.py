@@ -1,0 +1,390 @@
+"""The core operator: broadcast spatial join, compiled to one DataFrame plan.
+
+Semantics (parity with reference BroadcastSpatialJoin.scala:349-478):
+
+- two sides: the transformer *input* and an *external* dataset;
+- ``broadcast_input=True`` (default) broadcasts the input and iterates the
+  external side; the spatial predicate is evaluated as
+  ``iterated.predicate(broadcast)`` — e.g. default direction + ``within``
+  means "external geometry within input geometry";
+- ``nearest`` returns, for every iterated-side row, the single nearest
+  broadcast-side row by geodesic centroid distance (result cardinality =
+  iterated side row count);
+- ``withindist n``: all pairs whose rounded geodesic centroid distance ≤ n
+  meters (coarse degree-window prefilter, exact re-filter —
+  SpatialJoin.scala:62-80, BroadcastSpatialJoin.scala:353-368);
+- extra ``condition`` filters candidate pairs *before* nearest selection
+  (BroadcastSpatialJoin.scala:493-535); ``left`` = external, ``right`` =
+  input, in both directions;
+- output = all input columns ++ selected/aliased external columns ++
+  optional Int-meters distance, in that order
+  (BroadcastSpatialJoin.scala:401-432);
+- rows with null/unparseable geometry are dropped (inner-join semantics,
+  DatasetGeometry.scala:40-42,64).
+
+Execution strategy (Spark-first, nothing leaves DataFrame land):
+
+- candidate enumeration = ``join(F.broadcast(small), on=<sargable bbox
+  window>)`` → Catalyst picks BroadcastNestedLoopJoin; bbox columns are
+  extracted from WKT **JVM-side** (regexp + higher-order array functions, no
+  Python) so the prefilter runs inside whole-stage codegen;
+- exact geometry predicates and the WGS84 geodesic run as Arrow
+  ``pandas_udf`` batches (vectorized numpy; per-batch WKT parse memoization);
+  point-point joins with the haversine kernel stay 100% JVM-side;
+- ``nearest`` = ``groupBy(iterated-row-id).agg(F.min(struct(distance,
+  tie-break, payload)))`` — min is partially aggregatable, so Spark combines
+  map-side and shuffles ONE candidate row per iterated row instead of
+  windowing the full candidate set (this is the 100TB-scale reason to prefer
+  min-over-struct to ``row_number() == 1``);
+- ties broken deterministically by (distance, tie_break cols, broadcast row
+  id) — the reference leaves ties to index-traversal order
+  (nondeterministic); we document and pin ours.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_ml_spatialjointransformer_spark.functions._serde import (
+    ensure_udf_portability,
+)
+from spark_ml_spatialjointransformer_spark.functions.geodesic import (
+    geodesic_distance_udf,
+    haversine_expr,
+)
+from spark_ml_spatialjointransformer_spark.functions.geometry import (
+    PREDICATE_FUNCS,
+    centroid,
+    parse_wkt,
+    point_geom,
+)
+from spark_ml_spatialjointransformer_spark.plans.config import (
+    SideConfig,
+    SpatialJoinPlan,
+    condition_external_columns,
+    rewrite_condition,
+)
+
+EXT_PREFIX = "__sjt_e__"
+_NUM_PATTERN = r"[-+]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][-+]?[0-9]+)?"
+
+# geometry-kind capability flags per predicate
+_NEEDS_BBOX = {"withindist", "within", "contains", "intersects", "overlaps"}
+_NEEDS_REFINE = {"within", "contains", "intersects", "overlaps"}
+
+
+def _wkt_number_array(col: Column) -> Column:
+    """All numeric tokens of a WKT string as array<double> — pure JVM
+    (regexp_extract_all + transform), stays in whole-stage codegen."""
+    return F.transform(
+        F.regexp_extract_all(col, F.lit(_NUM_PATTERN), F.lit(0)),
+        lambda x: x.cast("double"),
+    )
+
+
+def _wkt_centroid_udf():
+    """Arrow pandas_udf: WKT → struct(x, y); nulls for unparseable input.
+    Parse results are memoized per batch (broadcast sides repeat heavily)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+    )
+
+    @F.pandas_udf(schema)
+    def _centroid(wkt: pd.Series) -> pd.DataFrame:
+        cache: dict[str, tuple[float, float] | None] = {}
+        xs: list[float | None] = []
+        ys: list[float | None] = []
+        for w in wkt:
+            if w in cache:
+                c = cache[w]
+            else:
+                g = parse_wkt(w) if isinstance(w, str) else None
+                c = centroid(g) if g is not None else None
+                if len(cache) > 200_000:
+                    cache.clear()
+                cache[w] = c
+            xs.append(c[0] if c else None)
+            ys.append(c[1] if c else None)
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    return _centroid
+
+
+def _refine_udf(op: str):
+    """Arrow pandas_udf evaluating ``op(left_geom, right_geom)`` over
+    (wkt|point) encodings of both sides; unparseable/null geometry → False
+    (the pair is dropped — inner-join null semantics)."""
+
+    fn = PREDICATE_FUNCS[op]
+
+    @F.pandas_udf("boolean")
+    def _refine(
+        l_wkt: pd.Series,
+        l_x: pd.Series,
+        l_y: pd.Series,
+        r_wkt: pd.Series,
+        r_x: pd.Series,
+        r_y: pd.Series,
+    ) -> pd.Series:
+        cache: dict[str, object] = {}
+
+        def geom(w, x, y):
+            if isinstance(w, str):
+                if w in cache:
+                    return cache[w]
+                g = parse_wkt(w)
+                if len(cache) > 200_000:
+                    cache.clear()
+                cache[w] = g
+                return g
+            if x is None or y is None or x != x or y != y:
+                return None
+            return point_geom(float(x), float(y))
+
+        out = []
+        for w1, x1, y1, w2, x2, y2 in zip(l_wkt, l_x, l_y, r_wkt, r_x, r_y):
+            g1 = geom(w1, x1, y1)
+            g2 = geom(w2, x2, y2)
+            out.append(bool(g1 is not None and g2 is not None and fn(g1, g2)))
+        return pd.Series(out)
+
+    return _refine
+
+
+def _prepare_side(
+    df: DataFrame,
+    side: SideConfig,
+    tag: str,
+    need_centroid: bool,
+    need_bbox: bool,
+    need_wkt: bool,
+) -> DataFrame:
+    """Attach internal geometry columns (``__sjt_{tag}_*``) and drop rows
+    with null geometry.  All bbox math is JVM-side; only WKT centroids use a
+    pandas_udf."""
+    gx, gy = f"__sjt_{tag}_gx", f"__sjt_{tag}_gy"
+    x0, y0, x1, y1 = (f"__sjt_{tag}_{c}" for c in ("x0", "y0", "x1", "y1"))
+    wktc = f"__sjt_{tag}_wkt"
+
+    if not side.is_wkt:
+        lon = F.col(side.point_columns.lon).cast("double")
+        lat = F.col(side.point_columns.lat).cast("double")
+        # lenient coercion parity: DatasetGeometry.scala:90-96,105-107
+        df = df.where(lon.isNotNull() & lat.isNotNull())
+        if need_centroid:
+            df = df.withColumns({gx: lon, gy: lat})
+        if need_bbox:
+            df = df.withColumns({x0: lon, y0: lat, x1: lon, y1: lat})
+        if need_wkt:
+            df = df.withColumn(wktc, F.lit(None).cast("string"))
+        return df
+
+    wcol = F.col(side.wkt_column)
+    nums = _wkt_number_array(wcol)
+    xs = F.filter(nums, lambda v, i: i % 2 == 0)
+    ys = F.filter(nums, lambda v, i: i % 2 == 1)
+    if need_bbox:
+        df = df.withColumns(
+            {
+                x0: F.array_min(xs),
+                y0: F.array_min(ys),
+                x1: F.array_max(xs),
+                y1: F.array_max(ys),
+            }
+        )
+        df = df.where(F.col(x0).isNotNull() & F.col(y0).isNotNull())
+    else:
+        # null-geometry drop without bbox columns
+        df = df.where(F.size(nums) >= 2)
+    if need_centroid:
+        c = _wkt_centroid_udf()(wcol)
+        df = df.withColumns({gx: c.getField("x"), gy: c.getField("y")})
+        df = df.where(F.col(gx).isNotNull())
+    if need_wkt:
+        df = df.withColumn(wktc, wcol.cast("string"))
+    return df
+
+
+def _bbox_condition(op: str, lt: str, rt: str, radius_deg: float) -> Column | None:
+    """Sargable coarse prefilter relating the two sides' bboxes.
+
+    - within  (left within right):   left bbox ⊆ right bbox
+    - contains (left contains right): right bbox ⊆ left bbox
+    - intersects/overlaps:            bbox intersection
+    - withindist:                     bbox intersection after expanding the
+      left window by ``radius_deg`` (= meters/35000, the reference's inflated
+      probe radius — SpatialJoin.scala:62-80)
+    - nearest: None (unbounded search)
+    """
+    lx0, ly0, lx1, ly1 = (F.col(f"__sjt_{lt}_{c}") for c in ("x0", "y0", "x1", "y1"))
+    rx0, ry0, rx1, ry1 = (F.col(f"__sjt_{rt}_{c}") for c in ("x0", "y0", "x1", "y1"))
+    if op == "within":
+        return (lx0 >= rx0) & (lx1 <= rx1) & (ly0 >= ry0) & (ly1 <= ry1)
+    if op == "contains":
+        return (rx0 >= lx0) & (rx1 <= lx1) & (ry0 >= ly0) & (ry1 <= ly1)
+    if op in ("intersects", "overlaps"):
+        return (lx0 <= rx1) & (lx1 >= rx0) & (ly0 <= ry1) & (ly1 >= ry0)
+    if op == "withindist":
+        d = F.lit(radius_deg)
+        return (lx0 - d <= rx1) & (lx1 + d >= rx0) & (ly0 - d <= ry1) & (ly1 + d >= ry0)
+    return None
+
+
+def prepare_external(df: DataFrame, plan: SpatialJoinPlan) -> DataFrame:
+    """Filter → project → repartition the external side, then move it into
+    the internal ``__sjt_e__`` namespace so it can never collide with input
+    column names.  Parity: BroadcastSpatialJoin.scala:233-248."""
+    side = plan.external_side
+    if plan.filter:
+        df = df.filter(plan.filter)
+
+    keep: list[str] = []
+    for name, _alias in plan.data_columns:
+        if name not in keep:
+            keep.append(name)
+    geom_cols = (
+        [side.wkt_column]
+        if side.is_wkt
+        else [side.point_columns.lon, side.point_columns.lat]
+    )
+    for c in geom_cols + condition_external_columns(plan.condition):
+        if c and c not in keep:
+            keep.append(c)
+    df = df.select(*keep)
+
+    if plan.num_partitions:
+        df = df.repartition(plan.num_partitions)
+    return df.select([F.col(c).alias(f"{EXT_PREFIX}{c}") for c in df.columns])
+
+
+def _prefixed_side(side: SideConfig) -> SideConfig:
+    from spark_ml_spatialjointransformer_spark.plans.config import PointColumns
+
+    if side.is_wkt:
+        return SideConfig(wkt_column=f"{EXT_PREFIX}{side.wkt_column}")
+    return SideConfig(
+        point_columns=PointColumns(
+            f"{EXT_PREFIX}{side.point_columns.lon}",
+            f"{EXT_PREFIX}{side.point_columns.lat}",
+        )
+    )
+
+
+def spatial_join(
+    input_df: DataFrame, external_df: DataFrame, plan: SpatialJoinPlan
+) -> DataFrame:
+    """Compile the spatial join plan against the two DataFrames.
+
+    ``external_df`` is the raw external dataset (pre-filter); ``input_df`` is
+    the transformer input.  Returns the joined DataFrame with columns
+    ``input ++ selected-aliased-external ++ [distance]``.
+    """
+    ensure_udf_portability()
+    op = plan.op
+    need_dist = bool(plan.distance_column) or op in ("nearest", "withindist")
+    need_refine = op in _NEEDS_REFINE
+    need_bbox = op in _NEEDS_BBOX
+
+    ext = prepare_external(external_df, plan)
+    ext_side = _prefixed_side(plan.external_side)
+
+    input_cols = list(input_df.columns)
+
+    ext = _prepare_side(ext, ext_side, "e", need_dist, need_bbox, need_refine)
+    inp = _prepare_side(
+        input_df, plan.input_side, "i", need_dist, need_bbox, need_refine
+    )
+
+    # iterated (left) vs broadcast (right); predicate applies left.op(right)
+    if plan.broadcast_input:
+        left, right, lt, rt = ext, inp, "e", "i"
+    else:
+        left, right, lt, rt = inp, ext, "i", "e"
+
+    left = left.withColumn("__sjt_lid", F.monotonically_increasing_id())
+    right = right.withColumn("__sjt_rid", F.monotonically_increasing_id())
+
+    cond = _bbox_condition(op, lt, rt, plan.radius_degrees)
+    if plan.condition:
+        extra = F.expr(rewrite_condition(plan.condition, EXT_PREFIX))
+        cond = extra if cond is None else (cond & extra)
+
+    joined = (
+        left.crossJoin(F.broadcast(right))
+        if cond is None
+        else left.join(F.broadcast(right), on=cond, how="inner")
+    )
+
+    if need_refine:
+        def side_args(tag: str, side: SideConfig):
+            if side.is_wkt:
+                return [
+                    F.col(f"__sjt_{tag}_wkt"),
+                    F.lit(None).cast("double"),
+                    F.lit(None).cast("double"),
+                ]
+            return [
+                F.lit(None).cast("string"),
+                F.col(side.point_columns.lon).cast("double"),
+                F.col(side.point_columns.lat).cast("double"),
+            ]
+
+        l_side = ext_side if lt == "e" else plan.input_side
+        r_side = plan.input_side if rt == "i" else ext_side
+        joined = joined.where(
+            _refine_udf(op)(*side_args(lt, l_side), *side_args(rt, r_side))
+        )
+
+    if need_dist:
+        args = (
+            F.col("__sjt_e_gx"),
+            F.col("__sjt_e_gy"),
+            F.col("__sjt_i_gx"),
+            F.col("__sjt_i_gy"),
+        )
+        if plan.distance_kernel == "haversine":
+            dist = haversine_expr(*args)
+        else:
+            dist = geodesic_distance_udf()(*args)
+        joined = joined.withColumn("__sjt_dist", dist)
+
+    if op == "withindist":
+        # exact re-filter on rounded Int meters: BroadcastSpatialJoin.scala:353-368
+        joined = joined.where(
+            F.round(F.col("__sjt_dist")).cast("int") <= int(plan.radius_meters)
+        )
+
+    # ----- output assembly: input cols ++ selected external ++ distance -----
+    out_cols: list[Column] = [F.col(c) for c in input_cols]
+    for name, alias in plan.data_columns:
+        out_cols.append(F.col(f"{EXT_PREFIX}{name}").alias(alias))
+    if plan.distance_column:
+        out_cols.append(
+            F.round(F.col("__sjt_dist")).cast("int").alias(plan.distance_column)
+        )
+
+    if op != "nearest":
+        return joined.select(*out_cols)
+
+    # nearest: min-by-(distance, tie-break, rid) per iterated row — partially
+    # aggregatable, so only one candidate per group crosses the shuffle.
+    tb_cols = [
+        F.col(c if rt == "i" else f"{EXT_PREFIX}{c}").alias(f"__tb{i}")
+        for i, c in enumerate(plan.tie_break)
+    ]
+    sel = F.struct(
+        F.col("__sjt_dist").alias("__d"),
+        *tb_cols,
+        F.col("__sjt_rid").alias("__rid"),
+        F.struct(*out_cols).alias("p"),
+    )
+    return (
+        joined.groupBy("__sjt_lid")
+        .agg(F.min(sel).alias("m"))
+        .select("m.p.*")
+    )

@@ -1,0 +1,446 @@
+"""Behavioral parity suite: mirrors the reference's 16 golden tests
+(reference: src/test/scala/me/valik/spark/transformer/BroadcastSpatialJoinTest.scala).
+
+Row comparison is order-insensitive (the reference compares ordered collects,
+but row order is an artifact of its RDD execution, not a documented
+contract)."""
+
+import pytest
+
+from pyspark.sql import types as T
+
+from spark_ml_spatialjointransformer_spark import BroadcastSpatialJoin
+from tests.conftest import collect_sorted
+
+POI_SCHEMA = T.StructType(
+    [
+        T.StructField("poi_id", T.StringType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+INPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ]
+)
+WKT_POI_SCHEMA = T.StructType(
+    [
+        T.StructField("poi_id", T.StringType()),
+        T.StructField("wkt", T.StringType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+WKT_INPUT_SCHEMA = T.StructType(
+    [T.StructField("id", T.StringType()), T.StructField("wkt", T.StringType())]
+)
+
+
+def poi_df(spark, rows):
+    rows = [r if len(r) == 4 else (*r, None) for r in rows]
+    return spark.createDataFrame(rows, POI_SCHEMA)
+
+
+def input_df(spark, rows):
+    return spark.createDataFrame(rows, INPUT_SCHEMA)
+
+
+def wkt_poi_df(spark, rows):
+    rows = [r if len(r) == 3 else (*r, None) for r in rows]
+    return spark.createDataFrame(rows, WKT_POI_SCHEMA)
+
+
+def wkt_input_df(spark, rows):
+    return spark.createDataFrame(rows, WKT_INPUT_SCHEMA)
+
+
+def make_transformer(data, name="poi"):
+    """Parity: BroadcastSpatialJoinTest.scala:615-622."""
+    data.createOrReplaceTempView(name)
+    return (
+        BroadcastSpatialJoin()
+        .setDataset(name)
+        .setDatasetPoint("lon, lat")
+        .setInputPoint("lon, lat")
+        .setDataColumns("poi_id")
+    )
+
+
+SMOKE_INPUT = [("i1", 1.0, 1.0), ("i2", 2.0, 2.0)]
+SMOKE_POI = [("d1", 1.1, 1.1), ("d2", 2.1, 2.1)]
+
+
+def test_smoke(spark):
+    """BroadcastSpatialJoinTest.scala:30-56."""
+    t = make_transformer(poi_df(spark, SMOKE_POI))
+    out = t.transform(input_df(spark, SMOKE_INPUT))
+    assert out.columns == ["id", "lon", "lat", "poi_id"]
+    assert collect_sorted(out) == [
+        ("i1", 1.0, 1.0, "d1"),
+        ("i2", 2.0, 2.0, "d2"),
+    ]
+
+
+def test_aliases(spark):
+    """BroadcastSpatialJoinTest.scala:59-97."""
+    poi = poi_df(spark, [("d1", 1.1, 1.1, "a"), ("d2", 2.1, 2.1, "b")])
+    t = make_transformer(poi).setDataColumns("poi_id as poi_number, name as poi_name")
+    out = t.transform(input_df(spark, SMOKE_INPUT))
+    assert out.columns == ["id", "lon", "lat", "poi_number", "poi_name"]
+    assert collect_sorted(out) == [
+        ("i1", 1.0, 1.0, "d1", "a"),
+        ("i2", 2.0, 2.0, "d2", "b"),
+    ]
+
+    t2 = make_transformer(poi).setDataColumns("poi_id as poi_number, name")
+    out2 = t2.transform(input_df(spark, SMOKE_INPUT))
+    assert out2.columns == ["id", "lon", "lat", "poi_number", "name"]
+
+
+def test_distance_column_goldens(spark):
+    """Pinned WGS84 geodesic goldens — BroadcastSpatialJoinTest.scala:100-127."""
+    t = make_transformer(poi_df(spark, SMOKE_POI)).setDistColAlias("distance")
+    out = t.transform(input_df(spark, SMOKE_INPUT))
+    assert out.columns == ["id", "lon", "lat", "poi_id", "distance"]
+    assert dict(out.schema["distance"].jsonValue().items())["type"] == "integer"
+    assert collect_sorted(out) == [
+        ("i1", 1.0, 1.0, "d1", 15689),
+        ("i2", 2.0, 2.0, "d2", 15685),
+    ]
+
+
+def test_repartition(spark):
+    """BroadcastSpatialJoinTest.scala:130-152 (external side repartitioned).
+
+    The reference asserts output partition count == 4 — an artifact of its
+    RDD flatMap execution.  Our contract: the external side is repartitioned
+    to N before the join (visible in the plan), and results stay correct.
+    """
+    from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+        prepare_external,
+    )
+
+    poi = poi_df(
+        spark,
+        [("d1", 1.1, 1.1), ("d2", 2.1, 2.1), ("d3", 3.1, 3.1), ("d4", 4.1, 4.1)],
+    )
+    t = make_transformer(poi).setNumPartitions("4")
+    plan = t._make_plan()
+    assert prepare_external(poi, plan).rdd.getNumPartitions() == 4
+    out = t.transform(input_df(spark, SMOKE_INPUT))
+    assert out.count() == 4  # one row per external row (nearest, input broadcast)
+
+
+def test_input_wkt_within(spark):
+    """BroadcastSpatialJoinTest.scala:155-184: data point within input polygon."""
+    inp = wkt_input_df(
+        spark,
+        [("i1", "POLYGON((1 1,2 1,1 2,1 1))"), ("i2", "POLYGON((2 1,2 2,1 2,2 1))")],
+    )
+    poi = poi_df(spark, [("d1", 1.4, 1.4), ("d2", 1.6, 1.6)])
+    t = make_transformer(poi).setInputPoint("").setInputWKT("wkt").setPredicate("within")
+    out = t.transform(inp)
+    assert out.columns == ["id", "wkt", "poi_id"]
+    assert collect_sorted(out) == [
+        ("i1", "POLYGON((1 1,2 1,1 2,1 1))", "d1"),
+        ("i2", "POLYGON((2 1,2 2,1 2,2 1))", "d2"),
+    ]
+
+
+def test_dataset_wkt_contains(spark):
+    """BroadcastSpatialJoinTest.scala:186-216: data polygon contains input point."""
+    inp = input_df(spark, [("i1", 1.4, 1.4), ("i2", 1.6, 1.6)])
+    poi = wkt_poi_df(
+        spark,
+        [("d1", "POLYGON((1 1,2 1,1 2,1 1))"), ("d2", "POLYGON((2 1,2 2,1 2,2 1))")],
+    )
+    t = (
+        make_transformer(poi)
+        .setDatasetPoint("")
+        .setDatasetWKT("wkt")
+        .setPredicate("contains")
+    )
+    out = t.transform(inp)
+    assert collect_sorted(out) == [
+        ("i1", 1.4, 1.4, "d1"),
+        ("i2", 1.6, 1.6, "d2"),
+    ]
+
+
+def test_join_selected_data_columns(spark):
+    """BroadcastSpatialJoinTest.scala:219-255."""
+    poi = poi_df(spark, [("d1", 1.1, 1.1, "a"), ("d2", 2.1, 2.1, "b")])
+    t = make_transformer(poi).setDataColumns("poi_id, name")
+    out = t.transform(input_df(spark, SMOKE_INPUT))
+    assert out.columns == ["id", "lon", "lat", "poi_id", "name"]
+    assert collect_sorted(out) == [
+        ("i1", 1.0, 1.0, "d1", "a"),
+        ("i2", 2.0, 2.0, "d2", "b"),
+    ]
+
+    t2 = make_transformer(poi).setDataColumns("name")
+    out2 = t2.transform(input_df(spark, SMOKE_INPUT))
+    assert out2.columns == ["id", "lon", "lat", "name"]
+    assert collect_sorted(out2) == [
+        ("i1", 1.0, 1.0, "a"),
+        ("i2", 2.0, 2.0, "b"),
+    ]
+
+
+def test_withindist(spark):
+    """BroadcastSpatialJoinTest.scala:258-285: 15700m radius keeps (i1,d1),(i2,d2)."""
+    poi = poi_df(spark, [("d1", 1.1, 1.1), ("d2", 2.1, 2.1), ("d3", 2.101, 2.101)])
+    t = make_transformer(poi).setPredicate("withindist 15700")
+    out = t.transform(input_df(spark, SMOKE_INPUT))
+    assert collect_sorted(out) == [
+        ("i1", 1.0, 1.0, "d1"),
+        ("i2", 2.0, 2.0, "d2"),
+    ]
+
+
+def test_intersects(spark):
+    """BroadcastSpatialJoinTest.scala:287-316: crossing linestrings."""
+    inp = wkt_input_df(
+        spark, [("i1", "LINESTRING(1 1,2 2)"), ("i2", "LINESTRING(2 2,3 3)")]
+    )
+    poi = wkt_poi_df(
+        spark, [("d1", "LINESTRING(2 1,1 2)"), ("d2", "LINESTRING(3 2,2 3)")]
+    )
+    t = (
+        make_transformer(poi)
+        .setPredicate("intersects")
+        .setInputPoint("")
+        .setInputWKT("wkt")
+        .setDatasetPoint("")
+        .setDatasetWKT("wkt")
+    )
+    out = t.transform(inp)
+    assert collect_sorted(out) == [
+        ("i1", "LINESTRING(1 1,2 2)", "d1"),
+        ("i2", "LINESTRING(2 2,3 3)", "d2"),
+    ]
+
+
+def test_overlaps(spark):
+    """BroadcastSpatialJoinTest.scala:318-347: overlapping triangles."""
+    inp = wkt_input_df(
+        spark,
+        [("i1", "POLYGON((2 4,2 2,4 2,2 4))"), ("i2", "POLYGON((12 4,12 2,14 2,12 4))")],
+    )
+    poi = wkt_poi_df(
+        spark,
+        [("d1", "POLYGON((3 1,3 3,1 3,3 1))"), ("d2", "POLYGON((13 1,13 3,11 3,13 1))")],
+    )
+    t = (
+        make_transformer(poi)
+        .setPredicate("overlaps")
+        .setInputPoint("")
+        .setInputWKT("wkt")
+        .setDatasetPoint("")
+        .setDatasetWKT("wkt")
+    )
+    out = t.transform(inp)
+    assert collect_sorted(out) == [
+        ("i1", "POLYGON((2 4,2 2,4 2,2 4))", "d1"),
+        ("i2", "POLYGON((12 4,12 2,14 2,12 4))", "d2"),
+    ]
+
+
+def test_broadcast_dataset(spark):
+    """BroadcastSpatialJoinTest.scala:349-379: one row per INPUT row."""
+    inp = input_df(spark, [("i1", 1.0, 1.0), ("i2", 2.0, 2.0), ("i3", 3.0, 3.0)])
+    poi = poi_df(spark, SMOKE_POI)
+    t = make_transformer(poi).setBroadcast("dataset").setPredicate("nearest")
+    out = t.transform(inp)
+    assert collect_sorted(out) == [
+        ("i1", 1.0, 1.0, "d1"),
+        ("i2", 2.0, 2.0, "d2"),
+        ("i3", 3.0, 3.0, "d2"),
+    ]
+
+
+def test_broadcast_input(spark):
+    """BroadcastSpatialJoinTest.scala:382-411: one row per EXTERNAL row."""
+    poi = poi_df(spark, [("d1", 1.1, 1.1), ("d2", 2.1, 2.1), ("d3", 3.1, 3.1)])
+    t = make_transformer(poi).setBroadcast("input").setPredicate("nearest")
+    out = t.transform(input_df(spark, SMOKE_INPUT))
+    assert collect_sorted(out) == [
+        ("i1", 1.0, 1.0, "d1"),
+        ("i2", 2.0, 2.0, "d2"),
+        ("i2", 2.0, 2.0, "d3"),
+    ]
+
+
+def test_filter(spark):
+    """BroadcastSpatialJoinTest.scala:413-457."""
+    poi = poi_df(
+        spark, [("d1", 1.1, 1.1, "a"), ("d2", 2.1, 2.1, "b"), ("d3", 3.1, 3.1, "c")]
+    )
+    t = make_transformer(poi).setDatasetFilter("name in ('a', 'b')")
+    out = t.transform(input_df(spark, SMOKE_INPUT))
+    assert collect_sorted(out) == [
+        ("i1", 1.0, 1.0, "d1"),
+        ("i2", 2.0, 2.0, "d2"),
+    ]
+
+    out_nofilter = make_transformer(poi).transform(input_df(spark, SMOKE_INPUT))
+    assert collect_sorted(out_nofilter) == [
+        ("i1", 1.0, 1.0, "d1"),
+        ("i2", 2.0, 2.0, "d2"),
+        ("i2", 2.0, 2.0, "d3"),
+    ]
+
+
+def test_extra_condition(spark):
+    """BroadcastSpatialJoinTest.scala:459-504: right.id != left.name reroutes d3."""
+    poi = poi_df(
+        spark, [("d1", 1.1, 1.1, "a"), ("d2", 2.1, 2.1, "b"), ("d3", 3.1, 3.1, "i2")]
+    )
+    t = make_transformer(poi).setJoinCondition("right.id != left.name")
+    out = t.transform(input_df(spark, SMOKE_INPUT))
+    assert collect_sorted(out) == [
+        ("i1", 1.0, 1.0, "d1"),
+        ("i1", 1.0, 1.0, "d3"),
+        ("i2", 2.0, 2.0, "d2"),
+    ]
+
+
+def test_extra_condition_between_ts(spark):
+    """The other canonical condition string
+    (BroadcastSpatialJoin.scala:513-521): right.fulldate_ts between
+    left.start_ts and left.end_ts; right=input carries fulldate_ts (int),
+    left=external carries start_ts/end_ts (long)."""
+    inp = spark.createDataFrame(
+        [("i1", 1.0, 1.0, 100), ("i2", 2.0, 2.0, 500)],
+        "id string, lon double, lat double, fulldate_ts int",
+    )
+    poi = spark.createDataFrame(
+        [("d1", 1.1, 1.1, 0, 200), ("d2", 2.1, 2.1, 0, 200), ("d3", 3.1, 3.1, 400, 600)],
+        "poi_id string, lon double, lat double, start_ts long, end_ts long",
+    )
+    poi.createOrReplaceTempView("poi_ts")
+    t = (
+        BroadcastSpatialJoin()
+        .setDataset("poi_ts")
+        .setDatasetPoint("lon, lat")
+        .setInputPoint("lon, lat")
+        .setDataColumns("poi_id")
+        .setJoinCondition("right.fulldate_ts between left.start_ts and left.end_ts")
+    )
+    out = t.transform(inp)
+    # d1: candidates {i1}; d2: {i1} (i2 ts=500 > 200); d3: {i2}
+    assert collect_sorted(out) == [
+        ("i1", 1.0, 1.0, 100, "d1"),
+        ("i1", 1.0, 1.0, 100, "d2"),
+        ("i2", 2.0, 2.0, 500, "d3"),
+    ]
+
+
+def test_transform_schema(spark):
+    """BroadcastSpatialJoinTest.scala:507-535: static schema == output schema."""
+    poi = poi_df(spark, [("d1", 1.1, 1.1, "a"), ("d2", 2.1, 2.1, "b")])
+    t = make_transformer(poi).setDataColumns("poi_id as poi_number, name as poi_name")
+    inp = input_df(spark, SMOKE_INPUT)
+    static = t.transformSchema(inp.schema)
+    real = t.transform(inp).schema
+    assert [f.name for f in static.fields] == [f.name for f in real.fields]
+    assert [f.dataType for f in static.fields] == [f.dataType for f in real.fields]
+
+
+def test_transform_schema_with_distance(spark):
+    poi = poi_df(spark, SMOKE_POI)
+    t = make_transformer(poi).setDistColAlias("dist_m")
+    inp = input_df(spark, SMOKE_INPUT)
+    static = t.transformSchema(inp.schema)
+    assert static.fields[-1].name == "dist_m"
+    assert static.fields[-1].dataType == T.IntegerType()
+    real = t.transform(inp).schema
+    assert [(f.name, f.dataType) for f in static.fields] == [
+        (f.name, f.dataType) for f in real.fields
+    ]
+
+
+def test_pipeline_save_load(spark, tmp_path):
+    """BroadcastSpatialJoinTest.scala:538-571 + the reference pytest
+    (test_broadcast_spatial_join.py:52-64): Pipeline persistence round-trip."""
+    from pyspark.ml import Pipeline, PipelineModel
+
+    poi = poi_df(spark, SMOKE_POI)
+    t = make_transformer(poi)
+    inp = input_df(spark, SMOKE_INPUT)
+    expected = [("i1", 1.0, 1.0, "d1"), ("i2", 2.0, 2.0, "d2")]
+
+    pth = str(tmp_path / "spatial-join-pipeline")
+    p = Pipeline(stages=[t])
+    p.write().overwrite().save(pth)
+    loaded = Pipeline.load(pth)
+
+    assert collect_sorted(p.fit(inp).transform(inp)) == expected
+    assert collect_sorted(loaded.fit(inp).transform(inp)) == expected
+
+    # transformer-level save/load too
+    tpth = str(tmp_path / "spatial-join-transformer")
+    t.write().overwrite().save(tpth)
+    t2 = BroadcastSpatialJoin.load(tpth)
+    assert t2.getDataColumns() == "poi_id"
+    assert collect_sorted(t2.transform(inp)) == expected
+
+
+def test_param_validation(spark):
+    poi = poi_df(spark, SMOKE_POI)
+    poi.createOrReplaceTempView("poi")
+    with pytest.raises(ValueError, match="one and only one"):
+        BroadcastSpatialJoin(
+            dataset="poi", dataColumns="poi_id", inputPoint="lon, lat"
+        )._make_plan()
+    with pytest.raises(ValueError, match="one and only one"):
+        BroadcastSpatialJoin(
+            dataset="poi",
+            dataColumns="poi_id",
+            datasetWKT="wkt",
+            datasetPoint="lon, lat",
+            inputPoint="lon, lat",
+        )._make_plan()
+    with pytest.raises(ValueError, match="lon, lat"):
+        BroadcastSpatialJoin(
+            dataset="poi", dataColumns="poi_id", datasetPoint="lon", inputPoint="lon, lat"
+        )._make_plan()
+    with pytest.raises(ValueError, match="dataset property"):
+        BroadcastSpatialJoin(
+            dataColumns="poi_id", datasetPoint="lon, lat", inputPoint="lon, lat"
+        )._make_plan()
+    with pytest.raises(ValueError, match="dataColumns"):
+        BroadcastSpatialJoin(
+            dataset="poi", datasetPoint="lon, lat", inputPoint="lon, lat"
+        )._make_plan()
+
+
+def test_nullable_name_carried(spark):
+    """Nullable attribute columns flow through the join (PoiID.name:
+    Option[String], BroadcastSpatialJoinTest.scala:578-583)."""
+    poi = poi_df(spark, [("d1", 1.1, 1.1, None), ("d2", 2.1, 2.1, "b")])
+    t = make_transformer(poi).setDataColumns("poi_id, name")
+    out = t.transform(input_df(spark, SMOKE_INPUT))
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {("i1", 1.0, 1.0, "d1", None), ("i2", 2.0, 2.0, "d2", "b")}
+
+
+def test_null_geometry_dropped(spark):
+    """Null/empty WKT and null points are dropped pre-join
+    (DatasetGeometry.scala:40-42,64 — inner-join semantics)."""
+    poi = wkt_poi_df(
+        spark,
+        [("d1", "POLYGON((1 1,2 1,1 2,1 1))"), ("d2", None), ("d3", "")],
+    )
+    inp = input_df(spark, [("i1", 1.4, 1.4), ("i2", None, 2.0)])
+    t = (
+        make_transformer(poi)
+        .setDatasetPoint("")
+        .setDatasetWKT("wkt")
+        .setPredicate("contains")
+    )
+    out = t.transform(inp)
+    assert collect_sorted(out) == [("i1", 1.4, 1.4, "d1")]

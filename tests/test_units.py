@@ -1,0 +1,215 @@
+"""Spark-free unit tests: string toolbox, predicate parsing, geodesic
+kernels, geometry kernels."""
+
+import numpy as np
+import pytest
+
+from spark_ml_spatialjointransformer_spark.toolbox import (
+    extract_number,
+    parse_data_columns,
+    parse_map,
+    split_trim,
+)
+from spark_ml_spatialjointransformer_spark.plans.config import (
+    condition_external_columns,
+    extract_radius,
+    parse_predicate,
+    rewrite_condition,
+)
+from spark_ml_spatialjointransformer_spark.functions.geodesic import (
+    haversine_np,
+    vincenty_np,
+)
+from spark_ml_spatialjointransformer_spark.functions import geometry as g
+
+
+class TestToolbox:
+    def test_split_trim(self):
+        assert split_trim(" a, b ,, c ") == ["a", "b", "c"]
+        assert split_trim("") == []
+        assert split_trim(None) == []
+
+    def test_extract_number(self):
+        assert extract_number("withindist 15700", 1, " ") == 15700.0
+        assert extract_number("nearest", 1, " ") is None
+        assert extract_number("", 0, " ") is None
+
+    def test_parse_data_columns(self):
+        assert parse_data_columns("id as poi_id, name") == [
+            ("id", "poi_id"),
+            ("name", "name"),
+        ]
+        assert parse_data_columns("") == []
+        assert parse_data_columns("a as b, c as d") == [("a", "b"), ("c", "d")]
+
+    def test_parse_map(self):
+        assert parse_map("foo: bar, poo: bazz") == {"foo": "bar", "poo": "bazz"}
+
+
+class TestPredicateParsing:
+    def test_substring_match(self):
+        # SpatialJoin.scala:48-56: substring, case-insensitive, nearest default
+        assert parse_predicate("withindist 5000") == "withindist"
+        assert parse_predicate("WithinDist 5") == "withindist"
+        assert parse_predicate("within") == "within"
+        assert parse_predicate("contains") == "contains"
+        assert parse_predicate("intersects") == "intersects"
+        assert parse_predicate("overlaps") == "overlaps"
+        assert parse_predicate("nearest") == "nearest"
+        assert parse_predicate("") == "nearest"
+        assert parse_predicate("banana") == "nearest"
+
+    def test_radius(self):
+        m, d = extract_radius("withindist 15700")
+        assert m == 15700.0
+        assert d == pytest.approx(15700.0 / 35000.0)
+        assert extract_radius("nearest") == (0.0, 0.0)
+
+    def test_condition_columns(self):
+        assert condition_external_columns(
+            "right.fulldate_ts between left.start_ts and left.end_ts"
+        ) == ["start_ts", "end_ts"]
+        assert condition_external_columns("right.id != left.name") == ["name"]
+        assert condition_external_columns("") == []
+
+    def test_condition_rewrite(self):
+        assert (
+            rewrite_condition("right.id != left.name", "__e__")
+            == "`id` != `__e__name`"
+        )
+
+
+class TestGeodesic:
+    def test_reference_goldens(self):
+        # pinned by BroadcastSpatialJoinTest.scala:115-119
+        assert round(float(vincenty_np(1.0, 1.0, 1.1, 1.1))) == 15689
+        assert round(float(vincenty_np(2.0, 2.0, 2.1, 2.1))) == 15685
+
+    def test_zero_distance(self):
+        assert float(vincenty_np(10.0, 20.0, 10.0, 20.0)) == 0.0
+
+    def test_vectorized(self):
+        d = vincenty_np([1.0, 2.0], [1.0, 2.0], [1.1, 2.1], [1.1, 2.1])
+        assert np.round(d).astype(int).tolist() == [15689, 15685]
+
+    def test_haversine_close_to_geodesic(self):
+        v = float(vincenty_np(1.0, 1.0, 1.1, 1.1))
+        h = float(haversine_np(1.0, 1.0, 1.1, 1.1))
+        assert abs(v - h) / v < 0.01
+
+    def test_antipodal_fallback(self):
+        # Vincenty diverges near antipodes; falls back to haversine, stays finite
+        d = float(vincenty_np(0.0, 0.0, 179.9, 0.3))
+        assert 19_000_000 < d < 20_100_000
+
+
+class TestWktParse:
+    def test_point(self):
+        geom = g.parse_wkt("POINT(1.5 2.5)")
+        assert geom.kind == "point"
+        assert geom.coords_flat() == [(1.5, 2.5)]
+
+    def test_polygon_autoclose(self):
+        geom = g.parse_wkt("POLYGON((0 0,1 0,1 1,0 1))")
+        assert geom.parts[0][0][0] == geom.parts[0][0][-1]
+
+    def test_polygon_with_hole(self):
+        geom = g.parse_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))")
+        assert len(geom.parts[0]) == 2
+
+    def test_multipolygon(self):
+        geom = g.parse_wkt("MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((5 5,6 5,6 6,5 5)))")
+        assert geom.kind == "polygon"
+        assert len(geom.parts) == 2
+
+    def test_invalid(self):
+        assert g.parse_wkt(None) is None
+        assert g.parse_wkt("") is None
+        assert g.parse_wkt("POLYGON EMPTY") is None
+        assert g.parse_wkt("garbage") is None
+        assert g.parse_wkt("LINESTRING(1 1)") is None
+
+    def test_scientific_notation(self):
+        geom = g.parse_wkt("POINT(1.5e1 -2.5E-1)")
+        assert geom.coords_flat() == [(15.0, -0.25)]
+
+
+class TestGeometryPredicates:
+    def test_point_in_polygon_strictness(self):
+        tri = g.parse_wkt("POLYGON((1 1,2 1,1 2,1 1))")
+        assert g.within(g.point_geom(1.2, 1.2), tri)
+        assert not g.within(g.point_geom(1.0, 1.5), tri)  # on boundary: not within
+        assert not g.within(g.point_geom(5.0, 5.0), tri)
+        assert g.intersects(g.point_geom(1.0, 1.5), tri)  # boundary does intersect
+
+    def test_polygon_with_hole_containment(self):
+        donut = g.parse_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,3 1,3 3,1 3,1 1))")
+        assert not g.within(g.point_geom(2.0, 2.0), donut)  # in the hole
+        assert g.within(g.point_geom(0.5, 0.5), donut)
+
+    def test_polygon_within_polygon(self):
+        small = g.parse_wkt("POLYGON((1 1,2 1,2 2,1 2,1 1))")
+        big = g.parse_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+        assert g.within(small, big)
+        assert not g.within(big, small)
+        assert g.contains(big, small)
+
+    def test_intersects_disjoint(self):
+        a = g.parse_wkt("LINESTRING(0 0,1 1)")
+        b = g.parse_wkt("LINESTRING(5 5,6 6)")
+        assert not g.intersects(a, b)
+
+    def test_intersects_containment_no_boundary_contact(self):
+        small = g.parse_wkt("POLYGON((1 1,2 1,2 2,1 2,1 1))")
+        big = g.parse_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+        assert g.intersects(small, big)
+        assert g.intersects(big, small)
+
+    def test_overlaps_fixtures(self):
+        t1 = g.parse_wkt("POLYGON((2 4,2 2,4 2,2 4))")
+        d1 = g.parse_wkt("POLYGON((3 1,3 3,1 3,3 1))")
+        t2 = g.parse_wkt("POLYGON((12 4,12 2,14 2,12 4))")
+        d2 = g.parse_wkt("POLYGON((13 1,13 3,11 3,13 1))")
+        assert g.overlaps(t1, d1)
+        assert g.overlaps(t2, d2)
+        assert not g.overlaps(t1, d2)
+        assert not g.overlaps(t2, d1)
+
+    def test_overlaps_same_dim_only(self):
+        tri = g.parse_wkt("POLYGON((1 1,2 1,1 2,1 1))")
+        line = g.parse_wkt("LINESTRING(0 0,3 3)")
+        assert not g.overlaps(tri, line)
+
+    def test_overlaps_containment_is_not_overlap(self):
+        small = g.parse_wkt("POLYGON((1 1,2 1,2 2,1 2,1 1))")
+        big = g.parse_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+        assert not g.overlaps(small, big)
+
+    def test_line_overlaps_collinear(self):
+        a = g.parse_wkt("LINESTRING(0 0,2 0)")
+        b = g.parse_wkt("LINESTRING(1 0,3 0)")
+        assert g.overlaps(a, b)
+        crossing = g.parse_wkt("LINESTRING(1 -1,1 1)")
+        assert not g.overlaps(a, crossing)  # point contact, not 1-D overlap
+
+
+class TestCentroid:
+    def test_point(self):
+        assert g.centroid(g.point_geom(3.0, 4.0)) == (3.0, 4.0)
+
+    def test_square(self):
+        sq = g.parse_wkt("POLYGON((0 0,2 0,2 2,0 2,0 0))")
+        assert g.centroid(sq) == (1.0, 1.0)
+
+    def test_square_with_hole(self):
+        # hole shifts the area centroid away from itself
+        d = g.parse_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0),(2 2,4 2,4 4,2 4,2 2))")
+        cx, cy = g.centroid(d)
+        assert cx < 2.0 and cy < 2.0
+
+    def test_linestring_length_weighted(self):
+        line = g.parse_wkt("LINESTRING(0 0,2 0,2 1)")
+        cx, cy = g.centroid(line)
+        # segments: (0,0)-(2,0) w=2 mid (1,0); (2,0)-(2,1) w=1 mid (2,0.5)
+        assert cx == pytest.approx((2 * 1 + 1 * 2) / 3)
+        assert cy == pytest.approx((2 * 0 + 1 * 0.5) / 3)
