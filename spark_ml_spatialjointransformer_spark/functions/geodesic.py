@@ -147,9 +147,9 @@ def haversine_expr(lon1, lat1, lon2, lat2):
 
     rlat1 = F.radians(lat1)
     rlat2 = F.radians(lat2)
-    dlat = F.radians(lat2) - F.radians(lat1)
-    dlon = F.radians(lon2) - F.radians(lon1)
-    h = F.pow(F.sin(dlat / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
+    sdlat = F.sin((F.radians(lat2) - F.radians(lat1)) / 2)
+    sdlon = F.sin((F.radians(lon2) - F.radians(lon1)) / 2)
+    h = sdlat * sdlat + F.cos(rlat1) * F.cos(rlat2) * sdlon * sdlon
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(h))
 
 
@@ -161,7 +161,7 @@ def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     """
     rlat1 = f"radians({lat1})"
     rlat2 = f"radians({lat2})"
-    dlat2 = f"((radians({lat2}) - radians({lat1})) / 2)"
-    dlon2 = f"((radians({lon2}) - radians({lon1})) / 2)"
-    h = f"(pow(sin({dlat2}), 2) + cos({rlat1}) * cos({rlat2}) * pow(sin({dlon2}), 2))"
+    sdlat = f"sin((radians({lat2}) - radians({lat1})) / 2)"
+    sdlon = f"sin((radians({lon2}) - radians({lon1})) / 2)"
+    h = f"({sdlat} * {sdlat} + cos({rlat1}) * cos({rlat2}) * {sdlon} * {sdlon})"
     return f"({2.0 * EARTH_RADIUS_M!r} * asin(sqrt({h})))"

@@ -43,10 +43,12 @@ Execution strategy (Spark-first, nothing leaves DataFrame land):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from spark_ml_spatialjointransformer_spark.functions._serde import (
     ensure_udf_portability,
@@ -231,7 +233,20 @@ def _bbox_condition(op: str, lt: str, rt: str, radius_deg: float) -> Column | No
         return (lx0 <= rx1) & (lx1 >= rx0) & (ly0 <= ry1) & (ly1 >= ry0)
     if op == "withindist":
         d = F.lit(radius_deg)
-        return (lx0 - d <= rx1) & (lx1 + d >= rx0) & (ly0 - d <= ry1) & (ly1 + d >= ry0)
+
+        # longitude window with antimeridian wraparound: a pair at lon -180.0
+        # vs +177.7 is ~250 km apart but 357.7 apart in raw degrees.  The
+        # reference's planar index misses these (known limitation of its
+        # lon/lat STRtree); the geodesic refine is wraparound-correct, so the
+        # prefilter must be too.  Latitude needs no wrap (|lat| ≤ 90).
+        def lon_ok(shift: float) -> Column:
+            return (lx0 - d <= rx1 + shift) & (lx1 + d >= rx0 + shift)
+
+        return (
+            (lon_ok(0.0) | lon_ok(360.0) | lon_ok(-360.0))
+            & (ly0 - d <= ry1)
+            & (ly1 + d >= ry0)
+        )
     return None
 
 
@@ -306,6 +321,21 @@ def spatial_join(
     else:
         left, right, lt, rt = inp, ext, "i", "e"
 
+    # Parallelism guard: the iterated side drives every task.  Small local
+    # parquet collapses to 1-2 input splits, which would serialize the whole
+    # join; at cluster scale the side already has >= defaultParallelism
+    # partitions and this is a no-op.  An explicit numPartitions on the
+    # external side is honored as-is (reference X1 semantics).
+    explicit_parts = plan.num_partitions is not None and lt == "e"
+    if not explicit_parts:
+        par = input_df.sparkSession.sparkContext.defaultParallelism
+        if left.rdd.getNumPartitions() < par:
+            left = left.repartition(par)
+
+    if op == "nearest" and not plan.condition:
+        # fast path: vectorized broadcast-kNN, no join/shuffle at all
+        return _broadcast_knn(left, right, lt, plan, input_cols, inp, ext)
+
     left = left.withColumn("__sjt_lid", F.monotonically_increasing_id())
     right = right.withColumn("__sjt_rid", F.monotonically_increasing_id())
 
@@ -359,20 +389,45 @@ def spatial_join(
             F.round(F.col("__sjt_dist")).cast("int") <= int(plan.radius_meters)
         )
 
-    # ----- output assembly: input cols ++ selected external ++ distance -----
-    out_cols: list[Column] = [F.col(c) for c in input_cols]
-    for name, alias in plan.data_columns:
-        out_cols.append(F.col(f"{EXT_PREFIX}{name}").alias(alias))
-    if plan.distance_column:
-        out_cols.append(
-            F.round(F.col("__sjt_dist")).cast("int").alias(plan.distance_column)
-        )
-
     if op != "nearest":
+        # output assembly: input cols ++ selected external ++ distance
+        out_cols: list[Column] = [F.col(c) for c in input_cols]
+        for name, alias in plan.data_columns:
+            out_cols.append(F.col(f"{EXT_PREFIX}{name}").alias(alias))
+        if plan.distance_column:
+            out_cols.append(
+                F.round(F.col("__sjt_dist")).cast("int").alias(plan.distance_column)
+            )
         return joined.select(*out_cols)
 
-    # nearest: min-by-(distance, tie-break, rid) per iterated row — partially
-    # aggregatable, so only one candidate per group crosses the shuffle.
+    # nearest (with extra condition): min-by-(distance, tie-break, rid) per
+    # iterated row.  min is partially aggregatable, so only one candidate
+    # per group crosses the shuffle; columns of the iterated side are
+    # group-constants and travel via first() instead of inflating the
+    # compared struct.
+    out_items: list[tuple[str, int, str]] = []  # (side, idx, out_name)
+    left_exprs: list[Column] = []
+    right_exprs: list[Column] = []
+
+    def _route(col: Column, out_name: str, from_left: bool) -> None:
+        if from_left:
+            out_items.append(("left", len(left_exprs), out_name))
+            left_exprs.append(col)
+        else:
+            out_items.append(("right", len(right_exprs), out_name))
+            right_exprs.append(col)
+
+    for c in input_cols:
+        _route(F.col(c), c, from_left=(lt == "i"))
+    for name, alias in plan.data_columns:
+        _route(F.col(f"{EXT_PREFIX}{name}"), alias, from_left=(lt == "e"))
+    if plan.distance_column:
+        _route(
+            F.round(F.col("__sjt_dist")).cast("int"),
+            plan.distance_column,
+            from_left=False,  # varies per candidate — must ride the min-struct
+        )
+
     tb_cols = [
         F.col(c if rt == "i" else f"{EXT_PREFIX}{c}").alias(f"__tb{i}")
         for i, c in enumerate(plan.tie_break)
@@ -381,10 +436,142 @@ def spatial_join(
         F.col("__sjt_dist").alias("__d"),
         *tb_cols,
         F.col("__sjt_rid").alias("__rid"),
-        F.struct(*out_cols).alias("p"),
+        F.struct(
+            *[e.alias(f"__p{i}") for i, e in enumerate(right_exprs)]
+        ).alias("p"),
     )
-    return (
-        joined.groupBy("__sjt_lid")
-        .agg(F.min(sel).alias("m"))
-        .select("m.p.*")
+    aggs = [F.min(sel).alias("__m")] + [
+        F.first(e).alias(f"__l{i}") for i, e in enumerate(left_exprs)
+    ]
+    final = [
+        (F.col(f"__l{idx}") if side == "left" else F.col(f"__m.p.__p{idx}")).alias(name)
+        for side, idx, name in out_items
+    ]
+    return joined.groupBy("__sjt_lid").agg(*aggs).select(*final)
+
+
+def _knn_kernel(kernel: str):
+    from spark_ml_spatialjointransformer_spark.functions.geodesic import (
+        haversine_np,
+        vincenty_np,
     )
+
+    return haversine_np if kernel == "haversine" else vincenty_np
+
+
+def _broadcast_knn(
+    left: DataFrame,
+    right: DataFrame,
+    lt: str,
+    plan: SpatialJoinPlan,
+    input_cols: list[str],
+    inp: DataFrame,
+    ext: DataFrame,
+) -> DataFrame:
+    """``nearest`` fast path: the broadcast side is collected (it must fit in
+    memory — the reference's own contract, README.md:163-166), shipped as a
+    Spark broadcast of numpy arrays, and each iterated-side partition
+    computes a vectorized distance matrix + argmin via mapInPandas.
+
+    Compared to cross-join + min-aggregate this removes the joined
+    intermediate AND the shuffle entirely: output partitioning == iterated
+    side partitioning, O(L·R/cores) numpy flops.  Ties break by the
+    tie_break columns then by broadcast collect order (stable argmin on a
+    pre-sorted array).
+    """
+    ensure_udf_portability()
+    spark = left.sparkSession
+    kernel = _knn_kernel(plan.distance_kernel)
+
+    # ---- broadcast side: payload + coordinates, deterministically ordered
+    if lt == "i":  # right == external: contributes the selected data columns
+        pay_src = [f"{EXT_PREFIX}{name}" for name, _ in plan.data_columns]
+        out_right = [alias for _, alias in plan.data_columns]
+        r_df, r_schema_src = ext, ext
+        tb = [f"{EXT_PREFIX}{c}" for c in plan.tie_break]
+    else:  # right == input: contributes every input column
+        pay_src = list(input_cols)
+        out_right = list(input_cols)
+        r_df, r_schema_src = inp, inp
+        tb = list(plan.tie_break)
+
+    # collect the broadcast side (object arrays: exact nulls/ints/timestamps,
+    # unlike toPandas' float64 coercion of nullable ints)
+    rt_tag = "i" if lt == "e" else "e"
+    rows = r_df.select(
+        *[F.col(c) for c in pay_src],
+        F.col(f"__sjt_{rt_tag}_gx").alias("__gx"),
+        F.col(f"__sjt_{rt_tag}_gy").alias("__gy"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tb)],
+    ).collect()
+    npay = len(pay_src)
+    if tb:
+        rows = sorted(rows, key=lambda r: tuple(r[npay + 2 + i] for i in range(len(tb))))
+    r_lon = np.array([r[npay] for r in rows], dtype=np.float64)
+    r_lat = np.array([r[npay + 1] for r in rows], dtype=np.float64)
+    r_payload = {
+        out_right[i]: np.array([r[i] for r in rows], dtype=object)
+        for i in range(npay)
+    }
+    bc = spark.sparkContext.broadcast((r_lon, r_lat, r_payload))
+
+    # ---- output schema: input cols ++ aliased data cols ++ distance
+    src_fields = {f.name: f for f in inp.schema.fields}
+    ext_fields = {f.name: f for f in ext.schema.fields}
+    fields = [
+        T.StructField(c, src_fields[c].dataType, src_fields[c].nullable)
+        for c in input_cols
+    ]
+    for name, alias in plan.data_columns:
+        f = ext_fields[f"{EXT_PREFIX}{name}"]
+        fields.append(T.StructField(alias, f.dataType, True))
+    if plan.distance_column:
+        fields.append(T.StructField(plan.distance_column, T.IntegerType(), True))
+    out_schema = T.StructType(fields)
+
+    left_keep = (
+        list(input_cols) if lt == "i" else [f"{EXT_PREFIX}{n}" for n, _ in plan.data_columns]
+    )
+    left_out_names = (
+        list(input_cols) if lt == "i" else [a for _, a in plan.data_columns]
+    )
+    lgx, lgy = f"__sjt_{lt}_gx", f"__sjt_{lt}_gy"
+    distance_column = plan.distance_column
+    is_geodesic = plan.distance_kernel != "haversine"
+    # bound the B×R temp matrices (vincenty allocates ~10 temporaries)
+    max_cells = 2_000_000 if is_geodesic else 8_000_000
+
+    def knn_batches(batches):
+        r_lon_, r_lat_, r_payload_ = bc.value
+        n_r = len(r_lon_)
+        for pdf in batches:
+            if n_r == 0 or len(pdf) == 0:
+                continue
+            l_lon = pdf[lgx].to_numpy(np.float64)
+            l_lat = pdf[lgy].to_numpy(np.float64)
+            step = max(1, max_cells // max(n_r, 1))
+            idx = np.empty(len(pdf), dtype=np.int64)
+            dmin = np.empty(len(pdf), dtype=np.float64)
+            for s in range(0, len(pdf), step):
+                e = min(s + step, len(pdf))
+                dm = kernel(
+                    l_lon[s:e, None], l_lat[s:e, None], r_lon_[None, :], r_lat_[None, :]
+                )
+                idx[s:e] = np.argmin(dm, axis=1)  # first min → tie-break order
+                dmin[s:e] = dm[np.arange(e - s), idx[s:e]]
+            out = {}
+            for name, src in zip(left_out_names, left_keep):
+                out[name] = pdf[src].to_numpy()
+            for name, arr in r_payload_.items():
+                out[name] = arr[idx]
+            if distance_column:
+                out[distance_column] = np.floor(dmin + 0.5).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    res = left.mapInPandas(knn_batches, schema=out_schema)
+    # mapInPandas emits columns in dict order == left-then-right; reorder to
+    # the contract: input cols ++ data cols ++ distance
+    order = list(input_cols) + [a for _, a in plan.data_columns]
+    if distance_column:
+        order.append(distance_column)
+    return res.select(*order)

@@ -1,0 +1,566 @@
+"""The engine's query registry: every operator from SURVEY.md §2 plus the
+training-data-pipeline operators, each as a (Spark callable, DuckDB oracle
+SQL) pair for the driver's correctness gate.
+
+Naming maps to the SURVEY §2 inventory: ``j2..j9`` are the spatial-join
+predicate/direction rows, ``f1`` exercises the pre-join filter + aliasing +
+catalog source through the ML Transformer (S1/F1/P1/P2/P3), ``t*`` are text
+analysis, ``v*`` vector similarity, ``e*`` event/stream-shaped, ``a*``
+relational aggregation.
+
+Cross-engine determinism rules used throughout (hash-match with DuckDB):
+
+- all synthesized doubles come from integer arithmetic + one division —
+  bit-identical in both engines (see sources/tables.py);
+- distances/similarities/ratios are emitted as ``CAST(round(x * 10^k) AS
+  BIGINT)`` — scaled-integer outputs tolerate the ≤1-ulp libm differences
+  between the JVM and DuckDB;
+- nearest/top-k ties break on explicit key columns, never on engine order;
+- Spark session timezone must be UTC (conftest/bench pin it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_spatialjointransformer_spark.functions.geodesic import haversine_sql
+from spark_ml_spatialjointransformer_spark.operators.spatial_join import spatial_join
+from spark_ml_spatialjointransformer_spark.plans.config import (
+    PointColumns,
+    SideConfig,
+    SpatialJoinPlan,
+)
+from spark_ml_spatialjointransformer_spark.sources.tables import (
+    CUST_LAT_SQL,
+    CUST_LON_SQL,
+    NATION_RECT_SQL,
+    SUPP_LAT_SQL,
+    SUPP_LON_SQL,
+    SUPP_RECT_SQL,
+    customers_geo,
+    load_events,
+    load_table,
+    nations_rect,
+    suppliers_geo,
+    suppliers_rect,
+)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL over the driver's registered views
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def _register(name: str, oracle: Optional[str]):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+_POINT = SideConfig(point_columns=PointColumns("lon", "lat"))
+_WKT = SideConfig(wkt_column="wkt")
+
+_HAV = haversine_sql("c.lon", "c.lat", "s.lon", "s.lat")
+
+_GEO_CTE = f"""
+c AS (SELECT c_custkey, c_nationkey, {CUST_LON_SQL} AS lon, {CUST_LAT_SQL} AS lat
+      FROM customer),
+s AS (SELECT s_suppkey, s_nationkey, s_name, s_acctbal,
+             {SUPP_LON_SQL} AS lon, {SUPP_LAT_SQL} AS lat
+      FROM supplier)
+"""
+
+_NATION_RECT_CTE = (
+    "n AS (SELECT n_nationkey, "
+    + ", ".join(f"{sql} AS {k}" for k, sql in NATION_RECT_SQL.items())
+    + " FROM nation)"
+)
+_SUPP_RECT_CTE = (
+    "sr AS (SELECT s_suppkey, "
+    + ", ".join(f"{sql} AS {k}" for k, sql in SUPP_RECT_SQL.items())
+    + " FROM supplier)"
+)
+
+
+# ---------------------------------------------------------------------------
+# spatial joins (SURVEY §2 J-rows)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "j7_nearest_supplier",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d FROM c CROSS JOIN s),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
+      FROM p)
+SELECT c_custkey, s_suppkey AS supp_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM r WHERE rn = 1
+""",
+)
+def j7_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 nearest (+P3 distance column): per-customer nearest supplier.
+    External (suppliers) broadcast, customers iterated — the scale-correct
+    direction for a big-input/small-dimension kNN."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("s_suppkey",),
+    )
+    return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")
+
+
+@_register(
+    "j6_withindist_pairs",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d FROM c CROSS JOIN s)
+SELECT c_custkey, s_suppkey AS supp_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM p WHERE CAST(round(d) AS INTEGER) <= 300000
+""",
+)
+def j6_withindist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 withindist: all customer-supplier pairs within 300 km (coarse
+    degree-window prefilter + exact refine, SpatialJoin.scala:62-80)."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="withindist 300000",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+    )
+    return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")
+
+
+_PT_IN_RECT_ORACLE = f"""
+WITH {_GEO_CTE},
+{_NATION_RECT_CTE}
+SELECT c.c_custkey, n.n_nationkey AS nat_key
+FROM c JOIN n ON c.lon > n.x0 AND c.lon < n.x1 AND c.lat > n.y0 AND c.lat < n.y1
+"""
+
+
+@_register("j2_within_nation", _PT_IN_RECT_ORACLE)
+def j2_within_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 within: customer point WITHIN nation rectangle (WKT polygon path,
+    bbox-containment prefilter + exact DE-9IM refine)."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    nations = nations_rect(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="within",
+        external_side=_WKT,
+        input_side=_POINT,
+        data_columns=(("n_nationkey", "nat_key"),),
+        broadcast_input=False,  # iterate customers, broadcast 25 nations
+    )
+    return spatial_join(cust, nations, plan).select("c_custkey", "nat_key")
+
+
+@_register("j3_contains_nation", _PT_IN_RECT_ORACLE)
+def j3_contains_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 contains — the J2 relation from the flipped direction (external
+    iterated): nation rect CONTAINS customer point; same pair set."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    nations = nations_rect(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="contains",
+        external_side=_WKT,
+        input_side=_POINT,
+        data_columns=(("n_nationkey", "nat_key"),),
+        broadcast_input=True,  # iterate nations, broadcast customer points
+    )
+    return spatial_join(cust, nations, plan).select("c_custkey", "nat_key")
+
+
+@_register(
+    "j4_intersects_rects",
+    f"""
+WITH {_SUPP_RECT_CTE},
+{_NATION_RECT_CTE}
+SELECT sr.s_suppkey, n.n_nationkey AS nat_key
+FROM sr JOIN n
+  ON sr.x0 <= n.x1 AND sr.x1 >= n.x0 AND sr.y0 <= n.y1 AND sr.y1 >= n.y0
+""",
+)
+def j4_intersects_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 intersects: supplier service rectangles × nation rectangles."""
+    supp = suppliers_rect(spark, sf_dir).select("s_suppkey", "wkt")
+    nations = nations_rect(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="intersects",
+        external_side=_WKT,
+        input_side=_WKT,
+        data_columns=(("n_nationkey", "nat_key"),),
+        broadcast_input=False,
+    )
+    return spatial_join(supp, nations, plan).select("s_suppkey", "nat_key")
+
+
+@_register(
+    "j5_overlaps_rects",
+    f"""
+WITH {_SUPP_RECT_CTE},
+{_NATION_RECT_CTE}
+SELECT sr.s_suppkey, n.n_nationkey AS nat_key
+FROM sr JOIN n
+  ON sr.x0 <= n.x1 AND sr.x1 >= n.x0 AND sr.y0 <= n.y1 AND sr.y1 >= n.y0
+ AND NOT (sr.x0 >= n.x0 AND sr.x1 <= n.x1 AND sr.y0 >= n.y0 AND sr.y1 <= n.y1)
+ AND NOT (n.x0 >= sr.x0 AND n.x1 <= sr.x1 AND n.y0 >= sr.y0 AND n.y1 <= sr.y1)
+""",
+)
+def j5_overlaps_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 overlaps: interiors intersect but neither side contains the other
+    (rect offsets guarantee no boundary-degenerate cases — tables.py)."""
+    supp = suppliers_rect(spark, sf_dir).select("s_suppkey", "wkt")
+    nations = nations_rect(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="overlaps",
+        external_side=_WKT,
+        input_side=_WKT,
+        data_columns=(("n_nationkey", "nat_key"),),
+        broadcast_input=False,
+    )
+    return spatial_join(supp, nations, plan).select("s_suppkey", "nat_key")
+
+
+@_register(
+    "j8_theta_condition",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d
+      FROM c CROSS JOIN s
+      WHERE c.c_nationkey != s.s_nationkey)
+SELECT c_custkey, s_suppkey AS supp_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM p WHERE CAST(round(d) AS INTEGER) <= 500000
+""",
+)
+def j8_theta_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 extra theta condition pushed into the candidate join: 500 km
+    distance join excluding same-nation pairs (generalized SQL form of
+    BroadcastSpatialJoin.scala:493-535)."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "c_nationkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="withindist 500000",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        condition="right.c_nationkey != left.s_nationkey",
+        broadcast_input=False,
+        distance_kernel="haversine",
+    )
+    return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")
+
+
+@_register(
+    "j9_nearest_customer_per_supplier",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT s.s_suppkey, c.c_custkey, {_HAV} AS d FROM c CROSS JOIN s),
+r AS (SELECT *, row_number() OVER (PARTITION BY s_suppkey ORDER BY d, c_custkey) AS rn
+      FROM p)
+SELECT s_suppkey AS supp_key, c_custkey AS cust_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM r WHERE rn = 1
+""",
+)
+def j9_nearest_customer_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 direction swap: iterate the external (suppliers), broadcast the
+    input (customers) — one row per supplier (reference cardinality
+    semantics, README.md:170-186)."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        broadcast_input=True,
+        distance_kernel="haversine",
+        tie_break=("c_custkey",),
+    )
+    return (
+        spatial_join(cust, supp, plan)
+        .select("supp_key", F.col("c_custkey").alias("cust_key"), "dist_m")
+    )
+
+
+@_register(
+    "f1_filtered_nearest",
+    f"""
+WITH {_GEO_CTE},
+sf AS (SELECT * FROM s WHERE s_acctbal > 1000.0),
+p AS (SELECT c.c_custkey, s.s_suppkey, s.s_name, {_HAV} AS d
+      FROM c CROSS JOIN sf s),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
+      FROM p)
+SELECT c_custkey, s_suppkey AS supp_key, s_name AS supp_name,
+       CAST(round(d) AS INTEGER) AS dist_m
+FROM r WHERE rn = 1
+""",
+)
+def f1_filtered_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 catalog source + F1 pre-join filter + P1/P2 projection/aliasing +
+    P3 distance, driven through the ML Transformer surface."""
+    from spark_ml_spatialjointransformer_spark.transformer import BroadcastSpatialJoin
+
+    suppliers_geo(spark, sf_dir).createOrReplaceTempView("sjt_suppliers_geo")
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    t = BroadcastSpatialJoin(
+        dataset="sjt_suppliers_geo",
+        dataColumns="s_suppkey as supp_key, s_name as supp_name",
+        datasetPoint="lon, lat",
+        inputPoint="lon, lat",
+        predicate="nearest",
+        broadcast="dataset",
+        filter="s_acctbal > 1000.0",
+        distanceColumnAlias="dist_m",
+        distanceKernel="haversine",
+        tieBreak="s_suppkey",
+    )
+    return t.transform(cust).select("c_custkey", "supp_key", "supp_name", "dist_m")
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table) — identical-SQL-on-both-engines pattern
+# ---------------------------------------------------------------------------
+
+def _sql_query(tables: tuple[str, ...], sql: str):
+    """Run the exact oracle SQL on Spark by registering the parquet tables
+    as same-named temp views — one SQL text, two engines."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in tables:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return fn
+
+
+_T1_SQL = """
+SELECT doc_id,
+       CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS INTEGER)
+         AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_measured
+FROM documents
+"""
+QUERIES["t1_token_count"] = QueryDef(_sql_query(("documents",), _T1_SQL), _T1_SQL)
+
+
+_T3_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS ntok,
+         (length(text) - length(replace(text, ' the ', ''))) / 5 AS n_the
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_chars_measured,
+       CAST(ntok AS INTEGER) AS n_tokens,
+       CAST(round((n * 1.0 / ntok) * 1000000) AS BIGINT) AS avg_tok_len_e6,
+       CAST(round((n_the * 1.0 / ntok) * 1000000) AS BIGINT) AS stop_ratio_e6
+FROM b
+"""
+QUERIES["t3_quality_score"] = QueryDef(_sql_query(("documents",), _T3_SQL), _T3_SQL)
+
+
+def _lang_score(word: str) -> str:
+    w = f" {word} "
+    return f"(length(text) - length(replace(text, '{w}', ''))) / {len(w)}"
+
+
+_T4_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_lang_score('the')} AS s_en,
+         {_lang_score('el')} AS s_es,
+         {_lang_score('der')} AS s_de,
+         {_lang_score('le')} AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang,
+       CAST(s_en AS INTEGER) AS score_en
+FROM s
+"""
+QUERIES["t4_lang_id"] = QueryDef(_sql_query(("documents",), _T4_SQL), _T4_SQL)
+
+
+# exact/near-exact dedup via token-multiset fingerprint: same logic, per-
+# engine array function names
+_T2_SPARK_SQL = """
+WITH f AS (
+  SELECT doc_id, md5(array_join(sort_array(split(text, ' ')), ' ')) AS fp
+  FROM documents
+)
+SELECT doc_id, fp,
+       min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+       doc_id != min(doc_id) OVER (PARTITION BY fp) AS is_dup
+FROM f
+"""
+_T2_DUCKDB_SQL = """
+WITH f AS (
+  SELECT doc_id, md5(array_to_string(list_sort(str_split(text, ' ')), ' ')) AS fp
+  FROM documents
+)
+SELECT doc_id, fp,
+       min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+       doc_id != min(doc_id) OVER (PARTITION BY fp) AS is_dup
+FROM f
+"""
+QUERIES["t2_dedup_exact"] = QueryDef(
+    _sql_query(("documents",), _T2_SPARK_SQL), _T2_DUCKDB_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# vector similarity (embeddings table)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "v1_cosine_topk",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM e),
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM u GROUP BY vec_id),
+q AS (SELECT vec_id AS q_vec_id, v, i FROM u WHERE vec_id % 500 = 0),
+d AS (SELECT q.q_vec_id, u.vec_id, sum(u.v * q.v) AS dot
+      FROM u JOIN q ON u.i = q.i GROUP BY q.q_vec_id, u.vec_id),
+c AS (SELECT d.q_vec_id, d.vec_id,
+             d.dot / sqrt(nq.nn * nv.nn) AS sim
+      FROM d
+      JOIN nrm nq ON nq.vec_id = d.q_vec_id
+      JOIN nrm nv ON nv.vec_id = d.vec_id
+      WHERE d.vec_id != d.q_vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, vec_id) AS rn
+      FROM c)
+SELECT q_vec_id, vec_id AS neighbor_id, CAST(round(sim * 1000000) AS BIGINT) AS cos_e6
+FROM r WHERE rn <= 10
+""",
+)
+def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector (every 500th vec_id) —
+    the exact-ANN baseline.  Dot products stay JVM-side (zip_with +
+    aggregate over array<double>); the query side is broadcast."""
+    from pyspark.sql.window import Window
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    norms = emb.select("vec_id", dot(F.col("emb"), F.col("emb")).alias("nn"))
+    embn = emb.join(norms, "vec_id")
+    q = (
+        embn.filter(F.col("vec_id") % 500 == 0)
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nn").alias("qnn"),
+        )
+    )
+    sims = (
+        embn.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "vec_id",
+            (dot(F.col("emb"), F.col("qemb")) / F.sqrt(F.col("qnn") * F.col("nn"))).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("sim") * 1000000).cast("bigint").alias("cos_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation (batch shape of the streaming operator)
+# ---------------------------------------------------------------------------
+
+_E1_ORACLE = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+       event_type,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_register("e1_hourly_agg", _E1_ORACLE)
+def e1_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the events table — the batch
+    twin of streaming/windowed.py's readStream version (same plan shape)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value_e4",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational aggregation (the `filter` param reaches the full Spark SQL
+# surface — demonstrate the classic shape; identical SQL both engines)
+# ---------------------------------------------------------------------------
+
+_A1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_e2,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS sum_disc_price_e2,
+       CAST(round(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty_e4,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+QUERIES["a1_pricing_summary"] = QueryDef(_sql_query(("lineitem",), _A1_SQL), _A1_SQL)
