@@ -439,8 +439,90 @@ QUERIES["t2_dedup_exact"] = QueryDef(
 
 
 # ---------------------------------------------------------------------------
+# dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "t5_ngram_jaccard",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t,
+         generate_subscripts(str_split(lower(text), ' '), 1) AS i
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT id_a, id_b,
+       CAST(round(inter * 1000000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_e6
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(round(inter * 1000000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) >= 200000
+""",
+)
+def t5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-trigram Jaccard near-dup pairs ≥ 0.2 — the exact verifier
+    of the MinHash estimates (pure integer arithmetic: fully deterministic
+    cross-engine)."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2)
+
+
+@_register("t6_minhash_lsh_pairs", None)  # crc32+LSH not DuckDB-expressible:
+def t6_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs (rows-only driver check; the
+    signature math is bit-verified against a pure-Python oracle in
+    tests/test_dedup.py)."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", k=64, bands=16, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+@_register("t7_simhash_pairs", None)  # crc32 not DuckDB-expressible
+def t7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3 (rows-only driver check;
+    bit-verified vs Python oracle in tests/test_dedup.py)."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # vector similarity (embeddings table)
 # ---------------------------------------------------------------------------
+
+@_register("v2_lsh_neardup", None)  # SRP-LSH planes not DuckDB-expressible
+def v2_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via sign-random-projection LSH +
+    exact cosine refine ≥ 0.3 (rows-only; verified vs numpy in
+    tests/test_dedup.py).  The scale path for v1's brute force."""
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=dim, threshold=0.3, n_planes=6
+    ).orderBy("id_a", "id_b")
 
 @_register(
     "v1_cosine_topk",

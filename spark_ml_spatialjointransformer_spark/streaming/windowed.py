@@ -1,0 +1,148 @@
+"""Structured Streaming operators over the events stream.
+
+The batch twins of these plans live in queries.py (e1); here the same
+logical shapes run as ``readStream`` plans with watermarks and state:
+
+- `hourly_event_counts_stream` — tumbling-window aggregation with a
+  watermark for late data;
+- `sessionized_counts_stream` — custom stateful operator via
+  ``applyInPandasWithState`` (running per-user aggregates);
+- `run_to_memory` — drives any of them to completion against the static
+  parquet (the local stand-in for kafka) and returns the result.
+
+At scale these run against a real source (kafka/kinesis) with checkpointed
+state in the cluster's DFS; the plan shapes are identical.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from spark_ml_spatialjointransformer_spark.functions._serde import (
+    ensure_udf_portability,
+)
+
+# events parquet carries TIMESTAMP(NANOS): declare ts as long and convert
+# (same convention as sources.tables.load_events)
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _as_stream_dir(path: str) -> str:
+    """The streaming file source requires a directory; wrap a single parquet
+    file in a stable symlink directory (read-only testdata can't be moved)."""
+    import hashlib
+    import os
+
+    if os.path.isdir(path):
+        return path
+    d = f"/tmp/sjt_stream_{hashlib.md5(path.encode()).hexdigest()[:12]}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (kafka stand-in)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_as_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window counts/sums per event_type with a 30-minute
+    watermark (late rows beyond it are dropped; state is bounded)."""
+    return (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value_e4",
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = "n LONG, total DOUBLE"
+_SESSION_OUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+
+def _update_user_state(
+    key: Tuple[int],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful kernel: running (count, sum) per user across triggers."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def sessionized_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event count and value sum, emitted in update mode on every trigger.
+
+    The state store shards by user_id — the standard scale pattern for
+    billions of keys (RocksDB-backed state at cluster scale)."""
+    ensure_udf_portability()
+    return (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DataFrame over all currently-available input and
+    return the materialized result (memory sink)."""
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,116 @@
+"""Multimodal plumbing + Structured Streaming operators on real testdata."""
+
+import zlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_ml_spatialjointransformer_spark.operators import multimodal
+from spark_ml_spatialjointransformer_spark.sources.tables import load_events, load_table
+from spark_ml_spatialjointransformer_spark.streaming import windowed
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def binary_docs(spark):
+    """Documents' text bytes standing in for image/audio payloads."""
+    return (
+        load_table(spark, SF, "documents")
+        .limit(50)
+        .select("doc_id", F.encode("text", "utf-8").alias("content"))
+    )
+
+
+class TestMultimodal:
+    def test_media_meta_jvm_side(self, spark, binary_docs):
+        out = multimodal.with_media_meta(binary_docs, "content", "text/plain")
+        row = out.orderBy("doc_id").first()
+        got_fields = [
+            (f.name, f.dataType) for f in out.schema["content_meta"].dataType.fields
+        ]
+        assert got_fields == [
+            (f.name, f.dataType) for f in multimodal.MEDIA_META_SCHEMA.fields
+        ]
+        assert row.content_meta.mime == "text/plain"
+        assert row.content_meta.n_bytes == len(bytes(row.content))
+        assert row.content_meta.checksum == zlib.crc32(bytes(row.content))
+
+    def test_extract_features_deterministic(self, spark, binary_docs):
+        out = multimodal.extract_features(binary_docs, "content", dim=8)
+        rows = {r.doc_id: list(r.features) for r in out.collect()}
+        assert all(len(v) == 8 for v in rows.values())
+        # deterministic: re-running yields identical vectors
+        rows2 = {
+            r.doc_id: list(r.features)
+            for r in multimodal.extract_features(binary_docs, "content", dim=8).collect()
+        }
+        assert rows == rows2
+        # matches the python kernel directly
+        pdf = binary_docs.orderBy("doc_id").limit(3).collect()
+        for r in pdf:
+            expected = multimodal._fake_feature(bytes(r.content), 8)
+            assert rows[r.doc_id] == pytest.approx(list(expected))
+
+    def test_sample_frames_explodes_rows(self, spark, binary_docs):
+        out = multimodal.sample_frames(
+            binary_docs, "content", frame_bytes=64, stride=2, id_cols=("doc_id",)
+        )
+        pdf = out.toPandas()
+        assert set(pdf.columns) == {"doc_id", "frame_idx", "frame"}
+        assert len(pdf) > 50  # one-to-many explosion happened
+        multi = pdf.groupby("doc_id").size()
+        doc = multi[multi >= 2].index[0]  # a doc long enough to have 2+ kept frames
+        one = pdf[pdf.doc_id == doc].sort_values("frame_idx")
+        assert list(one.frame_idx)[:2] == [0, 2]  # stride respected
+        assert all(len(f) <= 64 for f in one.frame)
+
+    def test_resize_raises_clear_stub_error(self, spark, binary_docs):
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            multimodal.resize_images(binary_docs, "content", 64, 64)
+
+
+class TestStreaming:
+    def test_hourly_stream_matches_batch(self, spark):
+        stream_out = windowed.run_to_memory(
+            windowed.hourly_event_counts_stream(spark, f"{SF}/events.parquet"),
+            "t_hourly",
+            output_mode="complete",
+        ).collect()
+        got = {(r.hour_ts, r.event_type): (r.n_events, r.sum_value_e4) for r in stream_out}
+
+        ev = load_events(spark, SF)
+        batch = (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value") * 10000).cast("bigint").alias("s"),
+            )
+            .select(F.unix_timestamp("w.start").alias("h"), "event_type", "n", "s")
+            .collect()
+        )
+        expected = {(r.h, r.event_type): (r.n, r.s) for r in batch}
+        assert got == expected
+        assert len(got) > 100
+
+    def test_stateful_user_counts_match_batch(self, spark):
+        stream_out = windowed.run_to_memory(
+            windowed.sessionized_counts_stream(spark, f"{SF}/events.parquet"),
+            "t_state",
+            output_mode="update",
+        ).collect()
+        # update mode: keep the final emission per user (max n_events)
+        got = {}
+        for r in stream_out:
+            if r.user_id not in got or r.n_events > got[r.user_id][0]:
+                got[r.user_id] = (r.n_events, round(r.total_value, 6))
+
+        batch = (
+            load_events(spark, SF)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+            .collect()
+        )
+        expected = {r.user_id: (r.n, round(r.t, 6)) for r in batch}
+        assert got == expected
