@@ -87,6 +87,30 @@ def minhash_signature_col(text: Column, k: int = 64, n: int = 3) -> Column:
     )
 
 
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 64, n: int = 3
+) -> DataFrame:
+    """(__id, __sig) per document — same values as ``minhash_signature_col``
+    but computed as explode → 64 codegen'd min-aggregates, so the shingle
+    pipeline runs ONCE per document instead of once per permutation (the
+    per-column HOF formulation evaluates interpreted and ~60× slower).
+    Partial (map-side) aggregation reduces each doc to k longs before the
+    shuffle; docs with no shingles disappear (they can never join)."""
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle_hashes_col(F.col(text_col), n)).alias("__h"),
+    )
+    aggs = [
+        F.min((F.col("__h") * a + b) % MINHASH_PRIME).alias(f"__m{j}")
+        for j, (a, b) in enumerate(minhash_coefficients(k))
+    ]
+    return (
+        exploded.groupBy("__id")
+        .agg(*aggs)
+        .select("__id", F.array(*[f"__m{j}" for j in range(k)]).alias("__sig"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -98,16 +122,18 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
-    Scale path: signatures are computed scan-side; only (band, band_key)
-    pairs shuffle (bands × one 64-bit key per doc — bytes per document, not
-    the text).  The bucket equi-join is a plain shuffled hash join, skew-
-    safe under AQE.  Output: (id_a, id_b, est_jaccard_e6) with the
-    signature-agreement estimate ≥ threshold.
+    Scale path (mirrors MLlib MinHashLSH.approxSimilarityJoin): the bucket
+    join shuffles (id, sig, band, key) — k longs per doc per band, never the
+    text — and the agreement estimate is computed from the carried
+    signatures, so the expensive scan+shingle+sign pipeline runs exactly
+    twice (once per join side), with no post-hoc signature lookups.  The
+    estimate filter runs BEFORE the pair dedup, so the dedup shuffle only
+    carries surviving (id_a, id_b, est) triples.  The bucket equi-join is a
+    plain shuffled hash join, skew-safe under AQE.  Output: (id_a, id_b,
+    est_jaccard_e6) with the signature-agreement estimate ≥ threshold.
     """
     rows = k // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"), minhash_signature_col(F.col(text_col), k, n).alias("__sig")
-    ).where(F.size("__sig") > 0)
+    sig = minhash_signatures(df, id_col, text_col, k, n)
 
     band_structs = F.array(
         *[
@@ -124,28 +150,25 @@ def minhash_lsh_pairs(
         "__id", "__sig", "b.band", "b.key"
     )
 
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("a.__sig"), F.col("b.__sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = agree / F.lit(float(k))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    return (
         a.join(b, on=["band", "key"])
         .where(F.col("a.__id") < F.col("b.__id"))
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__sig").alias("sig_a"),
-            F.col("b.__sig").alias("sig_b"),
+            F.round(est * 1_000_000).cast("bigint").alias("est_jaccard_e6"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    agree = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    est = agree / F.lit(float(k))
-    return (
-        cand.withColumn("est_jaccard_e6", F.round(est * 1_000_000).cast("bigint"))
         .where(F.col("est_jaccard_e6") >= int(threshold * 1_000_000))
-        .select("id_a", "id_b", "est_jaccard_e6")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -180,6 +203,34 @@ def simhash_col(text: Column) -> Column:
     return out
 
 
+def simhash_values(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id, __sh) per document — same values as ``simhash_col`` but via
+    explode → 32 codegen'd sum-aggregates (one pass over token hashes
+    instead of one interpreted array scan per bit)."""
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(tokens_col(F.col(text_col)), lambda t: F.crc32(F.encode(t, "utf-8")))
+            )
+        ).alias("__h"),
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bits = [
+        F.when(F.col(f"__b{i}") * 2 >= F.col("__n"), F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for i in range(SIMHASH_BITS)
+    ]
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return exploded.groupBy("__id").agg(*aggs).select("__id", out.alias("__sh"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -190,7 +241,7 @@ def simhash_pairs(
     Output: (id_a, id_b, hamming)."""
     n_bands = 4
     width = SIMHASH_BITS // n_bands
-    sig = df.select(F.col(id_col).alias("__id"), simhash_col(F.col(text_col)).alias("__sh"))
+    sig = simhash_values(df, id_col, text_col)
     banded = sig.select(
         "__id",
         "__sh",
