@@ -46,8 +46,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM JIT + Arrow + python worker pool
-    run(QUERIES["j7_nearest_supplier"].fn(spark, WARMUP_SF_DIR))
+    # warmup: one full pass at sf0.001 — spawns the python worker pool,
+    # compiles every query's generated code (the 64-aggregate minhash
+    # stage alone costs seconds of janino time on first run), and JITs the
+    # hot paths, so the timed pass measures steady-state query execution
+    for qd in QUERIES.values():
+        run(qd.fn(spark, WARMUP_SF_DIR))
 
     timings: dict[str, float] = {}
     for name, qd in QUERIES.items():

@@ -7,7 +7,7 @@ small derived keys (LSH band buckets), never on document text:
   queries.py t2);
 - MinHash + LSH: shingle → k minhashes → banded bucket join → candidate
   pairs with estimated Jaccard;
-- SimHash: 32-bit sign-random-projection over token hashes → banded bucket
+- SimHash: 60-bit sign-random-projection over token hashes → banded bucket
   join → Hamming-distance refine;
 - exact n-gram Jaccard: distinct-shingle explode + equi-join + group count
   (the exact verifier for the MinHash estimates; SQL-expressible, so it
@@ -20,6 +20,8 @@ reproduce signatures bit-for-bit with zlib.crc32.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -66,6 +68,36 @@ def shingle_hashes_col(text: Column, n: int = 3) -> Column:
     )
 
 
+def shingles_udf(n: int = 3):
+    """Arrow pandas_udf: text → array of DISTINCT token n-grams.
+
+    Semantically identical to ``shingles_col`` (``lower().split(' ')``,
+    n-grams joined by a space, distinct, empty for docs with < n tokens) but
+    ~50× faster: the column-expression version is an interpreted
+    higher-order-function chain (sequence → transform → slice → concat_ws,
+    ~1.5 ms/doc), while Python's split/set runs in microseconds and ships
+    per batch over Arrow.  Used by every shingle consumer; the column
+    version remains as the pure-JVM spec/reference."""
+
+    @F.pandas_udf("array<string>")
+    def _shingles(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if not isinstance(t, str):
+                out.append([])
+                continue
+            toks = t.lower().split(" ")
+            if len(toks) < n:
+                out.append([])
+            else:
+                out.append(
+                    list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+                )
+        return pd.Series(out)
+
+    return _shingles
+
+
 def minhash_signature_col(text: Column, k: int = 64, n: int = 3) -> Column:
     """Array of k minhash values: ``min_h((a_j * crc32(shingle) + b_j) % P)``.
 
@@ -87,6 +119,17 @@ def minhash_signature_col(text: Column, k: int = 64, n: int = 3) -> Column:
     )
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Small-file parallelism guard (mirrors spatial_join's): a tiny local
+    parquet collapses to 1-2 input splits, serializing the shingle UDF and
+    explode on one core.  At cluster scale the scan already has >=
+    defaultParallelism splits and this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 64, n: int = 3
 ) -> DataFrame:
@@ -96,10 +139,10 @@ def minhash_signatures(
     per-column HOF formulation evaluates interpreted and ~60× slower).
     Partial (map-side) aggregation reduces each doc to k longs before the
     shuffle; docs with no shingles disappear (they can never join)."""
-    exploded = df.select(
+    exploded = _parallelize(df).select(
         F.col(id_col).alias("__id"),
-        F.explode(shingle_hashes_col(F.col(text_col), n)).alias("__h"),
-    )
+        F.explode(shingles_udf(n)(F.col(text_col))).alias("__s"),
+    ).select("__id", F.crc32(F.encode("__s", "utf-8")).alias("__h"))
     aggs = [
         F.min((F.col("__h") * a + b) % MINHASH_PRIME).alias(f"__m{j}")
         for j, (a, b) in enumerate(minhash_coefficients(k))
@@ -176,15 +219,26 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
+#: salt for the upper 28 bits of the 60-bit token hash
+_SIMHASH_SALT = "#"
+_SIMHASH_HI_MASK = (1 << 28) - 1
+
+
+def _token_hash60(t: Column) -> Column:
+    """60-bit token hash: crc32(t) in the low 32 bits, the low 28 bits of
+    crc32(t + salt) above them.  60 (not 64) keeps every shift/sum result
+    clear of the BIGINT sign bit.  32 bits is too coarse for near-dup
+    detection at scale — template-heavy corpora collapse onto few values."""
+    lo = F.crc32(F.encode(t, "utf-8"))
+    hi = F.crc32(F.encode(F.concat(t, F.lit(_SIMHASH_SALT)), "utf-8"))
+    return lo.bitwiseOR(F.shiftleft(hi.bitwiseAND(F.lit(_SIMHASH_HI_MASK)), 32))
 
 
 def simhash_col(text: Column) -> Column:
-    """32-bit SimHash over distinct-token crc32 hashes: bit i is set when at
+    """60-bit SimHash over distinct-token hashes: bit i is set when at
     least half the token hashes have bit i set (majority sign of ±1 sums)."""
-    hashes = F.array_distinct(
-        F.transform(tokens_col(text), lambda t: F.crc32(F.encode(t, "utf-8")))
-    )
+    hashes = F.array_distinct(F.transform(tokens_col(text), _token_hash60))
     total = F.size(hashes)
 
     def _bit_set(i: int):
@@ -207,11 +261,14 @@ def simhash_values(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(__id, __sh) per document — same values as ``simhash_col`` but via
     explode → 32 codegen'd sum-aggregates (one pass over token hashes
     instead of one interpreted array scan per bit)."""
-    exploded = df.select(
+    # distinct applies to the HASH set (crc32 collisions merge), matching
+    # simhash_col and the python oracle; the transform runs over the small
+    # already-distinct token array, not the raw text pipeline
+    exploded = _parallelize(df).select(
         F.col(id_col).alias("__id"),
         F.explode(
             F.array_distinct(
-                F.transform(tokens_col(F.col(text_col)), lambda t: F.crc32(F.encode(t, "utf-8")))
+                F.transform(shingles_udf(1)(F.col(text_col)), _token_hash60)
             )
         ).alias("__h"),
     )
@@ -236,7 +293,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation via 4 byte-bands (pigeonhole: distance ≤ 3 ⇒ at
+    Candidate generation via 4 15-bit bands (pigeonhole: distance ≤ 3 ⇒ at
     least one of 4 bands is equal), exact refine via bit_count(xor).
     Output: (id_a, id_b, hamming)."""
     n_bands = 4
@@ -250,9 +307,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        ((F.col("__sh") / (1 << (i * width))).cast("bigint") % (1 << width)).alias(
-                            "key"
-                        ),
+                        # shiftright, NOT division: double division loses
+                        # exactness above 2^53 and would corrupt band keys
+                        (F.shiftright("__sh", i * width) % (1 << width)).alias("key"),
                     )
                     for i in range(n_bands)
                 ]
@@ -284,27 +341,34 @@ def ngram_jaccard_pairs(
     """Exact distinct-n-gram Jaccard for every pair sharing ≥ 1 shingle.
 
     explode → equi-join on the shingle → per-pair intersection count; union
-    by inclusion-exclusion.  Shuffles on shingle strings — the candidate
-    generator LSH variants exist precisely to avoid this at 100TB, but as
-    the exact verifier it is the ground truth (and the DuckDB oracle)."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), F.explode(shingles_col(F.col(text_col), n)).alias("s")
+    by inclusion-exclusion.  The per-doc distinct-shingle count rides along
+    the exploded rows (it is known BEFORE the explode), so no separate
+    sizes aggregation or lookup joins exist — one self-join, one groupBy.
+    Shuffles on shingle strings — the candidate-generator LSH variants
+    exist precisely to avoid this at 100TB, but as the exact verifier it is
+    the ground truth (and the DuckDB oracle)."""
+    sh = (
+        _parallelize(df).select(
+            F.col(id_col).alias("__id"), shingles_udf(n)(F.col(text_col)).alias("__sh")
+        )
+        .where(F.size("__sh") > 0)
+        .select("__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("s"))
     )
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "s")
         .where(F.col("a.__id") < F.col("b.__id"))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sz").alias("sza"),
+            F.col("b.__sz").alias("szb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sza = sizes.select(F.col("__id").alias("id_a"), F.col("sz").alias("sza"))
-    szb = sizes.select(F.col("__id").alias("id_b"), F.col("sz").alias("szb"))
     jacc = F.col("inter") * 1_000_000.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
     return (
-        inter.join(sza, "id_a")
-        .join(szb, "id_b")
-        .withColumn("jaccard_e6", F.round(jacc).cast("bigint"))
+        inter.withColumn("jaccard_e6", F.round(jacc).cast("bigint"))
         .where(F.col("jaccard_e6") >= int(threshold * 1_000_000))
         .select("id_a", "id_b", "jaccard_e6")
     )

@@ -35,8 +35,12 @@ def py_minhash(text: str, k: int = 64, n: int = 3) -> list[int]:
     ]
 
 
+def py_token_hash60(t: str) -> int:
+    return zlib.crc32(t.encode()) | ((zlib.crc32((t + "#").encode()) & ((1 << 28) - 1)) << 32)
+
+
 def py_simhash(text: str) -> int:
-    hashes = {zlib.crc32(t.encode()) for t in text.lower().split(" ")}
+    hashes = {py_token_hash60(t) for t in text.lower().split(" ")}
     out = 0
     for i in range(dedup.SIMHASH_BITS):
         cnt = sum(1 for h in hashes if (h >> i) & 1)
