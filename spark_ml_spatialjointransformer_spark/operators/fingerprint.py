@@ -1,0 +1,107 @@
+"""Document fingerprinting: winnowing over rolling k-gram hashes.
+
+The standard content-fingerprint scheme (Schleimer/Wilkerson/Aiken
+"winnowing", SIGMOD'03, as used by MOSS): hash every positional token
+k-gram, slide a window of ``w`` consecutive hashes over the sequence, keep
+the minimum of each window, emit the distinct kept hashes per document.
+Near-identical documents share most fingerprints; lookup/anti-join against
+a fingerprint index is the streaming-ingest dedup primitive.
+
+Hash = md5 (hex string) — available and byte-identical in both Spark and
+DuckDB, so the whole operator is SQL-expressible and carries a full DuckDB
+oracle (unlike the crc32-keyed MinHash/SimHash family).  Min-of-window
+compares hex strings lexicographically — identical ordering in both
+engines (lowercase hex, ASCII).
+
+Scale shape: the only shuffle is the per-document window sort (partition by
+doc_id), on rows of (doc_id, pos, 32-byte hash) — independent of text size;
+the k-gram extraction is the same Arrow pandas_udf pattern as
+operators.dedup.shingles_udf.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_ml_spatialjointransformer_spark.operators.dedup import _parallelize
+
+
+def kgrams_udf(k: int = 3):
+    """Arrow pandas_udf: text → POSITIONAL (non-distinct) lowercased token
+    k-grams; [] for docs with < k tokens.  Element i is the k-gram starting
+    at token i — order matters for winnowing, unlike dedup.shingles_udf."""
+
+    @F.pandas_udf("array<string>")
+    def _kgrams(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if not isinstance(t, str):
+                out.append([])
+                continue
+            toks = t.lower().split(" ")
+            out.append(
+                [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            )
+        return pd.Series(out)
+
+    return _kgrams
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Distinct winnowed fingerprints per document: (doc_id, fp).
+
+    Only complete windows contribute (documents with fewer than k+w-1
+    tokens yield no fingerprints) — the guarantee is that any shared
+    substring of at least k+w-1 tokens produces at least one shared
+    fingerprint."""
+    base = (
+        _parallelize(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            kgrams_udf(k)(F.col(text_col)).alias("__kg"),
+        )
+        .where(F.size("__kg") >= w)
+        .select(
+            "doc_id",
+            F.size("__kg").alias("__n"),
+            F.posexplode("__kg").alias("pos", "__s"),
+        )
+        .select("doc_id", "__n", "pos", F.md5("__s").alias("__h"))
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        base.withColumn("fp", F.min("__h").over(win))
+        # pos is 0-based: windows starting past __n - w are incomplete
+        .where(F.col("pos") <= F.col("__n") - w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def fingerprint_match_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4, min_shared: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs sharing ≥ ``min_shared`` winnowed
+    fingerprints: (id_a, id_b, n_shared).  The equi-join shuffles on the
+    32-byte fingerprint — bytes per doc, never the text."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

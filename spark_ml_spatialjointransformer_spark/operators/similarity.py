@@ -18,6 +18,8 @@ tests reproduce buckets bit-for-bit in numpy.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -96,6 +98,121 @@ def lsh_neardup_pairs(
             F.round(cos * 1_000_000).cast("bigint").alias("cos_e6"),
         )
         .where(F.col("cos_e6") >= int(threshold * 1_000_000))
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+):
+    """Driver-side k-means on a bounded deterministic sample (ordered by id)
+    — the standard IVF training recipe: the coarse quantizer is always
+    trained on a sample, never the full corpus, so the collect is O(sample),
+    not O(N).  Returns a (n_centroids, dim) numpy array of L2-normalized
+    centroids (spherical k-means: cosine assignment == max dot product)."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(emb_col).cast("array<double>").alias("e"))
+        .orderBy("i")
+        .limit(sample)
+        .collect()
+    )
+    mat = np.array([r.e for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    # deterministic init: evenly spaced sample rows
+    idx = np.linspace(0, len(mat) - 1, n_centroids).astype(int)
+    cent = mat[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def _cell_udf(cent, n_probe: int):
+    """pandas_udf: embedding → the n_probe nearest centroid ids (by cosine).
+    The centroid matrix rides inside the closure (KBs — cheaper than a
+    broadcast round-trip for the coarse quantizer)."""
+    import numpy as np
+
+    cent_T = cent.T.copy()
+
+    @F.pandas_udf("array<int>")
+    def _cells(emb: pd.Series) -> pd.Series:
+        import numpy as np  # executor-side
+
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent_T
+        if n_probe == 1:
+            return pd.Series([[int(i)] for i in np.argmax(sims, axis=1)])
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([[int(c) for c in row] for row in top])
+
+    return _cells
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    emb_col: str,
+    q_id_col: str,
+    q_emb_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by their nearest
+    centroid (inverted lists); each query probes its ``n_probe`` nearest
+    cells and ranks exactly (cosine) within them.
+
+    Scale path vs v1's brute force: the join key is the cell id, so each
+    query scans ~``n_probe/n_centroids`` of the corpus instead of all of it,
+    and the corpus-side bucketing is a one-off scan reusable across query
+    batches (persist the bucketed table).  Recall is tunable via n_probe.
+    Output (q_id, id, cos_e6)."""
+    import pandas as pd  # noqa: F401
+
+    cent = train_ivf_centroids(df, id_col, emb_col, n_centroids)
+
+    base = _normed(df, id_col, emb_col).withColumn(
+        "__cell", _cell_udf(cent, 1)(F.col("__emb")).getItem(0)
+    )
+    q = (
+        _normed(queries, q_id_col, q_emb_col)
+        .select(
+            F.col("__id").alias("__qid"),
+            F.col("__emb").alias("__qemb"),
+            F.col("__norm").alias("__qnorm"),
+        )
+        .withColumn("__cell", F.explode(_cell_udf(cent, n_probe)(F.col("__qemb"))))
+    )
+    sim = dot_col(F.col("__emb"), F.col("__qemb")) / (
+        F.col("__norm") * F.col("__qnorm")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__id"))
+    return (
+        base.join(F.broadcast(q), "__cell")
+        .where(F.col("__id") != F.col("__qid"))
+        .withColumn("__sim", sim)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("__qid").alias("q_id"),
+            F.col("__id").alias("id"),
+            F.round(F.col("__sim") * 1_000_000).cast("bigint").alias("cos_e6"),
+        )
     )
 
 

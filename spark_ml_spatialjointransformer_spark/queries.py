@@ -505,6 +505,91 @@ def t7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
 
 
+@_register(
+    "t8_winnow_fingerprints",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t,
+         generate_subscripts(str_split(lower(text), ' '), 1) AS i
+  FROM documents
+),
+kg AS (
+  SELECT a.doc_id, a.i AS pos, md5(a.t || ' ' || b.t || ' ' || c.t) AS h
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+n AS (SELECT doc_id, count(*) AS n FROM kg GROUP BY doc_id),
+wmin AS (
+  SELECT kg.doc_id, kg.pos, n.n,
+         min(h) OVER (PARTITION BY kg.doc_id ORDER BY kg.pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM kg JOIN n ON n.doc_id = kg.doc_id
+)
+SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= n - 3
+""",
+)
+def t8_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints (k=3 tokens, window w=4) — md5-keyed,
+    so fully DuckDB-oracled.  (Oracle positions are 1-based: window start
+    pos ≤ n-w+1 there, ≤ n-w in the 0-based Spark plan.)"""
+    from spark_ml_spatialjointransformer_spark.operators.fingerprint import (
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+
+
+_T9_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t,
+         generate_subscripts(str_split(lower(text), ' '), 1) AS i
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(round(inter * 1000000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) >= 600000
+),
+keep AS (SELECT id_b AS doc_id, min(id_a) AS keeper FROM pairs GROUP BY id_b)
+SELECT d.doc_id,
+       coalesce(k.keeper, d.doc_id) AS keeper,
+       coalesce(k.keeper, d.doc_id) != d.doc_id AS is_dup
+FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id
+"""
+
+
+@_register("t9_dedup_keeper", _T9_ORACLE)
+def t9_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup pipeline: exact trigram Jaccard ≥ 0.6 pairs →
+    one-hop keeper assignment (every duplicate maps to the smallest doc_id
+    it pairs with; survivors keep themselves)."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        dedup_assign_keeper,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    ids = docs.select("doc_id")
+    return dedup_assign_keeper(pairs.select("id_a", "id_b"), ids, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # vector similarity (embeddings table)
 # ---------------------------------------------------------------------------
@@ -523,6 +608,21 @@ def v2_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs(
         emb, "vec_id", "embedding", dim=dim, threshold=0.3, n_planes=6
     ).orderBy("id_a", "id_b")
+
+@_register("v3_ivf_topk", None)  # approximate (probed cells) — recall vs the
+def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (16 spherical-kmeans cells, 4 probed) for the
+    same query set as v1 — the scale path; recall vs v1's exact answer is
+    asserted in tests/test_dedup.py (rows-only driver check)."""
+    from spark_ml_spatialjointransformer_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 500 == 0)
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, n_centroids=16, n_probe=4,
+    ).orderBy("q_id", "id")
+
 
 @_register(
     "v1_cosine_topk",
@@ -624,6 +724,68 @@ def e1_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             "sum_value_e4",
+        )
+    )
+
+
+@_register("e2_hourly_agg_stream", _E1_ORACLE)
+def e2_hourly_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hourly aggregation as e1 executed as a Structured Streaming
+    plan (readStream file source → watermark → windowed agg → memory sink,
+    run to completion) — checked against the identical batch oracle, proving
+    stream/batch parity of the windowed operator."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        hourly_event_counts_stream,
+        run_to_memory,
+    )
+
+    name = "q_e2_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return run_to_memory(
+        hourly_event_counts_stream(spark, f"{sf_dir}/events.parquet"),
+        name,
+        output_mode="complete",
+    )
+
+
+_E3_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 10000) AS BIGINT) AS total_value_e4
+FROM events
+GROUP BY user_id
+"""
+
+
+@_register("e3_user_totals_stateful", _E3_ORACLE)
+def e3_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals, final state checked against the batch groupBy oracle."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        run_to_memory,
+        sessionized_counts_stream,
+    )
+
+    name = "q_e3_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = run_to_memory(
+        sessionized_counts_stream(spark, f"{sf_dir}/events.parquet"),
+        name,
+        output_mode="update",
+    )
+    # update mode re-emits a user on every trigger: keep the final emission
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("total_value") * 10000).cast("bigint").alias("total_value_e4"),
         )
     )
 
