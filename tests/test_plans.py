@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the scale properties the engine promises must
+be visible in the executed plan, not just implied by the code shape.
+
+- nearest fast path: no join operator, no hash-partition shuffle, Arrow
+  mapInPandas over the iterated side, scan pruned to the referenced columns;
+- predicate joins: broadcast (nested-loop) join — never sort-merge — with
+  the bbox prefilter as the JVM join condition;
+- withindist point-point: zero Python in the plan (haversine is JVM expr);
+- pre-join `filter` param reaches the parquet scan as a pushed filter.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_ml_spatialjointransformer_spark.queries import QUERIES
+from spark_ml_spatialjointransformer_spark.sources.tables import suppliers_geo
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_nearest_fast_path_has_no_join_no_hash_shuffle(spark):
+    plan = plan_of(QUERIES["j7_nearest_supplier"].fn(spark, SF))
+    assert "Join" not in plan  # no join operator of any kind
+    assert "hashpartitioning" not in plan  # only the round-robin repartition
+    assert "MapInPandas" in plan
+    # column pruning flows through the kNN path: the customer scan reads
+    # only the key the geo columns derive from
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan
+
+
+def test_within_uses_broadcast_nested_loop_join(spark):
+    plan = plan_of(QUERIES["j2_within_nation"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    # exact DE-9IM refine is the only Python in the plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_withindist_point_point_is_pure_jvm(spark):
+    plan = plan_of(QUERIES["j6_withindist_pairs"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for py_op in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert py_op not in plan, f"unexpected python stage {py_op}"
+
+
+def test_filter_param_pushes_to_parquet_scan(spark):
+    from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from spark_ml_spatialjointransformer_spark.plans.config import (
+        PointColumns,
+        SideConfig,
+        SpatialJoinPlan,
+    )
+    from spark_ml_spatialjointransformer_spark.sources.tables import customers_geo
+
+    cust = customers_geo(spark, SF).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, SF)
+    plan_cfg = SpatialJoinPlan(
+        predicate="withindist 300000",
+        external_side=SideConfig(point_columns=PointColumns("lon", "lat")),
+        input_side=SideConfig(point_columns=PointColumns("lon", "lat")),
+        data_columns=(("s_suppkey", "supp_key"),),
+        filter="s_acctbal > 1000.0",
+        broadcast_input=False,
+        distance_kernel="haversine",
+    )
+    plan = plan_of(spatial_join(cust, supp, plan_cfg))
+    assert "GreaterThan(s_acctbal,1000.0)" in plan  # filter reached the scan
+    assert "ReadSchema: struct<s_suppkey:bigint,s_acctbal:double>" in plan
+    # projection pruning: the supplier scan must not read s_name/s_address
+    assert "s_name" not in plan
