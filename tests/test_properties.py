@@ -1,0 +1,174 @@
+"""Property-based checks (hypothesis) from SURVEY.md §5's test plan:
+
+- ``withindist`` result == brute-force pair enumeration (prefilter is sound
+  and refine is exact) on randomized point sets, including antimeridian
+  neighbors; latitudes capped at ±60° where the reference's 1° ≈ 35 km
+  inflation constant is a guaranteed over-cover (parity keeps the constant,
+  and with it the reference's known >72°-latitude under-cover);
+- ``nearest`` cardinality == iterated-side row count, and every reported
+  distance achieves the true minimum;
+- ``within`` and ``contains`` are the same relation under direction swap;
+- param micro-parser properties (no Spark).
+
+Each Spark example costs a job, so max_examples is small; inputs are drawn
+from coarse grids to exercise boundary ties without float-noise flakiness.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_ml_spatialjointransformer_spark.functions.geodesic import haversine_np
+from spark_ml_spatialjointransformer_spark.operators.spatial_join import spatial_join
+from spark_ml_spatialjointransformer_spark.plans.config import (
+    PointColumns,
+    SideConfig,
+    SpatialJoinPlan,
+    extract_radius,
+    parse_predicate,
+)
+from spark_ml_spatialjointransformer_spark.toolbox import parse_data_columns as parse_columns
+
+_POINT = SideConfig(point_columns=PointColumns("lon", "lat"))
+
+# coarse lon/lat grid: every value is exactly representable, antimeridian
+# included via lon near ±180
+lons = st.integers(min_value=-1795, max_value=1795).map(lambda v: v / 10.0)
+lats = st.integers(min_value=-600, max_value=600).map(lambda v: v / 10.0)
+points = st.lists(st.tuples(lons, lats), min_size=1, max_size=8, unique=True)
+
+SPARK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, pts, prefix):
+    return spark.createDataFrame(
+        [(i, lon, lat) for i, (lon, lat) in enumerate(pts)],
+        f"{prefix}_id int, lon double, lat double",
+    )
+
+
+@SPARK_SETTINGS
+@given(left=points, right=points, radius_km=st.integers(min_value=50, max_value=3000))
+def test_withindist_equals_brute_force(spark, left, right, radius_km):
+    radius = radius_km * 1000
+    inp = _df(spark, left, "i")
+    ext = _df(spark, right, "e")
+    plan = SpatialJoinPlan(
+        predicate=f"withindist {radius}",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("e_id", "e_id"),),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+    )
+    got = {
+        (r.i_id, r.e_id, r.dist_m)
+        for r in spatial_join(inp, ext, plan).select("i_id", "e_id", "dist_m").collect()
+    }
+
+    il = np.array([p[0] for p in left]); ia = np.array([p[1] for p in left])
+    el = np.array([p[0] for p in right]); ea = np.array([p[1] for p in right])
+    dm = haversine_np(il[:, None], ia[:, None], el[None, :], ea[None, :])
+    dr = np.floor(dm + 0.5).astype(np.int64)
+    expected = {
+        (i, j, int(dr[i, j]))
+        for i in range(len(left))
+        for j in range(len(right))
+        if dr[i, j] <= radius
+    }
+    assert got == expected
+
+
+@SPARK_SETTINGS
+@given(left=points, right=points)
+def test_nearest_cardinality_and_optimality(spark, left, right):
+    inp = _df(spark, left, "i")
+    ext = _df(spark, right, "e")
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("e_id", "e_id"),),
+        distance_column="dist_m",
+        broadcast_input=False,  # iterate input: one row per input point
+        distance_kernel="haversine",
+        tie_break=("e_id",),
+    )
+    rows = spatial_join(inp, ext, plan).select("i_id", "e_id", "dist_m").collect()
+    assert len(rows) == len(left)  # cardinality == iterated side
+
+    il = np.array([p[0] for p in left]); ia = np.array([p[1] for p in left])
+    el = np.array([p[0] for p in right]); ea = np.array([p[1] for p in right])
+    dm = haversine_np(il[:, None], ia[:, None], el[None, :], ea[None, :])
+    dr = np.floor(dm + 0.5).astype(np.int64)
+    for r in rows:
+        assert r.dist_m == int(dr[r.i_id].min())  # achieves the true minimum
+
+
+@SPARK_SETTINGS
+@given(pts=points)
+def test_within_contains_direction_symmetry(spark, pts):
+    """point WITHIN rect (input iterated) and rect CONTAINS point (external
+    iterated) must produce the same pair set."""
+    spark_pts = _df(spark, pts, "p")
+    rects = spark.createDataFrame(
+        [
+            (0, "POLYGON ((-60 -30, 60 -30, 60 30, -60 30, -60 -30))"),
+            (1, "POLYGON ((0 0, 170 0, 170 55, 0 55, 0 0))"),
+        ],
+        "r_id int, wkt string",
+    )
+    base = dict(
+        external_side=SideConfig(wkt_column="wkt"),
+        input_side=_POINT,
+        data_columns=(("r_id", "r_id"),),
+    )
+    within = SpatialJoinPlan(predicate="within", broadcast_input=False, **base)
+    contains = SpatialJoinPlan(predicate="contains", broadcast_input=True, **base)
+    got_w = {(r.p_id, r.r_id) for r in spatial_join(spark_pts, rects, within).collect()}
+    got_c = {(r.p_id, r.r_id) for r in spatial_join(spark_pts, rects, contains).collect()}
+    assert got_w == got_c
+
+
+# ---------------------------------------------------------------------------
+# parser properties (no Spark)
+# ---------------------------------------------------------------------------
+
+names = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True)
+
+
+@given(st.lists(st.tuples(names, names), min_size=1, max_size=6))
+def test_parse_columns_roundtrip(pairs):
+    spec = ", ".join(f"{n} as {a}" for n, a in pairs)
+    assert parse_columns(spec) == [(n, a) for n, a in pairs]
+
+
+@given(names)
+def test_parse_columns_bare_name_self_alias(name):
+    assert parse_columns(name) == [(name, name)]
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+def test_extract_radius_meters(n):
+    meters, degrees = extract_radius(f"withindist {n}")
+    assert meters == float(n)
+    assert degrees == pytest.approx(n / 35000.0)
+
+
+@given(st.sampled_from(["within", "contains", "intersects", "overlaps", "withindist 5"]))
+def test_parse_predicate_identity(p):
+    assert parse_predicate(p) == p.split(" ")[0]
+
+
+@given(st.text(max_size=20))
+def test_parse_predicate_total(s):
+    """Never raises; unknown strings default to nearest (reference parity)."""
+    out = parse_predicate(s)
+    assert out in ("withindist", "within", "contains", "intersects", "overlaps", "nearest")
