@@ -411,6 +411,30 @@ FROM s
 QUERIES["t4_lang_id"] = QueryDef(_sql_query(("documents",), _T4_SQL), _T4_SQL)
 
 
+# BPE-ish regex tokenization: letter runs, digit runs, and single
+# non-space punctuation each count as one token (the pre-merge byte-level
+# segmentation shape); same regex dialect subset runs on both engines
+_T10_SQL = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')
+            ) AS INTEGER) AS n_bpe_tokens,
+       CAST(length(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_number_runs,
+       CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INTEGER) AS n_punct
+FROM documents
+"""
+_T10_SPARK_SQL = """
+SELECT doc_id,
+       CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)
+            ) AS INT) AS n_bpe_tokens,
+       CAST(size(regexp_extract_all(text, '[0-9]+', 0)) AS INT) AS n_number_runs,
+       CAST(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS INT) AS n_punct
+FROM documents
+"""
+QUERIES["t10_bpe_token_count"] = QueryDef(
+    _sql_query(("documents",), _T10_SPARK_SQL), _T10_SQL
+)
+
+
 # exact/near-exact dedup via token-multiset fingerprint: same logic, per-
 # engine array function names
 _T2_SPARK_SQL = """
@@ -608,6 +632,41 @@ def v2_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs(
         emb, "vec_id", "embedding", dim=dim, threshold=0.3, n_planes=6
     ).orderBy("id_a", "id_b")
+
+@_register("m1_media_features", None)  # mapInPandas kernel — python-oracled in tests
+def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents' bytes as stand-in binary
+    payloads → typed metadata struct (JVM) → mapInPandas feature extraction
+    (deterministic kernel — tests/test_multimodal_streaming.py verifies it
+    against the python function).  Output: scaled-int feature checksum per
+    doc, stable for the driver's rows-only check."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        extract_features,
+        with_media_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    feat = extract_features(
+        with_media_meta(docs, "content", "text/plain"), "content", dim=8
+    )
+    return feat.select(
+        "doc_id",
+        F.col("content_meta.n_bytes").alias("n_bytes"),
+        F.col("content_meta.checksum").alias("checksum"),
+        F.round(
+            F.aggregate(
+                F.col("features").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("feat_sum_e6"),
+    ).orderBy("doc_id")
+
 
 @_register("v3_ivf_topk", None)  # approximate (probed cells) — recall vs the
 def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
