@@ -419,6 +419,58 @@ def overlaps(a: Geometry, b: Geometry) -> bool:
     return False
 
 
+def _ring_masks_np(px, py, ring: Coords):
+    """Vectorized twin of ``_point_in_ring``'s two outcomes for many points:
+    (crossing-parity inside, on-boundary).  Edge loop is O(ring) with O(N)
+    vector work per edge; arithmetic mirrors the scalar version exactly
+    (same formulas, same operand order) so results are bit-identical."""
+    import numpy as np
+
+    n = len(px)
+    inside = np.zeros(n, dtype=bool)
+    onb = np.zeros(n, dtype=bool)
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        orient = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        onb |= (
+            (orient == 0.0)
+            & (px >= min(x1, x2))
+            & (px <= max(x1, x2))
+            & (py >= min(y1, y2))
+            & (py <= max(y1, y2))
+        )
+        cond = (y1 > py) != (y2 > py)
+        if y2 != y1:
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            inside ^= cond & (xint > px)
+    return inside, onb
+
+
+def point_in_polygon_np(px, py, g: Geometry):
+    """Vectorized ``point_in_polygon``: int8 array of 1 (inside), 0
+    (boundary), -1 (outside) for numpy point arrays, same part/hole
+    precedence as the scalar version."""
+    import numpy as np
+
+    n = len(px)
+    res = np.full(n, 2, dtype=np.int8)  # 2 = undecided
+    for rings in g.parts:
+        und = res == 2
+        if not und.any():
+            break
+        sh_in, sh_onb = _ring_masks_np(px, py, rings[0])
+        res[und & sh_onb] = 0
+        now = und & ~sh_onb & sh_in
+        for hole in rings[1:]:
+            if not now.any():
+                break
+            h_in, h_onb = _ring_masks_np(px, py, hole)
+            res[now & h_onb] = 0
+            now &= ~h_onb & ~h_in
+        res[now & (res == 2)] = 1
+    res[res == 2] = -1
+    return res
+
+
 PREDICATE_FUNCS = {
     "within": within,
     "contains": contains,

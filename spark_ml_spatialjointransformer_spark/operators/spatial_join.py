@@ -117,12 +117,27 @@ def _wkt_centroid_udf():
     return _centroid
 
 
-def _refine_udf(op: str):
+def _refine_udf(op: str, l_is_wkt: bool = True, r_is_wkt: bool = True):
     """Arrow pandas_udf evaluating ``op(left_geom, right_geom)`` over
     (wkt|point) encodings of both sides; unparseable/null geometry → False
-    (the pair is dropped — inner-join null semantics)."""
+    (the pair is dropped — inner-join null semantics).
+
+    Fast path: when one side is raw points and the other a polygon WKT and
+    the predicate reduces to point-in-polygon (within / contains /
+    intersects), the batch is grouped by the polygon value and evaluated as
+    a vectorized numpy ray-cast — O(edges) vector passes per distinct
+    polygon instead of a Python call per pair (the broadcast side repeats
+    heavily, so distinct polygons per batch ≪ rows)."""
 
     fn = PREDICATE_FUNCS[op]
+    # (points are on the left?) and the strictness the op implies
+    pip_dir, pip_ok = None, ()  # "l"/"r" = which side is the points side
+    if op == "within" and not l_is_wkt and r_is_wkt:
+        pip_dir, pip_ok = "l", (1,)
+    elif op == "contains" and l_is_wkt and not r_is_wkt:
+        pip_dir, pip_ok = "r", (1,)
+    elif op == "intersects" and (l_is_wkt != r_is_wkt):
+        pip_dir, pip_ok = ("r" if l_is_wkt else "l"), (0, 1)
 
     @F.pandas_udf("boolean")
     def _refine(
@@ -147,6 +162,34 @@ def _refine_udf(op: str):
             if x is None or y is None or x != x or y != y:
                 return None
             return point_geom(float(x), float(y))
+
+        n = len(l_wkt)
+        if pip_dir is not None and n:
+            from spark_ml_spatialjointransformer_spark.functions.geometry import (
+                point_in_polygon_np,
+            )
+
+            px = (l_x if pip_dir == "l" else r_x).to_numpy(dtype=np.float64)
+            py = (l_y if pip_dir == "l" else r_y).to_numpy(dtype=np.float64)
+            poly_wkt = r_wkt if pip_dir == "l" else l_wkt
+            out = np.zeros(n, dtype=bool)
+            valid = ~(np.isnan(px) | np.isnan(py))
+            for w in poly_wkt.unique():
+                g = geom(w, None, None)
+                mask = (poly_wkt == w).to_numpy() & valid
+                if g is None or not mask.any():
+                    continue
+                if g.kind == "polygon":
+                    res = point_in_polygon_np(px[mask], py[mask], g)
+                    out[mask] = np.isin(res, pip_ok)
+                else:  # point × line etc. — scalar fallback for this group
+                    idxs = np.nonzero(mask)[0]
+                    for i in idxs:
+                        p = point_geom(float(px[i]), float(py[i]))
+                        out[i] = bool(
+                            fn(p, g) if pip_dir == "l" else fn(g, p)
+                        )
+            return pd.Series(out)
 
         out = []
         for w1, x1, y1, w2, x2, y2 in zip(l_wkt, l_x, l_y, r_wkt, r_x, r_y):
@@ -367,7 +410,9 @@ def spatial_join(
         l_side = ext_side if lt == "e" else plan.input_side
         r_side = plan.input_side if rt == "i" else ext_side
         joined = joined.where(
-            _refine_udf(op)(*side_args(lt, l_side), *side_args(rt, r_side))
+            _refine_udf(op, l_side.is_wkt, r_side.is_wkt)(
+                *side_args(lt, l_side), *side_args(rt, r_side)
+            )
         )
 
     if need_dist:
