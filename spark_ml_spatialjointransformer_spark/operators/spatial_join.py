@@ -387,6 +387,34 @@ def spatial_join(
         extra = F.expr(rewrite_condition(plan.condition, EXT_PREFIX))
         cond = extra if cond is None else (cond & extra)
 
+    if op == "withindist":
+        # Binned range join: discretize latitude into radius-width bands and
+        # equi-join on the band id, so Catalyst plans a BroadcastHashJoin
+        # (O(probe) per left row) instead of a nested loop that evaluates
+        # the window predicate against every broadcast row.  The broadcast
+        # side explodes over the bands its radius-expanded interval covers
+        # (3 for points); a pair sharing several bands is kept only in the
+        # band containing max(left.y0, right.y0 - d) — the standard
+        # reference-point dedup, so no distinct is needed.  Longitude (incl.
+        # antimeridian wrap) stays in the residual bbox condition.
+        d = plan.radius_degrees
+        w = max(d, 1e-9)
+        ly0, ly1 = F.col(f"__sjt_{lt}_y0"), F.col(f"__sjt_{lt}_y1")
+        ry0, ry1 = F.col(f"__sjt_{rt}_y0"), F.col(f"__sjt_{rt}_y1")
+        left = left.withColumn(
+            "__sjt_bin_l", F.explode(F.sequence(F.floor(ly0 / w), F.floor(ly1 / w)))
+        )
+        right = right.withColumn(
+            "__sjt_bin_r",
+            F.explode(F.sequence(F.floor((ry0 - d) / w), F.floor((ry1 + d) / w))),
+        )
+        ref_bin = F.floor(F.greatest(ly0, ry0 - F.lit(d)) / F.lit(w))
+        cond = (
+            (F.col("__sjt_bin_l") == F.col("__sjt_bin_r"))
+            & (F.col("__sjt_bin_l") == ref_bin)
+            & cond
+        )
+
     joined = (
         left.crossJoin(F.broadcast(right))
         if cond is None

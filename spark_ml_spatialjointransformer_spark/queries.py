@@ -787,6 +787,54 @@ def e1_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E4_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       -- floor, not CAST: duckdb CAST(double AS BIGINT) rounds, while
+       -- spark unix_timestamp truncates the sub-second part
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+FROM s GROUP BY user_id, sid
+"""
+
+
+@_register("e4_session_windows", _E4_ORACLE)
+def e4_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) via Spark's
+    native ``session_window`` — cross-checked against the classic
+    lag + cumulative-sum SQL formulation in DuckDB (two completely
+    different sessionization algorithms must agree)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value_e4",
+        )
+    )
+
+
 @_register("e2_hourly_agg_stream", _E1_ORACLE)
 def e2_hourly_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME hourly aggregation as e1 executed as a Structured Streaming

@@ -44,7 +44,9 @@ def test_within_uses_broadcast_nested_loop_join(spark):
 
 def test_withindist_point_point_is_pure_jvm(spark):
     plan = plan_of(QUERIES["j6_withindist_pairs"].fn(spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan
+    # the latitude-band equi-key makes this a hash join, not a nested loop
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     for py_op in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
         assert py_op not in plan, f"unexpected python stage {py_op}"
