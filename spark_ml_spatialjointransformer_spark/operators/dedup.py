@@ -168,15 +168,22 @@ def minhash_lsh_pairs(
     Scale path (mirrors MLlib MinHashLSH.approxSimilarityJoin): the bucket
     join shuffles (id, sig, band, key) — k longs per doc per band, never the
     text — and the agreement estimate is computed from the carried
-    signatures, so the expensive scan+shingle+sign pipeline runs exactly
-    twice (once per join side), with no post-hoc signature lookups.  The
+    signatures, with no post-hoc signature lookups; the checkpoint below
+    makes the scan+shingle+sign pipeline run exactly ONCE.  The
     estimate filter runs BEFORE the pair dedup, so the dedup shuffle only
     carries surviving (id_a, id_b, est) triples.  The bucket equi-join is a
     plain shuffled hash join, skew-safe under AQE.  Output: (id_a, id_b,
     est_jaccard_e6) with the signature-agreement estimate ≥ threshold.
     """
     rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n)
+    # localCheckpoint: the self-join references the signature plan twice and
+    # Spark's exchange reuse does not canonicalize across the join aliases —
+    # checkpointing materializes signatures ONCE (executor memory+disk) and
+    # both sides read the materialized partitions.  Trade-off: lineage is
+    # truncated, so losing an executor means recomputing the whole operator
+    # (acceptable for a bounded dedup stage; same caveat as MLlib's
+    # approxSimilarityJoin caching recommendation).
+    sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint(eager=False)
 
     band_structs = F.array(
         *[
@@ -298,7 +305,8 @@ def simhash_pairs(
     Output: (id_a, id_b, hamming)."""
     n_bands = 4
     width = SIMHASH_BITS // n_bands
-    sig = simhash_values(df, id_col, text_col)
+    # single materialization for the self-join — see minhash_lsh_pairs
+    sig = simhash_values(df, id_col, text_col).localCheckpoint(eager=False)
     banded = sig.select(
         "__id",
         "__sh",

@@ -70,6 +70,45 @@ def _normed(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
     ).where(F.col("__norm") > 0.0)
 
 
+def _srp_bucket_udf(n_planes: int, dim: int):
+    """Vectorized twin of ``srp_bucket_col``: one numpy matmul per Arrow
+    batch instead of n_planes interpreted aggregate chains per row."""
+    import numpy as np
+
+    planes = np.array(srp_planes(n_planes, dim)).T  # dim × n_planes
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("bigint")
+    def _bucket(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        signs = (mat @ planes) > 0.0
+        return pd.Series((signs * weights).sum(axis=1))
+
+    return _bucket
+
+
+def _pair_cosine_udf():
+    """Vectorized exact cosine over candidate pairs (einsum per batch)."""
+
+    @F.pandas_udf("double")
+    def _cos(
+        ea: pd.Series, na: pd.Series, eb: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        if len(ea) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.array([np.asarray(v, dtype=np.float64) for v in ea])
+        mb = np.array([np.asarray(v, dtype=np.float64) for v in eb])
+        return pd.Series(
+            np.einsum("ij,ij->i", ma, mb) / (na.to_numpy() * nb.to_numpy())
+        )
+
+    return _cos
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -81,13 +120,19 @@ def lsh_neardup_pairs(
     """Embedding near-duplicate pairs: same SRP bucket + exact cosine ≥
     threshold.  Output (id_a, id_b, cos_e6).  Approximate: pairs split by a
     hyperplane are missed — raise recall by lowering n_planes or unioning
-    rotated bands; precision is exact (refined)."""
-    base = _normed(df, id_col, emb_col).withColumn(
-        "__bucket", srp_bucket_col(F.col("__emb"), n_planes, dim)
+    rotated bands; precision is exact (refined).
+
+    Hot paths are numpy over Arrow batches (bucket signs: one matmul per
+    batch; refine: one einsum over candidate pairs) and the bucketed base
+    is checkpointed so the self-join materializes it once."""
+    base = (
+        _normed(df, id_col, emb_col)
+        .withColumn("__bucket", _srp_bucket_udf(n_planes, dim)(F.col("__emb")))
+        .localCheckpoint(eager=False)
     )
     a, b = base.alias("a"), base.alias("b")
-    cos = dot_col(F.col("a.__emb"), F.col("b.__emb")) / (
-        F.col("a.__norm") * F.col("b.__norm")
+    cos = _pair_cosine_udf()(
+        F.col("a.__emb"), F.col("a.__norm"), F.col("b.__emb"), F.col("b.__norm")
     )
     return (
         a.join(b, "__bucket")
