@@ -51,13 +51,21 @@ def main() -> None:
     # stage alone costs seconds of janino time on first run), and JITs the
     # hot paths, so the timed pass measures steady-state query execution
     for qd in QUERIES.values():
-        run(qd.fn(spark, WARMUP_SF_DIR))
+        try:
+            run(qd.fn(spark, WARMUP_SF_DIR))
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name, qd in QUERIES.items():
         t0 = time.perf_counter()
-        run(qd.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            run(qd.fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken query must not void the record
+            failed.append(name)
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -67,6 +75,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "failed": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
