@@ -361,6 +361,9 @@ def ngram_jaccard_pairs(
         )
         .where(F.size("__sh") > 0)
         .select("__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("s"))
+        # both self-join sides read the one materialization (see
+        # minhash_lsh_pairs for the reuse rationale)
+        .localCheckpoint(eager=False)
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

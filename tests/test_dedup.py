@@ -1,6 +1,7 @@
 """Dedup + similarity operators vs independent pure-Python/numpy oracles on
 the real sf0.001 documents/embeddings tables."""
 
+import os
 import zlib
 
 import numpy as np
@@ -11,7 +12,7 @@ from pyspark.sql import functions as F
 from spark_ml_spatialjointransformer_spark.operators import dedup, similarity
 from spark_ml_spatialjointransformer_spark.sources.tables import load_table
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SJT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 # ---------------------------------------------------------------------------

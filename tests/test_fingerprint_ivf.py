@@ -2,6 +2,7 @@
 exact brute-force answer.  Real sf0.001 tables."""
 
 import hashlib
+import os
 
 import numpy as np
 import pytest
@@ -11,7 +12,7 @@ from pyspark.sql import functions as F
 from spark_ml_spatialjointransformer_spark.operators import fingerprint, similarity
 from spark_ml_spatialjointransformer_spark.sources.tables import load_table
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SJT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def py_winnow(text: str, k: int = 3, w: int = 4) -> set[str]:
