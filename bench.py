@@ -59,10 +59,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     failed: list[str] = []
     for name, qd in QUERIES.items():
-        t0 = time.perf_counter()
         try:
-            run(qd.fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(2):  # best-of-2: damp scheduler/GC noise
+                t0 = time.perf_counter()
+                run(qd.fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as e:  # one broken query must not void the record
             failed.append(name)
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
