@@ -208,17 +208,37 @@ def minhash_lsh_pairs(
         lambda acc, x: acc + x,
     )
     est = agree / F.lit(float(k))
+
+    # first-match dedup instead of dropDuplicates: a pair matching in
+    # several bands is emitted only in its LOWEST matching band (no earlier
+    # band has all rows of the signature equal), so no pair-dedup shuffle
+    # exists — the check is a codegen filter over the carried signatures
+    def _band_differs(bi: int) -> Column:
+        diffs = [
+            F.col("a.__sig")[bi * rows + j] != F.col("b.__sig")[bi * rows + j]
+            for j in range(rows)
+        ]
+        out = diffs[0]
+        for x in diffs[1:]:
+            out = out | x
+        return out
+
+    # for join band `band`: every earlier band bi < band must differ
+    first_match = F.lit(True)
+    for bi in range(bands - 1):
+        first_match = first_match & ((F.col("band") <= bi) | _band_differs(bi))
+
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on=["band", "key"])
         .where(F.col("a.__id") < F.col("b.__id"))
+        .where(first_match)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
             F.round(est * 1_000_000).cast("bigint").alias("est_jaccard_e6"),
         )
         .where(F.col("est_jaccard_e6") >= int(threshold * 1_000_000))
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -325,17 +345,28 @@ def simhash_pairs(
         ).alias("b"),
     ).select("__id", "__sh", "b.band", "b.key")
 
+    # first-match dedup (see minhash_lsh_pairs): pair emitted only in its
+    # lowest matching band — codegen filter, no pair-dedup shuffle
+    def _band_key(side: str, bi: int) -> Column:
+        return F.shiftright(F.col(f"{side}.__sh"), bi * width) % (1 << width)
+
+    first_match = F.lit(True)
+    for bi in range(n_bands - 1):
+        first_match = first_match & (
+            (F.col("band") <= bi) | (_band_key("a", bi) != _band_key("b", bi))
+        )
+
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on=["band", "key"])
         .where(F.col("a.__id") < F.col("b.__id"))
+        .where(first_match)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
             F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
