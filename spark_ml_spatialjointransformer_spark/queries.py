@@ -307,6 +307,40 @@ def j9_nearest_customer_per_supplier(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @_register(
+    "j10_nearest_other_nation",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d
+      FROM c CROSS JOIN s
+      WHERE s.s_nationkey != c.c_nationkey),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
+      FROM p)
+SELECT c_custkey, s_suppkey AS supp_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM r WHERE rn = 1
+""",
+)
+def j10_nearest_other_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7+J8 combined: nearest supplier in a DIFFERENT nation per customer.
+    The extra condition disables the zero-shuffle kNN fast path, so this
+    exercises the min-struct aggregation path (one candidate per group
+    crosses the shuffle) through the oracle gate."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "c_nationkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        condition="left.s_nationkey != right.c_nationkey",
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("s_suppkey",),
+    )
+    return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")
+
+
+@_register(
     "f1_filtered_nearest",
     f"""
 WITH {_GEO_CTE},
