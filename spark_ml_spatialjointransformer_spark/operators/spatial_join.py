@@ -344,6 +344,11 @@ def spatial_join(
     """
     ensure_udf_portability()
     op = plan.op
+    if plan.strategy == "partitioned" and op != "withindist":
+        raise ValueError(
+            "strategy='partitioned' supports only 'withindist n' "
+            f"(got predicate {plan.predicate!r})"
+        )
     need_dist = bool(plan.distance_column) or op in ("nearest", "withindist")
     need_refine = op in _NEEDS_REFINE
     need_bbox = op in _NEEDS_BBOX
@@ -415,11 +420,19 @@ def spatial_join(
             & cond
         )
 
-    joined = (
-        left.crossJoin(F.broadcast(right))
-        if cond is None
-        else left.join(F.broadcast(right), on=cond, how="inner")
-    )
+    if plan.strategy == "partitioned":
+        # big×big distance join: no broadcast — both sides shuffle on the
+        # latitude-band equi-key built above (sort-merge/shuffled-hash under
+        # AQE, skew-split on hot bands).  Only withindist has an equi-key;
+        # every other predicate needs the broadcast contract (validated on
+        # entry).
+        joined = left.join(right, on=cond, how="inner")
+    else:
+        joined = (
+            left.crossJoin(F.broadcast(right))
+            if cond is None
+            else left.join(F.broadcast(right), on=cond, how="inner")
+        )
 
     if need_refine:
         def side_args(tag: str, side: SideConfig):

@@ -148,6 +148,10 @@ class SpatialJoinPlan:
     num_partitions: int | None = None  # optional repartition of external
     distance_kernel: str = "geodesic"  # 'geodesic' (WGS84, parity) | 'haversine' (pure JVM)
     tie_break: tuple[str, ...] = ()  # input-side cols for deterministic nearest ties
+    #: 'broadcast' (reference contract: small side fits in memory) or
+    #: 'partitioned' (withindist only: both sides shuffle on latitude-band
+    #: cells — lifts the broadcast memory bound for big×big distance joins)
+    strategy: str = "broadcast"
 
     @property
     def op(self) -> str:

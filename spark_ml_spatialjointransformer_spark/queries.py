@@ -152,6 +152,35 @@ def j6_withindist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")
 
 
+@_register(
+    "j11_withindist_partitioned",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d FROM c CROSS JOIN s)
+SELECT c_custkey, s_suppkey AS supp_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM p WHERE CAST(round(d) AS INTEGER) <= 300000
+""",
+)
+def j11_withindist_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The j6 distance join under strategy='partitioned': both sides shuffle
+    on latitude-band cells (no broadcast, no memory bound on either side) —
+    the beyond-reference scale path for big×big distance joins.  Same
+    oracle as j6: hash equality proves the two strategies agree."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="withindist 300000",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+        strategy="partitioned",
+    )
+    return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")
+
+
 _PT_IN_RECT_ORACLE = f"""
 WITH {_GEO_CTE},
 {_NATION_RECT_CTE}

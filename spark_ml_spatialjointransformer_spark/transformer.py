@@ -56,6 +56,7 @@ _DEFAULTS = dict(
     condition="",
     distanceKernel="geodesic",
     tieBreak="",
+    joinStrategy="broadcast",
 )
 
 
@@ -111,6 +112,12 @@ class BroadcastSpatialJoin(
     )
     tieBreak = _str_param(
         "tieBreak", "CSV of broadcast-side columns for deterministic nearest ties"
+    )
+    joinStrategy = _str_param(
+        "joinStrategy",
+        "'broadcast' (reference contract) or 'partitioned' (withindist only: "
+        "both sides shuffle on latitude-band cells; lifts the broadcast "
+        "memory bound for big-by-big distance joins)",
     )
 
     @keyword_only
@@ -208,6 +215,12 @@ class BroadcastSpatialJoin(
     def getDistanceKernel(self):
         return self.getOrDefault(self.distanceKernel)
 
+    def setJoinStrategy(self, value):
+        return self._set(joinStrategy=value)
+
+    def getJoinStrategy(self):
+        return self.getOrDefault(self.joinStrategy)
+
     def setTieBreak(self, value):
         return self._set(tieBreak=value)
 
@@ -253,6 +266,7 @@ class BroadcastSpatialJoin(
             num_partitions=num_partitions,
             distance_kernel=self._get(self.distanceKernel) or "geodesic",
             tie_break=tuple(split_trim(self._get(self.tieBreak))),
+            strategy=self._get(self.joinStrategy) or "broadcast",
         )
 
     def _load_dataset(self, spark: SparkSession) -> DataFrame:

@@ -52,6 +52,55 @@ def test_withindist_point_point_is_pure_jvm(spark):
         assert py_op not in plan, f"unexpected python stage {py_op}"
 
 
+def test_partitioned_strategy_shuffles_and_matches_broadcast(spark):
+    """strategy='partitioned' must produce identical pairs through a real
+    shuffled join (broadcast disabled), and reject non-withindist ops."""
+    from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from spark_ml_spatialjointransformer_spark.plans.config import (
+        PointColumns,
+        SideConfig,
+        SpatialJoinPlan,
+    )
+    from spark_ml_spatialjointransformer_spark.sources.tables import (
+        customers_geo,
+        suppliers_geo,
+    )
+
+    cust = customers_geo(spark, SF).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, SF)
+    base = dict(
+        external_side=SideConfig(point_columns=PointColumns("lon", "lat")),
+        input_side=SideConfig(point_columns=PointColumns("lon", "lat")),
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+    )
+    bc = SpatialJoinPlan(predicate="withindist 400000", **base)
+    pt = SpatialJoinPlan(predicate="withindist 400000", strategy="partitioned", **base)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spatial_join(cust, supp, pt)
+        plan = plan_of(df)
+        assert "BroadcastExchange" not in plan  # genuinely shuffled
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        got = sorted(tuple(r) for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    expected = sorted(tuple(r) for r in spatial_join(cust, supp, bc).collect())
+    assert got == expected
+    assert len(got) > 0
+
+    with pytest.raises(ValueError, match="partitioned"):
+        spatial_join(
+            cust, supp, SpatialJoinPlan(predicate="nearest", strategy="partitioned", **base)
+        )
+
+
 def test_filter_param_pushes_to_parquet_scan(spark):
     from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
         spatial_join,
