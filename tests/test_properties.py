@@ -53,9 +53,10 @@ def _df(spark, pts, prefix):
     )
 
 
+@pytest.mark.parametrize("strategy", ["broadcast", "partitioned"])
 @SPARK_SETTINGS
 @given(left=points, right=points, radius_km=st.integers(min_value=50, max_value=3000))
-def test_withindist_equals_brute_force(spark, left, right, radius_km):
+def test_withindist_equals_brute_force(spark, strategy, left, right, radius_km):
     radius = radius_km * 1000
     inp = _df(spark, left, "i")
     ext = _df(spark, right, "e")
@@ -67,6 +68,7 @@ def test_withindist_equals_brute_force(spark, left, right, radius_km):
         distance_column="dist_m",
         broadcast_input=False,
         distance_kernel="haversine",
+        strategy=strategy,
     )
     got = {
         (r.i_id, r.e_id, r.dist_m)
