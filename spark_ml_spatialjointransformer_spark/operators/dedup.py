@@ -13,10 +13,12 @@ small derived keys (LSH band buckets), never on document text:
   (the exact verifier for the MinHash estimates; SQL-expressible, so it
   carries a DuckDB oracle).
 
-Everything runs JVM-side (split / transform / slice / crc32 / aggregate —
-whole-stage codegen); there is no Python in these hot paths.  Hash
-primitives are crc32-based so the pytest oracles (tests/test_dedup.py) can
-reproduce signatures bit-for-bit with zlib.crc32.
+Shingle/token extraction runs as an Arrow pandas_udf (microseconds per doc;
+the pure-JVM column formulations are kept as the spec and are bit-identical);
+everything downstream — crc32, permutation minima, band keys, joins,
+aggregates — is JVM whole-stage codegen.  Hash primitives are crc32-based so
+the pytest oracles (tests/test_dedup.py) reproduce signatures bit-for-bit
+with zlib.crc32.
 """
 
 from __future__ import annotations
