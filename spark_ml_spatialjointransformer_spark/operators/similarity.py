@@ -70,23 +70,30 @@ def _normed(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
     ).where(F.col("__norm") > 0.0)
 
 
-def _srp_bucket_udf(n_planes: int, dim: int):
+def _srp_bucket_udf(n_planes: int, dim: int, bands: int = 1):
     """Vectorized twin of ``srp_bucket_col``: one numpy matmul per Arrow
-    batch instead of n_planes interpreted aggregate chains per row."""
+    batch instead of n_planes interpreted aggregate chains per row.
+    Returns the per-band bucket ids (``bands`` independent plane sets drawn
+    from the same deterministic stream; band 0 == ``srp_bucket_col``)."""
     import numpy as np
 
-    planes = np.array(srp_planes(n_planes, dim)).T  # dim × n_planes
+    planes = np.array(srp_planes(n_planes * bands, dim)).T  # dim × (B*p)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    @F.pandas_udf("bigint")
-    def _bucket(emb: pd.Series) -> pd.Series:
+    @F.pandas_udf("array<bigint>")
+    def _buckets(emb: pd.Series) -> pd.Series:
         import numpy as np
 
         mat = np.array([np.asarray(v, dtype=np.float64) for v in emb])
-        signs = (mat @ planes) > 0.0
-        return pd.Series((signs * weights).sum(axis=1))
+        signs = (mat @ planes) > 0.0  # n × (B*p)
+        out = [
+            (signs[:, b * n_planes : (b + 1) * n_planes] * weights).sum(axis=1)
+            for b in range(bands)
+        ]
+        stacked = np.stack(out, axis=1)  # n × B
+        return pd.Series([list(row) for row in stacked])
 
-    return _bucket
+    return _buckets
 
 
 def _pair_cosine_udf():
@@ -116,27 +123,42 @@ def lsh_neardup_pairs(
     dim: int,
     threshold: float = 0.9,
     n_planes: int = 12,
+    bands: int = 1,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: same SRP bucket + exact cosine ≥
-    threshold.  Output (id_a, id_b, cos_e6).  Approximate: pairs split by a
-    hyperplane are missed — raise recall by lowering n_planes or unioning
-    rotated bands; precision is exact (refined).
+    """Embedding near-duplicate pairs: same SRP bucket in ANY of ``bands``
+    independent plane sets + exact cosine ≥ threshold.  Output (id_a, id_b,
+    cos_e6).  Recall knob: miss probability per true pair is
+    ``(1 - (1-θ/π)^p)^B`` — raise B (bands) or lower p (n_planes); precision
+    is exact (refined).
 
     Hot paths are numpy over Arrow batches (bucket signs: one matmul per
-    batch; refine: one einsum over candidate pairs) and the bucketed base
-    is checkpointed so the self-join materializes it once."""
+    batch; refine: one einsum over candidate pairs); the bucketed base is
+    checkpointed so the self-join materializes it once, and a pair sharing
+    several bands is emitted only in its lowest one (codegen first-match
+    filter, no dedup shuffle — same trick as the MinHash/SimHash joins)."""
     base = (
         _normed(df, id_col, emb_col)
-        .withColumn("__bucket", _srp_bucket_udf(n_planes, dim)(F.col("__emb")))
+        .withColumn("__buckets", _srp_bucket_udf(n_planes, dim, bands)(F.col("__emb")))
+        .select(
+            "*",
+            F.posexplode("__buckets").alias("__band", "__bucket"),
+        )
         .localCheckpoint(eager=False)
     )
+    first_match = F.lit(True)
+    for bi in range(bands - 1):
+        first_match = first_match & (
+            (F.col("__band") <= bi)
+            | (F.col("a.__buckets")[bi] != F.col("b.__buckets")[bi])
+        )
     a, b = base.alias("a"), base.alias("b")
     cos = _pair_cosine_udf()(
         F.col("a.__emb"), F.col("a.__norm"), F.col("b.__emb"), F.col("b.__norm")
     )
     return (
-        a.join(b, "__bucket")
+        a.join(b, ["__band", "__bucket"])
         .where(F.col("a.__id") < F.col("b.__id"))
+        .where(first_match)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),

@@ -693,7 +693,7 @@ def v2_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     return lsh_neardup_pairs(
-        emb, "vec_id", "embedding", dim=dim, threshold=0.3, n_planes=6
+        emb, "vec_id", "embedding", dim=dim, threshold=0.3, n_planes=6, bands=2
     ).orderBy("id_a", "id_b")
 
 @_register("m1_media_features", None)  # mapInPandas kernel — python-oracled in tests

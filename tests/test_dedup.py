@@ -202,6 +202,22 @@ def test_lsh_neardup_sound_and_useful(spark, emb_np):
         assert true_cos >= 0.3 - 1e-6
 
 
+def test_lsh_neardup_bands_raise_recall(spark, emb_np):
+    """Multi-band SRP must find a superset of single-band pairs (same plane
+    stream prefix), stay duplicate-free, and keep exact cosines."""
+    ids, mat = emb_np
+    kw = dict(dim=mat.shape[1], threshold=0.3, n_planes=6)
+    emb_df = load_table(spark, SF, "embeddings")
+    one = {(r.id_a, r.id_b) for r in similarity.lsh_neardup_pairs(
+        emb_df, "vec_id", "embedding", bands=1, **kw).collect()}
+    rows = similarity.lsh_neardup_pairs(
+        emb_df, "vec_id", "embedding", bands=3, **kw).collect()
+    three = {(r.id_a, r.id_b) for r in rows}
+    assert len(rows) == len(three)  # first-match dedup leaves no duplicates
+    assert one <= three
+    assert len(three) > len(one)  # extra bands recovered split pairs
+
+
 def test_brute_force_topk_matches_numpy(spark, emb_np):
     ids, mat = emb_np
     norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
