@@ -43,6 +43,8 @@ Execution strategy (Spark-first, nothing leaves DataFrame land):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -255,15 +257,14 @@ def _prepare_side(
     return df
 
 
-def _bbox_condition(op: str, lt: str, rt: str, radius_deg: float) -> Column | None:
+def _bbox_condition(op: str, lt: str, rt: str) -> Column | None:
     """Sargable coarse prefilter relating the two sides' bboxes.
 
     - within  (left within right):   left bbox ⊆ right bbox
     - contains (left contains right): right bbox ⊆ left bbox
     - intersects/overlaps:            bbox intersection
-    - withindist:                     bbox intersection after expanding the
-      left window by ``radius_deg`` (= meters/35000, the reference's inflated
-      probe radius — SpatialJoin.scala:62-80)
+    - withindist: handled by ``_withindist_bins`` (grid-cell equi-keys +
+      degree windows), not here
     - nearest: None (unbounded search)
     """
     lx0, ly0, lx1, ly1 = (F.col(f"__sjt_{lt}_{c}") for c in ("x0", "y0", "x1", "y1"))
@@ -274,23 +275,132 @@ def _bbox_condition(op: str, lt: str, rt: str, radius_deg: float) -> Column | No
         return (rx0 >= lx0) & (rx1 <= lx1) & (ry0 >= ly0) & (ry1 <= ly1)
     if op in ("intersects", "overlaps"):
         return (lx0 <= rx1) & (lx1 >= rx0) & (ly0 <= ry1) & (ly1 >= ry0)
-    if op == "withindist":
-        d = F.lit(radius_deg)
-
-        # longitude window with antimeridian wraparound: a pair at lon -180.0
-        # vs +177.7 is ~250 km apart but 357.7 apart in raw degrees.  The
-        # reference's planar index misses these (known limitation of its
-        # lon/lat STRtree); the geodesic refine is wraparound-correct, so the
-        # prefilter must be too.  Latitude needs no wrap (|lat| ≤ 90).
-        def lon_ok(shift: float) -> Column:
-            return (lx0 - d <= rx1 + shift) & (lx1 + d >= rx0 + shift)
-
-        return (
-            (lon_ok(0.0) | lon_ok(360.0) | lon_ok(-360.0))
-            & (ly0 - d <= ry1)
-            & (ly1 + d >= ry0)
-        )
     return None
+
+
+#: withindist grid binning: the bin width is DECOUPLED from the radius (a
+#: radius-sized bin makes the equi-key's selectivity collapse as the radius
+#: grows — candidate volume then scales like the cross join), clamped so that
+#: (a) tiny radii over wide geometries can't explode rows into millions of
+#: bins, and (b) large radii keep a useful number of distinct keys.
+_BIN_W_MIN, _BIN_W_MAX = 0.5, 2.0
+#: longitude binning is disabled for radii so large the ±360° wraparound
+#: frames could overlap (a pair matching under two shifts would duplicate);
+#: for points that needs 2·radius ≥ 360°, so 90° is a 4× safety margin.
+_LON_BIN_MAX_RADIUS_DEG = 90.0
+
+
+def _withindist_bins(
+    left: DataFrame,
+    right: DataFrame,
+    lt: str,
+    rt: str,
+    d: float,
+    lon_binnable: bool,
+) -> tuple[DataFrame, DataFrame, Column]:
+    """Discretize the distance join into grid-cell equi-keys so Catalyst
+    plans a hash join (broadcast or shuffled) with O(cell-density) probe
+    cost instead of a nested loop over every broadcast row.
+
+    - Latitude (always): left explodes over the bands its bbox covers,
+      right over its radius-expanded interval; a pair sharing several bands
+      survives only in the band of ``max(ly0, ry0 - d)`` (reference-point
+      dedup — no distinct needed).  Sequences are clamped to the ±90° globe
+      range, so off-globe garbage can't inflate rows.
+    - Longitude (point×point sides only): same scheme with antimeridian
+      wraparound — the right side emits (bin, shift) pairs for the shifts
+      {-360, 0, +360} whose expanded window reaches into [-180, 180], and
+      the precise per-shift window + reference-bin dedup keep each matching
+      pair exactly once.  WKT sides keep longitude in the residual condition
+      (a globe-spanning polygon would otherwise explode quadratically).
+
+    Returns ``(left, right, condition)`` with the bin columns attached and
+    the full coarse spatial condition (equi-keys + dedup + degree windows).
+    The exact meter re-filter stays downstream (SpatialJoin.scala:353-368).
+    """
+    w = max(_BIN_W_MIN, min(_BIN_W_MAX, d))
+    dd, ww = F.lit(float(d)), F.lit(float(w))
+    ly0, ly1 = F.col(f"__sjt_{lt}_y0"), F.col(f"__sjt_{lt}_y1")
+    ry0, ry1 = F.col(f"__sjt_{rt}_y0"), F.col(f"__sjt_{rt}_y1")
+    lat_lo, lat_hi = math.floor(-90.0 / w), math.floor(90.0 / w)
+
+    def clamped_seq(lo: Column, hi: Column, lo_lim: int, hi_lim: int) -> Column:
+        lo = F.greatest(lo, F.lit(lo_lim))
+        hi = F.least(hi, F.lit(hi_lim))
+        return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    left = left.withColumn(
+        "__sjt_bin_l",
+        F.explode(clamped_seq(F.floor(ly0 / ww), F.floor(ly1 / ww), lat_lo, lat_hi)),
+    )
+    right = right.withColumn(
+        "__sjt_bin_r",
+        F.explode(
+            clamped_seq(
+                F.floor((ry0 - dd) / ww), F.floor((ry1 + dd) / ww), lat_lo, lat_hi
+            )
+        ),
+    )
+    ref_bin = F.greatest(
+        F.floor(F.greatest(ly0, ry0 - dd) / ww), F.lit(lat_lo)
+    )
+    cond = (
+        (F.col("__sjt_bin_l") == F.col("__sjt_bin_r"))
+        & (F.col("__sjt_bin_l") == ref_bin)
+        & (ly0 - dd <= ry1)
+        & (ly1 + dd >= ry0)
+    )
+
+    lx0, lx1 = F.col(f"__sjt_{lt}_x0"), F.col(f"__sjt_{lt}_x1")
+    rx0, rx1 = F.col(f"__sjt_{rt}_x0"), F.col(f"__sjt_{rt}_x1")
+
+    if not lon_binnable:
+        # longitude window with antimeridian wraparound stays residual: a
+        # pair at lon -180.0 vs +177.7 is ~250 km apart but 357.7 apart in
+        # raw degrees (the reference's planar index misses these; the
+        # geodesic refine is wraparound-correct, so the prefilter must be).
+        def lon_ok(shift: float) -> Column:
+            return (lx0 - dd <= rx1 + shift) & (lx1 + dd >= rx0 + shift)
+
+        return left, right, cond & (lon_ok(0.0) | lon_ok(360.0) | lon_ok(-360.0))
+
+    lon_lo, lon_hi = math.floor(-180.0 / w), math.floor(180.0 / w)
+    left = left.withColumn("__sjt_lbin_l", F.floor(lx0 / ww))
+
+    def _bin_shift_struct(shift: float):
+        # single-arg lambda: a 2-arg lambda would be read by F.transform as
+        # its (element, index) variant and bind the shift to the array index
+        return lambda b: F.struct(b.alias("bin"), F.lit(shift).alias("sh"))
+
+    arrs = []
+    for s in (-360.0, 0.0, 360.0):
+        lo = F.greatest(F.floor((rx0 + s - dd) / ww), F.lit(lon_lo))
+        hi = F.least(F.floor((rx1 + s + dd) / ww), F.lit(lon_hi))
+        arrs.append(
+            F.when(
+                lo <= hi, F.transform(F.sequence(lo, hi), _bin_shift_struct(s))
+            ).otherwise(F.array().cast("array<struct<bin:bigint,sh:double>>"))
+        )
+    right = (
+        right.withColumn("__sjt_lonbin", F.explode(F.concat(*arrs)))
+        .withColumn("__sjt_lbin_r", F.col("__sjt_lonbin.bin"))
+        .withColumn("__sjt_sh", F.col("__sjt_lonbin.sh"))
+        .drop("__sjt_lonbin")
+    )
+    sh = F.col("__sjt_sh")
+    lon_ref = F.greatest(
+        F.floor(F.greatest(lx0, rx0 + sh - dd) / ww), F.lit(lon_lo)
+    )
+    cond = (
+        cond
+        & (F.col("__sjt_lbin_l") == F.col("__sjt_lbin_r"))
+        & (F.col("__sjt_lbin_l") == lon_ref)
+        & (lx0 - dd <= rx1 + sh)
+        & (lx1 + dd >= rx0 + sh)
+    )
+    return left, right, cond
 
 
 def prepare_external(df: DataFrame, plan: SpatialJoinPlan) -> DataFrame:
@@ -349,6 +459,11 @@ def spatial_join(
             "strategy='partitioned' supports only 'withindist n' "
             f"(got predicate {plan.predicate!r})"
         )
+    if op == "withindist" and plan.radius_meters <= 0:
+        raise ValueError(
+            "withindist requires a positive radius in meters, e.g. "
+            f"'withindist 500' (got predicate {plan.predicate!r})"
+        )
     need_dist = bool(plan.distance_column) or op in ("nearest", "withindist")
     need_refine = op in _NEEDS_REFINE
     need_bbox = op in _NEEDS_BBOX
@@ -387,38 +502,25 @@ def spatial_join(
     left = left.withColumn("__sjt_lid", F.monotonically_increasing_id())
     right = right.withColumn("__sjt_rid", F.monotonically_increasing_id())
 
-    cond = _bbox_condition(op, lt, rt, plan.radius_degrees)
+    cond = (
+        None if op == "withindist" else _bbox_condition(op, lt, rt)
+    )
     if plan.condition:
         extra = F.expr(rewrite_condition(plan.condition, EXT_PREFIX))
         cond = extra if cond is None else (cond & extra)
 
     if op == "withindist":
-        # Binned range join: discretize latitude into radius-width bands and
-        # equi-join on the band id, so Catalyst plans a BroadcastHashJoin
-        # (O(probe) per left row) instead of a nested loop that evaluates
-        # the window predicate against every broadcast row.  The broadcast
-        # side explodes over the bands its radius-expanded interval covers
-        # (3 for points); a pair sharing several bands is kept only in the
-        # band containing max(left.y0, right.y0 - d) — the standard
-        # reference-point dedup, so no distinct is needed.  Longitude (incl.
-        # antimeridian wrap) stays in the residual bbox condition.
-        d = plan.radius_degrees
-        w = max(d, 1e-9)
-        ly0, ly1 = F.col(f"__sjt_{lt}_y0"), F.col(f"__sjt_{lt}_y1")
-        ry0, ry1 = F.col(f"__sjt_{rt}_y0"), F.col(f"__sjt_{rt}_y1")
-        left = left.withColumn(
-            "__sjt_bin_l", F.explode(F.sequence(F.floor(ly0 / w), F.floor(ly1 / w)))
+        l_cfg = ext_side if lt == "e" else plan.input_side
+        r_cfg = plan.input_side if rt == "i" else ext_side
+        lon_binnable = (
+            not l_cfg.is_wkt
+            and not r_cfg.is_wkt
+            and plan.radius_degrees < _LON_BIN_MAX_RADIUS_DEG
         )
-        right = right.withColumn(
-            "__sjt_bin_r",
-            F.explode(F.sequence(F.floor((ry0 - d) / w), F.floor((ry1 + d) / w))),
+        left, right, bin_cond = _withindist_bins(
+            left, right, lt, rt, plan.radius_degrees, lon_binnable
         )
-        ref_bin = F.floor(F.greatest(ly0, ry0 - F.lit(d)) / F.lit(w))
-        cond = (
-            (F.col("__sjt_bin_l") == F.col("__sjt_bin_r"))
-            & (F.col("__sjt_bin_l") == ref_bin)
-            & cond
-        )
+        cond = bin_cond if cond is None else (bin_cond & cond)
 
     if plan.strategy == "partitioned":
         # big×big distance join: no broadcast — both sides shuffle on the

@@ -444,3 +444,35 @@ def test_null_geometry_dropped(spark):
     )
     out = t.transform(inp)
     assert collect_sorted(out) == [("i1", 1.4, 1.4, "d1")]
+
+
+def test_withindist_zero_radius_rejected(spark):
+    """'withindist' with no/zero radius parses to radius 0 (reference
+    parity, SpatialJoin.scala:72-80) — joining at radius 0 is rejected at
+    plan-compile time instead of exploding the bin sequence."""
+    poi = poi_df(spark, [("d1", 1.1, 1.1)])
+    for pred in ("withindist", "withindist 0"):
+        t = make_transformer(poi).setPredicate(pred)
+        with pytest.raises(Exception, match="positive radius"):
+            t.transform(input_df(spark, SMOKE_INPUT)).collect()
+
+
+def test_withindist_antimeridian_pair(spark):
+    """Points straddling ±180° are ~222 km apart at the equator but 359.998
+    apart in raw degrees — the wraparound shift frames must keep the pair."""
+    poi = poi_df(spark, [("d1", 179.999, 0.0), ("far", 0.0, 0.0)])
+    inp = input_df(spark, [("i1", -179.999, 0.0)])
+    t = make_transformer(poi).setPredicate("withindist 300000")
+    out = t.transform(inp)
+    assert collect_sorted(out) == [("i1", -179.999, 0.0, "d1")]
+
+
+def test_withindist_huge_radius_lat_only_binning(spark):
+    """Radius ≥ 90° of arc disables longitude binning (shift frames could
+    overlap); the lat-only fallback must still match every true pair."""
+    poi = poi_df(spark, [("d1", 170.0, 10.0), ("d2", -170.0, -10.0)])
+    # 4000 km -> 114 degrees of inflated window
+    t = make_transformer(poi).setPredicate("withindist 4000000")
+    out = t.transform(input_df(spark, [("i1", -175.0, 5.0)]))
+    rows = {r[0:3] + (r[3],) for r in out.collect()}
+    assert {r[3] for r in rows} == {"d1", "d2"}
