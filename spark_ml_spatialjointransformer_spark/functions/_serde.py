@@ -20,10 +20,22 @@ def ensure_udf_portability() -> None:
     try:
         from pyspark import cloudpickle
 
-        from spark_ml_spatialjointransformer_spark.functions import geodesic, geometry
+        from spark_ml_spatialjointransformer_spark.functions import (
+            geodesic,
+            geometry,
+            hashing,
+        )
+        from spark_ml_spatialjointransformer_spark.operators import (
+            dedup,
+            fingerprint,
+            multimodal,
+            similarity,
+        )
+        from spark_ml_spatialjointransformer_spark.streaming import windowed
         from spark_ml_spatialjointransformer_spark import toolbox
 
-        for mod in (geodesic, geometry, toolbox):
+        for mod in (geodesic, geometry, hashing, toolbox,
+                    dedup, fingerprint, multimodal, similarity, windowed):
             cloudpickle.register_pickle_by_value(mod)
         _registered = True
     except Exception:

@@ -15,10 +15,12 @@ small derived keys (LSH band buckets), never on document text:
 
 Shingle/token extraction runs as an Arrow pandas_udf (microseconds per doc;
 the pure-JVM column formulations are kept as the spec and are bit-identical);
-everything downstream — crc32, permutation minima, band keys, joins,
-aggregates — is JVM whole-stage codegen.  Hash primitives are crc32-based so
-the pytest oracles (tests/test_dedup.py) reproduce signatures bit-for-bit
-with zlib.crc32.
+everything downstream — hashes, permutation minima, band keys, joins,
+aggregates — is JVM whole-stage codegen.  Hash primitives are the md5-based
+``h60`` (functions/hashing.py), computable identically in Spark SQL, DuckDB,
+and hashlib — so the LSH signatures are BOTH bit-verified by the pytest
+oracles (tests/test_dedup.py) and fully SQL-expressible in the driver's
+DuckDB correctness gate (queries.py t6/t7 carry exact oracles).
 """
 
 from __future__ import annotations
@@ -27,6 +29,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from spark_ml_spatialjointransformer_spark.functions.hashing import h60_col
 
 #: minhash modulus: smallest prime > 2^32
 MINHASH_PRIME = 4_294_967_311
@@ -64,9 +68,10 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 
 def shingle_hashes_col(text: Column, n: int = 3) -> Column:
-    """Distinct crc32 hashes of the token n-grams (bigint in [0, 2^32))."""
+    """Distinct h60 hashes of the token n-grams, reduced mod MINHASH_PRIME
+    (bigint in [0, P) — so ``h * a`` stays below 2^62 in the permutations)."""
     return F.array_distinct(
-        F.transform(shingles_col(text, n), lambda s: F.crc32(F.encode(s, "utf-8")))
+        F.transform(shingles_col(text, n), lambda s: h60_col(s) % MINHASH_PRIME)
     )
 
 
@@ -144,7 +149,7 @@ def minhash_signatures(
     exploded = _parallelize(df).select(
         F.col(id_col).alias("__id"),
         F.explode(shingles_udf(n)(F.col(text_col))).alias("__s"),
-    ).select("__id", F.crc32(F.encode("__s", "utf-8")).alias("__h"))
+    ).select("__id", (h60_col(F.col("__s")) % MINHASH_PRIME).alias("__h"))
     aggs = [
         F.min((F.col("__h") * a + b) % MINHASH_PRIME).alias(f"__m{j}")
         for j, (a, b) in enumerate(minhash_coefficients(k))
@@ -249,19 +254,14 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 60
-#: salt for the upper 28 bits of the 60-bit token hash
-_SIMHASH_SALT = "#"
-_SIMHASH_HI_MASK = (1 << 28) - 1
 
 
 def _token_hash60(t: Column) -> Column:
-    """60-bit token hash: crc32(t) in the low 32 bits, the low 28 bits of
-    crc32(t + salt) above them.  60 (not 64) keeps every shift/sum result
-    clear of the BIGINT sign bit.  32 bits is too coarse for near-dup
-    detection at scale — template-heavy corpora collapse onto few values."""
-    lo = F.crc32(F.encode(t, "utf-8"))
-    hi = F.crc32(F.encode(F.concat(t, F.lit(_SIMHASH_SALT)), "utf-8"))
-    return lo.bitwiseOR(F.shiftleft(hi.bitwiseAND(F.lit(_SIMHASH_HI_MASK)), 32))
+    """60-bit md5 token hash (h60).  60 (not 64) keeps every shift/sum
+    result clear of the BIGINT sign bit; 32 bits would be too coarse for
+    near-dup detection at scale — template-heavy corpora collapse onto few
+    values.  md5-based so the DuckDB oracle reproduces it exactly."""
+    return h60_col(t)
 
 
 def simhash_col(text: Column) -> Column:

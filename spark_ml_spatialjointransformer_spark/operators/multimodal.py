@@ -21,7 +21,6 @@ scan — no shuffle is introduced by decode/feature steps.
 
 from __future__ import annotations
 
-import zlib
 from typing import Iterator
 
 import numpy as np
@@ -33,6 +32,10 @@ from pyspark.sql import types as T
 
 from spark_ml_spatialjointransformer_spark.functions._serde import (
     ensure_udf_portability,
+)
+from spark_ml_spatialjointransformer_spark.functions.hashing import (
+    h60_binary_col,
+    h60_py,
 )
 
 #: metadata struct carried alongside every binary payload
@@ -47,23 +50,26 @@ MEDIA_META_SCHEMA = T.StructType(
 
 def with_media_meta(df: DataFrame, binary_col: str, mime: str) -> DataFrame:
     """Attach the typed metadata struct — pure JVM expressions (length +
-    crc32), no Python."""
+    md5-h60), no Python.  The checksum is h60 (functions/hashing.py) so the
+    DuckDB oracle reproduces it exactly."""
     b = F.col(binary_col)
     return df.withColumn(
         f"{binary_col}_meta",
         F.struct(
             F.lit(mime).alias("mime"),
             F.length(b).cast("int").alias("n_bytes"),
-            F.crc32(b).alias("checksum"),
+            h60_binary_col(b).alias("checksum"),
         ),
     )
 
 
 def _fake_feature(data: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for an image/audio embedding model: crc32 of
+    """Deterministic stand-in for an image/audio embedding model: h60 of
     the payload seeds an LCG feature vector in [-1, 1).  Replace with a real
-    model call (ONNX/torch) in production — the batch plumbing is identical."""
-    state = zlib.crc32(data) or 1
+    model call (ONNX/torch) in production — the batch plumbing is identical.
+    (The md5-based seed + pure-integer LCG keep the whole kernel expressible
+    as a recursive CTE in the DuckDB oracle — queries.py m1.)"""
+    state = h60_py(data) or 1
     out = np.empty(dim, dtype=np.float32)
     for i in range(dim):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)

@@ -84,6 +84,8 @@ def _srp_bucket_udf(n_planes: int, dim: int, bands: int = 1):
     def _buckets(emb: pd.Series) -> pd.Series:
         import numpy as np
 
+        if len(emb) == 0:  # zero-row Arrow batch: shape-(0,) array can't matmul
+            return pd.Series([], dtype=object)
         mat = np.array([np.asarray(v, dtype=np.float64) for v in emb])
         signs = (mat @ planes) > 0.0  # n × (B*p)
         out = [
@@ -91,6 +93,55 @@ def _srp_bucket_udf(n_planes: int, dim: int, bands: int = 1):
             for b in range(bands)
         ]
         stacked = np.stack(out, axis=1)  # n × B
+        return pd.Series([list(row) for row in stacked])
+
+    return _buckets
+
+
+#: quantization scale for the integer SRP path (5 decimal digits keeps the
+#: int64 dot products far from overflow at dim ≤ 10^6: |dot| ≤ dim·8·10^5)
+SRP_INT_SCALE = 100000.0
+
+
+def srp_int_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Integer-valued hyperplanes in [-8, 8] from a closed-form expression
+    every engine can evaluate inline:
+
+        p(j, i) = ((j·73856093 + i·19349663 + 83492791) mod 2039) mod 17 − 8
+
+    Integer planes + floor-quantized embeddings make the SRP bucket ids pure
+    BIGINT arithmetic — bit-identical across Spark, numpy (int64), and the
+    DuckDB oracle, with no float-summation-order hazard in the sign bits."""
+    return [
+        [((j * 73856093 + i * 19349663 + 83492791) % 2039) % 17 - 8 for i in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def _srp_int_bucket_udf(n_planes: int, dim: int, bands: int = 1):
+    """Integer-exact twin of ``_srp_bucket_udf``: embeddings are quantized
+    with ``floor(v·scale + 0.5)`` (floor is the one half-up rounding spelled
+    identically in numpy, Spark, and DuckDB) and hit integer planes in int64
+    — the resulting bucket ids are exactly what the SQL oracle computes."""
+    import numpy as np
+
+    planes = np.array(srp_int_planes(n_planes * bands, dim), dtype=np.int64).T
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        q = np.floor(mat * SRP_INT_SCALE + 0.5).astype(np.int64)
+        signs = (q @ planes) > 0  # n × (B*p), integer-exact
+        out = [
+            (signs[:, b * n_planes : (b + 1) * n_planes] * weights).sum(axis=1)
+            for b in range(bands)
+        ]
+        stacked = np.stack(out, axis=1)
         return pd.Series([list(row) for row in stacked])
 
     return _buckets
@@ -124,6 +175,7 @@ def lsh_neardup_pairs(
     threshold: float = 0.9,
     n_planes: int = 12,
     bands: int = 1,
+    quantized: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: same SRP bucket in ANY of ``bands``
     independent plane sets + exact cosine ≥ threshold.  Output (id_a, id_b,
@@ -135,10 +187,23 @@ def lsh_neardup_pairs(
     batch; refine: one einsum over candidate pairs); the bucketed base is
     checkpointed so the self-join materializes it once, and a pair sharing
     several bands is emitted only in its lowest one (codegen first-match
-    filter, no dedup shuffle — same trick as the MinHash/SimHash joins)."""
+    filter, no dedup shuffle — same trick as the MinHash/SimHash joins).
+
+    ``quantized=True`` switches to the integer SRP variant (``srp_int_planes``
+    + floor quantization) whose buckets are pure BIGINT arithmetic, and
+    refines with the JVM fold (``dot_col``) instead of einsum — both choices
+    exist so the DuckDB oracle reproduces the output bit-for-bit (the float
+    plane dot products and einsum's pairwise summation have no cross-engine
+    determinism guarantee; the JVM left-fold demonstrably matches DuckDB's
+    sum on this data — see v1)."""
+    bucket_udf = (
+        _srp_int_bucket_udf(n_planes, dim, bands)
+        if quantized
+        else _srp_bucket_udf(n_planes, dim, bands)
+    )
     base = (
         _normed(df, id_col, emb_col)
-        .withColumn("__buckets", _srp_bucket_udf(n_planes, dim, bands)(F.col("__emb")))
+        .withColumn("__buckets", bucket_udf(F.col("__emb")))
         .select(
             "*",
             F.posexplode("__buckets").alias("__band", "__bucket"),
@@ -152,9 +217,14 @@ def lsh_neardup_pairs(
             | (F.col("a.__buckets")[bi] != F.col("b.__buckets")[bi])
         )
     a, b = base.alias("a"), base.alias("b")
-    cos = _pair_cosine_udf()(
-        F.col("a.__emb"), F.col("a.__norm"), F.col("b.__emb"), F.col("b.__norm")
-    )
+    if quantized:
+        cos = dot_col(F.col("a.__emb"), F.col("b.__emb")) / (
+            F.col("a.__norm") * F.col("b.__norm")
+        )
+    else:
+        cos = _pair_cosine_udf()(
+            F.col("a.__emb"), F.col("a.__norm"), F.col("b.__emb"), F.col("b.__norm")
+        )
     return (
         a.join(b, ["__band", "__bucket"])
         .where(F.col("a.__id") < F.col("b.__id"))

@@ -64,6 +64,7 @@ from spark_ml_spatialjointransformer_spark.functions.geometry import (
     centroid,
     parse_wkt,
     point_geom,
+    point_in_polygon_np,
 )
 from spark_ml_spatialjointransformer_spark.plans.config import (
     SideConfig,
@@ -167,10 +168,9 @@ def _refine_udf(op: str, l_is_wkt: bool = True, r_is_wkt: bool = True):
 
         n = len(l_wkt)
         if pip_dir is not None and n:
-            from spark_ml_spatialjointransformer_spark.functions.geometry import (
-                point_in_polygon_np,
-            )
-
+            # point_in_polygon_np is a module-top import: an import statement
+            # INSIDE this worker-side body would require the package on the
+            # executor PYTHONPATH, defeating ensure_udf_portability
             px = (l_x if pip_dir == "l" else r_x).to_numpy(dtype=np.float64)
             py = (l_y if pip_dir == "l" else r_y).to_numpy(dtype=np.float64)
             poly_wkt = r_wkt if pip_dir == "l" else l_wkt

@@ -28,6 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_ml_spatialjointransformer_spark.functions.geodesic import haversine_sql
+from spark_ml_spatialjointransformer_spark.functions.hashing import h60_sql
+from spark_ml_spatialjointransformer_spark.operators.dedup import (
+    MINHASH_PRIME,
+    SIMHASH_BITS,
+    minhash_coefficients,
+)
 from spark_ml_spatialjointransformer_spark.operators.spatial_join import spatial_join
 from spark_ml_spatialjointransformer_spark.plans.config import (
     PointColumns,
@@ -569,27 +575,99 @@ def t5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2)
 
 
-@_register("t6_minhash_lsh_pairs", None)  # crc32+LSH not DuckDB-expressible:
+_TOK_SH_CTE = """tok AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t,
+         generate_subscripts(str_split(lower(text), ' '), 1) AS i
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+)"""
+
+
+def _t6_oracle(k: int = 64, bands: int = 16, threshold_e6: int = 200_000) -> str:
+    """Exact DuckDB replica of the banded-MinHash pair emission: the md5-h60
+    hash + the same (a, b) permutation coefficients reproduce the signatures
+    bit-for-bit; a pair appears iff some band's rows all agree (the Spark
+    side's first-match dedup emits each such pair exactly once), and the
+    estimate agree/k scales to an exact integer (k divides 10^6)."""
+    rows = k // bands
+    coefs = minhash_coefficients(k)
+    mins = ",\n       ".join(
+        f"min((hm * {a} + {b}) % {MINHASH_PRIME}) AS m{j}"
+        for j, (a, b) in enumerate(coefs)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(k)
+    )
+    band_hit = "\n     OR ".join(
+        "(" + " AND ".join(f"a.m{b * rows + r} = b.m{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    scale = 1_000_000 // k
+    return f"""
+WITH {_TOK_SH_CTE},
+h AS (SELECT doc_id, {h60_sql('s')} % {MINHASH_PRIME} AS hm FROM sh),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {agree} AS agree
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {band_hit}
+)
+SELECT id_a, id_b, CAST(agree AS BIGINT) * {scale} AS est_jaccard_e6
+FROM pairs WHERE agree * {scale} >= {threshold_e6}
+"""
+
+
+@_register("t6_minhash_lsh_pairs", _t6_oracle())
 def t6_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate near-dup pairs (rows-only driver check; the
-    signature math is bit-verified against a pure-Python oracle in
-    tests/test_dedup.py)."""
+    """MinHash+LSH candidate near-dup pairs — md5-h60-keyed so the full
+    banded pipeline (signatures, band hit, agreement estimate) is replayed
+    exactly by the DuckDB oracle; also bit-verified against the pure-Python
+    oracle in tests/test_dedup.py."""
     from spark_ml_spatialjointransformer_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, "doc_id", "text", k=64, bands=16, threshold=0.2
-    ).orderBy("id_a", "id_b")
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=64, bands=16, threshold=0.2)
 
 
-@_register("t7_simhash_pairs", None)  # crc32 not DuckDB-expressible
+def _t7_oracle(max_hamming: int = 3) -> str:
+    """DuckDB replica of the SimHash pair emission.  For Hamming ≤ 3 over 4
+    bands the pigeonhole candidate generation is COMPLETE (≤ 3 differing
+    bands ⇒ ≥ 1 equal band), so the oracle is simply every pair within the
+    Hamming bound — no band logic needed."""
+    bits = ",\n       ".join(f"sum((h >> {i}) & 1) AS b{i}" for i in range(SIMHASH_BITS))
+    sh = " + ".join(
+        f"(CASE WHEN 2 * b{i} >= n THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t FROM documents
+),
+th AS (SELECT DISTINCT doc_id, {h60_sql('t')} AS h FROM tok),
+agg AS (SELECT doc_id, count(*) AS n, {bits} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, {sh} AS sh FROM agg)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+@_register("t7_simhash_pairs", _t7_oracle())
 def t7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming ≤ 3 (rows-only driver check;
-    bit-verified vs Python oracle in tests/test_dedup.py)."""
+    """SimHash near-dup pairs at Hamming ≤ 3 — md5-h60 token hashes make
+    the 60-bit signatures DuckDB-reproducible; the banded join's candidate
+    set is provably complete at this bound, so hash equality with the
+    brute-force oracle checks the whole pipeline."""
     from spark_ml_spatialjointransformer_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
 @_register(
@@ -681,28 +759,113 @@ def t9_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vector similarity (embeddings table)
 # ---------------------------------------------------------------------------
 
-@_register("v2_lsh_neardup", None)  # SRP-LSH planes not DuckDB-expressible
+#: embedding dimensionality of the driver's testdata contract (array<float>
+#: carries no static length; a .first() probe would cost a driver-side job)
+_EMB_DIM = 64
+
+
+def _v2_oracle(
+    n_planes: int = 6, bands: int = 2, dim: int = _EMB_DIM, threshold_e6: int = 300_000
+) -> str:
+    """DuckDB replica of the quantized-SRP near-dup pipeline: integer planes
+    from the inline closed form (similarity.srp_int_planes), floor-quantized
+    embeddings, BIGINT dot signs → per-band bucket keys; candidates share
+    ANY band's key (the Spark first-match dedup emits each exactly once);
+    refine = exact double cosine, same per-side-sqrt shape as the Spark
+    plan."""
+    band_keys = ",\n       ".join(
+        f"sum(CASE WHEN j >= {b * n_planes} AND j < {(b + 1) * n_planes} AND dot > 0 "
+        f"THEN CAST(1 AS BIGINT) << (j - {b * n_planes}) ELSE 0 END) AS k{b}"
+        for b in range(bands)
+    )
+    any_band = " OR ".join(f"x.k{b} = y.k{b}" for b in range(bands))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) - 1 AS i FROM e),
+q AS (SELECT vec_id, i, CAST(floor(v * 100000.0 + 0.5) AS BIGINT) AS qv FROM u),
+p AS (SELECT j, i, ((j * 73856093 + i * 19349663 + 83492791) % 2039) % 17 - 8 AS pv
+      FROM range({n_planes * bands}) t1(j) CROSS JOIN range({dim}) t2(i)),
+d AS (SELECT q.vec_id, p.j, sum(q.qv * p.pv) AS dot
+      FROM q JOIN p ON p.i = q.i GROUP BY q.vec_id, p.j),
+b AS (SELECT vec_id, {band_keys} FROM d GROUP BY vec_id),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id),
+cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM b x JOIN b y ON x.vec_id < y.vec_id
+         WHERE {any_band}),
+dp AS (SELECT c.id_a, c.id_b, sum(ua.v * ub.v) AS dot
+       FROM cand c
+       JOIN u ua ON ua.vec_id = c.id_a
+       JOIN u ub ON ub.vec_id = c.id_b AND ub.i = ua.i
+       GROUP BY c.id_a, c.id_b)
+SELECT dp.id_a, dp.id_b,
+       CAST(round(dp.dot / (na.nm * nb.nm) * 1000000) AS BIGINT) AS cos_e6
+FROM dp
+JOIN nrm na ON na.vec_id = dp.id_a
+JOIN nrm nb ON nb.vec_id = dp.id_b
+WHERE na.nm > 0 AND nb.nm > 0
+  AND CAST(round(dp.dot / (na.nm * nb.nm) * 1000000) AS BIGINT) >= {threshold_e6}
+"""
+
+
+@_register("v2_lsh_neardup", _v2_oracle())
 def v2_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs via sign-random-projection LSH +
-    exact cosine refine ≥ 0.3 (rows-only; verified vs numpy in
-    tests/test_dedup.py).  The scale path for v1's brute force."""
+    """Embedding near-duplicate pairs via quantized sign-random-projection
+    LSH + exact cosine refine ≥ 0.3 — integer bucket math makes the whole
+    pipeline DuckDB-reproducible (also numpy-verified in tests/test_dedup.py).
+    The scale path for v1's brute force."""
     from spark_ml_spatialjointransformer_spark.operators.similarity import (
         lsh_neardup_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     return lsh_neardup_pairs(
-        emb, "vec_id", "embedding", dim=dim, threshold=0.3, n_planes=6, bands=2
-    ).orderBy("id_a", "id_b")
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    )
 
-@_register("m1_media_features", None)  # mapInPandas kernel — python-oracled in tests
+
+_M1_ORACLE = f"""
+WITH RECURSIVE seeds AS (
+  SELECT doc_id,
+         strlen(text) AS n_bytes,
+         {h60_sql('text')} AS checksum
+  FROM documents
+),
+s0 AS (SELECT doc_id,
+              CAST(CASE WHEN checksum = 0 THEN 1 ELSE checksum END AS HUGEINT) AS st
+       FROM seeds),
+gen AS (
+  -- 8-step 64-bit LCG (Knuth MMIX constants), HUGEINT avoids signed-64 overflow
+  SELECT doc_id, 0 AS i,
+         (st * 6364136223846793005 + 1442695040888963407) % 18446744073709551616 AS state
+  FROM s0
+  UNION ALL
+  SELECT doc_id, i + 1,
+         (state * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+  FROM gen WHERE i < 7
+),
+feats AS (
+  -- (state >> 11) / 2^53 * 2 - 1, rounded once to float32 like the kernel
+  SELECT doc_id,
+         CAST(CAST(state // 2048 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 AS FLOAT) AS f
+  FROM gen
+),
+fs AS (SELECT doc_id, CAST(round(sum(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS feat_sum_e6
+       FROM feats GROUP BY doc_id)
+SELECT s.doc_id, CAST(s.n_bytes AS INTEGER) AS n_bytes, s.checksum, fs.feat_sum_e6
+FROM seeds s JOIN fs USING (doc_id)
+"""
+
+
+@_register("m1_media_features", _M1_ORACLE)
 def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents' bytes as stand-in binary
-    payloads → typed metadata struct (JVM) → mapInPandas feature extraction
-    (deterministic kernel — tests/test_multimodal_streaming.py verifies it
-    against the python function).  Output: scaled-int feature checksum per
-    doc, stable for the driver's rows-only check."""
+    payloads → typed metadata struct (JVM) → mapInPandas feature extraction.
+    The md5-h60 checksum/seed + integer LCG kernel are replayed exactly by
+    the DuckDB oracle's recursive CTE (the float32 features sum exactly in
+    double — 8 values of ≤ 24-bit mantissa — so the sum is order-free);
+    also verified against the python kernel in
+    tests/test_multimodal_streaming.py."""
     from spark_ml_spatialjointransformer_spark.operators.multimodal import (
         extract_features,
         with_media_meta,
@@ -728,22 +891,44 @@ def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("feat_sum_e6"),
-    ).orderBy("doc_id")
+    )
 
 
-@_register("v3_ivf_topk", None)  # approximate (probed cells) — recall vs the
+_V3_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM e),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id),
+q AS (SELECT vec_id AS q_vec_id, v, i FROM u WHERE vec_id % 500 = 0),
+d AS (SELECT q.q_vec_id, u.vec_id, sum(u.v * q.v) AS dot
+      FROM u JOIN q ON u.i = q.i GROUP BY q.q_vec_id, u.vec_id),
+c AS (SELECT d.q_vec_id, d.vec_id, d.dot / (nq.nm * nv.nm) AS sim
+      FROM d
+      JOIN nrm nq ON nq.vec_id = d.q_vec_id
+      JOIN nrm nv ON nv.vec_id = d.vec_id
+      WHERE d.vec_id != d.q_vec_id AND nq.nm > 0 AND nv.nm > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, vec_id) AS rn
+      FROM c)
+SELECT q_vec_id AS q_id, vec_id AS id, CAST(round(sim * 1000000) AS BIGINT) AS cos_e6
+FROM r WHERE rn <= 10
+"""
+
+
+@_register("v3_ivf_topk", _V3_ORACLE)
 def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 (16 spherical-kmeans cells, 4 probed) for the
-    same query set as v1 — the scale path; recall vs v1's exact answer is
-    asserted in tests/test_dedup.py (rows-only driver check)."""
+    """IVF top-10 over 16 spherical-kmeans cells with ALL cells probed —
+    the standard IVF exactness property (n_probe = n_centroids ⇒ the probed
+    union is the whole corpus), so the full machinery (driver k-means, cell
+    assignment, inverted-list join, in-cell exact ranking) must reproduce
+    the brute-force oracle hash-for-hash.  The approximate path (n_probe=4)
+    is covered by the recall assertion in tests/test_fingerprint_ivf.py."""
     from spark_ml_spatialjointransformer_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 500 == 0)
     return ivf_topk(
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
-        k=10, n_centroids=16, n_probe=4,
-    ).orderBy("q_id", "id")
+        k=10, n_centroids=16, n_probe=16,
+    )
 
 
 @_register(

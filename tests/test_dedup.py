@@ -2,13 +2,13 @@
 the real sf0.001 documents/embeddings tables."""
 
 import os
-import zlib
 
 import numpy as np
 import pytest
 
 from pyspark.sql import functions as F
 
+from spark_ml_spatialjointransformer_spark.functions.hashing import h60_py
 from spark_ml_spatialjointransformer_spark.operators import dedup, similarity
 from spark_ml_spatialjointransformer_spark.sources.tables import load_table
 
@@ -27,7 +27,7 @@ def py_shingles(text: str, n: int = 3) -> set[str]:
 
 
 def py_minhash(text: str, k: int = 64, n: int = 3) -> list[int]:
-    hashes = {zlib.crc32(s.encode()) for s in py_shingles(text, n)}
+    hashes = {h60_py(s) % dedup.MINHASH_PRIME for s in py_shingles(text, n)}
     if not hashes:
         return []
     return [
@@ -37,7 +37,7 @@ def py_minhash(text: str, k: int = 64, n: int = 3) -> list[int]:
 
 
 def py_token_hash60(t: str) -> int:
-    return zlib.crc32(t.encode()) | ((zlib.crc32((t + "#").encode()) & ((1 << 28) - 1)) << 32)
+    return h60_py(t)
 
 
 def py_simhash(text: str) -> int:

@@ -1,11 +1,10 @@
 """Multimodal plumbing + Structured Streaming operators on real testdata."""
 
-import zlib
-
 import pytest
 
 from pyspark.sql import functions as F
 
+from spark_ml_spatialjointransformer_spark.functions.hashing import h60_py
 from spark_ml_spatialjointransformer_spark.operators import multimodal
 from spark_ml_spatialjointransformer_spark.sources.tables import load_events, load_table
 from spark_ml_spatialjointransformer_spark.streaming import windowed
@@ -35,7 +34,7 @@ class TestMultimodal:
         ]
         assert row.content_meta.mime == "text/plain"
         assert row.content_meta.n_bytes == len(bytes(row.content))
-        assert row.content_meta.checksum == zlib.crc32(bytes(row.content))
+        assert row.content_meta.checksum == h60_py(bytes(row.content))
 
     def test_extract_features_deterministic(self, spark, binary_docs):
         out = multimodal.extract_features(binary_docs, "content", dim=8)

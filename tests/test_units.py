@@ -213,3 +213,32 @@ class TestCentroid:
         # segments: (0,0)-(2,0) w=2 mid (1,0); (2,0)-(2,1) w=1 mid (2,0.5)
         assert cx == pytest.approx((2 * 1 + 1 * 2) / 3)
         assert cy == pytest.approx((2 * 0 + 1 * 0.5) / 3)
+
+
+def test_h60_three_forms_agree():
+    """functions/hashing.py: the Spark, DuckDB, and Python forms of the
+    60-bit md5 hash are pinned to the same golden values (the cross-engine
+    contract every LSH oracle depends on)."""
+    import duckdb
+
+    from spark_ml_spatialjointransformer_spark.functions.hashing import h60_py, h60_sql
+
+    goldens = {
+        "abc": 648541476951500027,
+        "": 955282973525019424,
+        "hello world": 426544247714475757,
+    }
+    con = duckdb.connect()
+    for s, want in goldens.items():
+        assert h60_py(s) == want
+        assert con.execute(f"SELECT {h60_sql('?')}", [s]).fetchone()[0] == want
+
+
+def test_h60_spark_column(spark):
+    from pyspark.sql import functions as F
+
+    from spark_ml_spatialjointransformer_spark.functions.hashing import h60_col, h60_py
+
+    df = spark.createDataFrame([("abc",), ("hello world",), ("",)], "s string")
+    for r in df.select("s", h60_col(F.col("s")).alias("h")).collect():
+        assert r.h == h60_py(r.s), r.s
