@@ -454,11 +454,20 @@ def spatial_join(
     """
     ensure_udf_portability()
     op = plan.op
-    if plan.strategy == "partitioned" and op != "withindist":
+    if plan.strategy == "partitioned" and op not in ("withindist", "nearest"):
         raise ValueError(
-            "strategy='partitioned' supports only 'withindist n' "
+            "strategy='partitioned' supports only 'withindist n' and 'nearest' "
             f"(got predicate {plan.predicate!r})"
         )
+    if plan.strategy == "partitioned" and op == "nearest":
+        if plan.condition:
+            raise ValueError(
+                "strategy='partitioned' nearest does not support an extra condition"
+            )
+        if plan.external_side.is_wkt or plan.input_side.is_wkt:
+            raise ValueError(
+                "strategy='partitioned' nearest requires point geometry on both sides"
+            )
     if op == "withindist" and plan.radius_meters <= 0:
         raise ValueError(
             "withindist requires a positive radius in meters, e.g. "
@@ -494,6 +503,10 @@ def spatial_join(
         par = input_df.sparkSession.sparkContext.defaultParallelism
         if left.rdd.getNumPartitions() < par:
             left = left.repartition(par)
+
+    if op == "nearest" and plan.strategy == "partitioned":
+        # big×big kNN: grid cells + radius-expansion rounds, no broadcast
+        return _partitioned_nearest_route(left, right, lt, rt, plan, input_cols)
 
     if op == "nearest" and not plan.condition:
         # fast path: vectorized broadcast-kNN, no join/shuffle at all
@@ -636,6 +649,58 @@ def spatial_join(
         for side, idx, name in out_items
     ]
     return joined.groupBy("__sjt_lid").agg(*aggs).select(*final)
+
+
+def _partitioned_nearest_route(
+    left: DataFrame,
+    right: DataFrame,
+    lt: str,
+    rt: str,
+    plan: SpatialJoinPlan,
+    input_cols: list[str],
+) -> DataFrame:
+    """Adapter from the plan surface to operators/knn.partitioned_nearest:
+    routes payload/tie-break columns per join direction and restores the
+    contract output order (input cols ++ data cols ++ distance)."""
+    from spark_ml_spatialjointransformer_spark.operators.knn import (
+        partitioned_nearest,
+    )
+
+    if lt == "i":
+        left_ids = list(input_cols)
+        right_pay = [f"{EXT_PREFIX}{n}" for n, _ in plan.data_columns]
+        out_names = list(input_cols) + [a for _, a in plan.data_columns]
+        tb = [f"{EXT_PREFIX}{c}" for c in plan.tie_break]
+    else:
+        left_ids = [f"{EXT_PREFIX}{n}" for n, _ in plan.data_columns]
+        right_pay = list(input_cols)
+        out_names = [a for _, a in plan.data_columns] + list(input_cols)
+        tb = list(plan.tie_break)
+
+    if plan.distance_kernel == "haversine":
+        dist_fn = haversine_expr
+    else:
+        _geo = geodesic_distance_udf()
+
+        def dist_fn(a, b, c, d):  # noqa: ANN001 — Column quadruple
+            return _geo(a, b, c, d)
+
+    res = partitioned_nearest(
+        left,
+        right,
+        left_ids,
+        (f"__sjt_{lt}_gx", f"__sjt_{lt}_gy"),
+        right_pay,
+        (f"__sjt_{rt}_gx", f"__sjt_{rt}_gy"),
+        tb,
+        dist_fn,
+        plan.distance_column,
+        out_names,
+    )
+    order = list(input_cols) + [a for _, a in plan.data_columns]
+    if plan.distance_column:
+        order.append(plan.distance_column)
+    return res.select(*order)
 
 
 def _knn_kernel(kernel: str):

@@ -102,17 +102,17 @@ _SUPP_RECT_CTE = (
 # spatial joins (SURVEY §2 J-rows)
 # ---------------------------------------------------------------------------
 
-@_register(
-    "j7_nearest_supplier",
-    f"""
+_J7_ORACLE = f"""
 WITH {_GEO_CTE},
 p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d FROM c CROSS JOIN s),
 r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
       FROM p)
 SELECT c_custkey, s_suppkey AS supp_key, CAST(round(d) AS INTEGER) AS dist_m
 FROM r WHERE rn = 1
-""",
-)
+"""
+
+
+@_register("j7_nearest_supplier", _J7_ORACLE)
 def j7_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 nearest (+P3 distance column): per-customer nearest supplier.
     External (suppliers) broadcast, customers iterated — the scale-correct
@@ -182,6 +182,29 @@ def j11_withindist_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         distance_column="dist_m",
         broadcast_input=False,
         distance_kernel="haversine",
+        strategy="partitioned",
+    )
+    return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")
+
+
+@_register("j12_nearest_partitioned", _J7_ORACLE)
+def j12_nearest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The j7 kNN under strategy='partitioned': grid-cell bucketing +
+    radius-expansion rounds, neither side broadcast (operators/knn.py) —
+    the beyond-reference scale path lifting the reference's broadcast
+    memory bound for big×big nearest joins.  Same oracle as j7: hash
+    equality proves the iterative grid search returns the true nearest."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("s_suppkey",),
         strategy="partitioned",
     )
     return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")

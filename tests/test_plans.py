@@ -95,9 +95,11 @@ def test_partitioned_strategy_shuffles_and_matches_broadcast(spark):
     assert got == expected
     assert len(got) > 0
 
+    # nearest gained a partitioned strategy (operators/knn.py); the other
+    # index predicates still require the broadcast contract
     with pytest.raises(ValueError, match="partitioned"):
         spatial_join(
-            cust, supp, SpatialJoinPlan(predicate="nearest", strategy="partitioned", **base)
+            cust, supp, SpatialJoinPlan(predicate="within", strategy="partitioned", **base)
         )
 
 

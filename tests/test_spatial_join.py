@@ -476,3 +476,90 @@ def test_withindist_huge_radius_lat_only_binning(spark):
     out = t.transform(input_df(spark, [("i1", -175.0, 5.0)]))
     rows = {r[0:3] + (r[3],) for r in out.collect()}
     assert {r[3] for r in rows} == {"d1", "d2"}
+
+
+class TestPartitionedNearest:
+    """operators/knn.py: big×big kNN without broadcast."""
+
+    def _plans(self):
+        from spark_ml_spatialjointransformer_spark.plans.config import (
+            PointColumns,
+            SideConfig,
+            SpatialJoinPlan,
+        )
+
+        P = SideConfig(point_columns=PointColumns("lon", "lat"))
+        mk = lambda strat: SpatialJoinPlan(  # noqa: E731
+            predicate="nearest",
+            external_side=P,
+            input_side=P,
+            data_columns=(("s_suppkey", "supp_key"),),
+            distance_column="dist_m",
+            broadcast_input=False,
+            distance_kernel="haversine",
+            tie_break=("s_suppkey",),
+            strategy=strat,
+        )
+        return mk("broadcast"), mk("partitioned")
+
+    def test_matches_broadcast_without_broadcast_joins(self, spark):
+        """Hash-equal to the broadcast kNN even with broadcast joins
+        DISABLED — the operator must not depend on either side fitting in
+        memory (the whole point of the partitioned strategy)."""
+        from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+            spatial_join,
+        )
+        from spark_ml_spatialjointransformer_spark.sources.tables import (
+            customers_geo,
+            suppliers_geo,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        cust = customers_geo(spark, sf).select("c_custkey", "lon", "lat")
+        supp = suppliers_geo(spark, sf)
+        bc_plan, part_plan = self._plans()
+        expected = sorted(tuple(r) for r in spatial_join(cust, supp, bc_plan).collect())
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            got_df = spatial_join(cust, supp, part_plan)
+            got = sorted(tuple(r) for r in got_df.collect())
+            assert "BroadcastNestedLoop" not in got_df._jdf.queryExecution().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert got == expected
+        assert len(got) == cust.count()  # cardinality == iterated side
+
+    def test_validation(self, spark):
+        from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+            spatial_join,
+        )
+        from spark_ml_spatialjointransformer_spark.plans.config import (
+            PointColumns,
+            SideConfig,
+            SpatialJoinPlan,
+        )
+
+        P = SideConfig(point_columns=PointColumns("lon", "lat"))
+        W = SideConfig(wkt_column="wkt")
+        df = input_df(spark, SMOKE_INPUT)
+        with pytest.raises(ValueError, match="extra condition"):
+            spatial_join(
+                df,
+                df,
+                SpatialJoinPlan(
+                    predicate="nearest", external_side=P, input_side=P,
+                    data_columns=(("id", "id2"),), condition="left.id != right.id",
+                    strategy="partitioned",
+                ),
+            )
+        with pytest.raises(ValueError, match="point geometry"):
+            spatial_join(
+                df,
+                df,
+                SpatialJoinPlan(
+                    predicate="nearest", external_side=W, input_side=P,
+                    data_columns=(("id", "id2"),), strategy="partitioned",
+                ),
+            )
