@@ -421,11 +421,71 @@ def ngram_jaccard_pairs(
 def dedup_assign_keeper(pairs: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
     """One-hop keeper assignment: every id appearing as ``id_b`` in a
     duplicate pair maps to the minimum ``id_a`` it pairs with; others keep
-    themselves.  (Full transitive closure needs iterative label propagation
-    — see docstring note; one hop is the standard first-pass dedup.)"""
+    themselves.  (``dedup_connected_components`` is the transitive-closure
+    pass; one hop is the standard cheap first-pass dedup.)"""
     keep = pairs.groupBy(F.col("id_b").alias(id_col)).agg(F.min("id_a").alias("keeper"))
     return (
         ids.join(keep, id_col, "left")
         .withColumn("keeper", F.coalesce("keeper", F.col(id_col)))
         .withColumn("is_dup", F.col("keeper") != F.col(id_col))
+    )
+
+
+def dedup_connected_components(
+    pairs: DataFrame, ids: DataFrame, id_col: str, max_iters: int = 20
+) -> DataFrame:
+    """Transitive-closure keeper assignment: every document in a connected
+    component of the near-dup pair graph maps to the component's MINIMUM id
+    (one-hop keeper assignment can give chain members A≈B≈C different
+    keepers; this is the real pipeline's final dedup pass).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels (one equi-join + one partial-
+    aggregatable min per round — only (node, label) longs shuffle, never
+    documents), checkpointed per round, stopping at the fixpoint.  Round
+    count is bounded by the component diameter — near-dup components are
+    shallow stars/chains in practice; for adversarial graphs the log-round
+    large-star/small-star variant (Kiveris et al., "Connected Components in
+    MapReduce") swaps in behind the same signature.
+
+    Output: (id_col, keeper, is_dup) — one row per id in ``ids``.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("__a"), F.col("id_b").alias("__b"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("__a"), F.col("id_a").alias("__b"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    labels = (
+        ids.select(F.col(id_col).alias("__v"))
+        .withColumn("__lbl", F.col("__v"))
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, F.col("__a") == F.col("__v"))
+            .select(F.col("__b").alias("__v"), F.col("__lbl"))
+            .groupBy("__v")
+            .agg(F.min("__lbl").alias("__nbr"))
+        )
+        merged = (
+            labels.join(nbr, "__v", "left")
+            .withColumn("__new", F.least("__lbl", "__nbr"))
+            .repartition(par)
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.where(F.col("__new") != F.col("__lbl")).count()
+        labels = merged.select("__v", F.col("__new").alias("__lbl"))
+        if changed == 0:
+            break
+    return (
+        ids.join(labels, ids[id_col] == labels["__v"])
+        .select(
+            F.col(id_col),
+            F.col("__lbl").alias("keeper"),
+            (F.col("__lbl") != F.col(id_col)).alias("is_dup"),
+        )
     )

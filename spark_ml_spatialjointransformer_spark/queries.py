@@ -778,6 +778,53 @@ def t9_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_assign_keeper(pairs.select("id_a", "id_b"), ids, "doc_id")
 
 
+_T11_ORACLE = f"""
+WITH RECURSIVE {_TOK_SH_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(round(inter * 1000000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) >= 600000
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(v, u) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN edges e ON e.a = r.u
+),
+k AS (SELECT v AS doc_id, min(u) AS keeper FROM reach GROUP BY v)
+SELECT d.doc_id, k.keeper, k.keeper != d.doc_id AS is_dup
+FROM documents d JOIN k USING (doc_id)
+"""
+
+
+@_register("t11_dedup_closure", _T11_ORACLE)
+def t11_dedup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup: exact trigram Jaccard ≥ 0.6 pairs →
+    min-label propagation to fixpoint, so every member of a near-dup
+    CHAIN (A≈B≈C with A,C not directly similar) maps to one keeper —
+    the fix for t9's one-hop limitation.  The DuckDB oracle computes the
+    same closure as a recursive reachability CTE."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        dedup_connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    return dedup_connected_components(
+        pairs.select("id_a", "id_b"), docs.select("doc_id"), "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # vector similarity (embeddings table)
 # ---------------------------------------------------------------------------

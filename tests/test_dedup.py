@@ -237,3 +237,54 @@ def test_brute_force_topk_matches_numpy(spark, emb_np):
             key=lambda v: (-sims[id_to_ix[v]], v),
         )
         assert neighbors == order[:5], qid
+
+
+def test_connected_components_chain(spark):
+    """A≈B≈C chains collapse to one keeper even when the endpoints are not
+    directly paired — the case one-hop assignment gets wrong."""
+    pairs = spark.createDataFrame(
+        [(5, 7), (7, 9), (2, 3), (9, 11)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in [2, 3, 5, 7, 9, 11, 20]], "doc_id long")
+    out = {
+        r.doc_id: (r.keeper, r.is_dup)
+        for r in dedup.dedup_connected_components(pairs, ids, "doc_id").collect()
+    }
+    assert out == {
+        2: (2, False),
+        3: (2, True),
+        5: (5, False),
+        7: (5, True),
+        9: (5, True),
+        11: (5, True),
+        20: (20, False),
+    }
+
+
+def test_connected_components_vs_union_find(spark, docs_pd):
+    """Real t5 pair graph at sf0.001 vs an independent python union-find."""
+    docs = load_table(spark, SF, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.4)
+    pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    got = {
+        r.doc_id: r.keeper
+        for r in dedup.dedup_connected_components(
+            pairs.select("id_a", "id_b"), docs.select("doc_id"), "doc_id"
+        ).collect()
+    }
+
+    parent: dict[int, int] = {int(d): int(d) for d in docs_pd.doc_id}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in parent}
+    assert got == expected
+    assert any(k != d for d, k in got.items())  # non-trivial components exist
