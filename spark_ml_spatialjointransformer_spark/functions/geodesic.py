@@ -150,6 +150,11 @@ def haversine_expr(lon1, lat1, lon2, lat2):
     sdlat = F.sin((F.radians(lat2) - F.radians(lat1)) / 2)
     sdlon = F.sin((F.radians(lon2) - F.radians(lon1)) / 2)
     h = sdlat * sdlat + F.cos(rlat1) * F.cos(rlat2) * sdlon * sdlon
+    # clamp to [0, 1]: near-antipodal pairs can round h a hair above 1 and
+    # asin(sqrt(h)) would go NaN (ANSI mode then errors the downstream
+    # round().cast); haversine_np clips the same way, and haversine_sql
+    # mirrors the clamp so both engines keep identical formula trees
+    h = F.least(F.lit(1.0), F.greatest(F.lit(0.0), h))
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(h))
 
 
@@ -164,4 +169,5 @@ def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     sdlat = f"sin((radians({lat2}) - radians({lat1})) / 2)"
     sdlon = f"sin((radians({lon2}) - radians({lon1})) / 2)"
     h = f"({sdlat} * {sdlat} + cos({rlat1}) * cos({rlat2}) * {sdlon} * {sdlon})"
+    h = f"least(1.0, greatest(0.0, {h}))"  # same clamp as haversine_expr
     return f"({2.0 * EARTH_RADIUS_M!r} * asin(sqrt({h})))"

@@ -30,7 +30,7 @@ from typing import Optional
 Coords = list[tuple[float, float]]
 
 _NUM = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eEdD][-+]?\d+)?")
-_HEAD = re.compile(r"^\s*([A-Za-z]+)\s*(?:Z|M|ZM)?\s*(\(|EMPTY)", re.IGNORECASE)
+_HEAD = re.compile(r"^\s*([A-Za-z]+)\s*(Z|M|ZM)?\s*(\(|EMPTY)", re.IGNORECASE)
 
 
 class Geometry:
@@ -97,9 +97,14 @@ def parse_wkt(wkt: Optional[str]) -> Optional[Geometry]:
     if not m:
         return None
     tag = m.group(1).upper()
-    if m.group(2).upper() == "EMPTY":
+    if m.group(2):
+        # 3-/4-D WKT (Z/M/ZM): the flat coordinate pairing below would
+        # silently corrupt coordinates — reject as out of the documented
+        # 2-D scope (→ null geometry, row dropped by inner-join semantics)
         return None
-    body = wkt[m.end(2) - 1 :]
+    if m.group(3).upper() == "EMPTY":
+        return None
+    body = wkt[m.end(3) - 1 :]
     outer_groups = _split_groups(body)
     if not outer_groups:
         return None

@@ -759,7 +759,16 @@ def _broadcast_knn(
     ).collect()
     npay = len(pay_src)
     if tb:
-        rows = sorted(rows, key=lambda r: tuple(r[npay + 2 + i] for i in range(len(tb))))
+        # None-safe sort key, nulls FIRST — matching the SQL null ordering
+        # of the min-struct aggregate path (a bare tuple key would raise
+        # TypeError on None vs non-None comparisons)
+        rows = sorted(
+            rows,
+            key=lambda r: tuple(
+                (r[npay + 2 + i] is not None, r[npay + 2 + i])
+                for i in range(len(tb))
+            ),
+        )
     r_lon = np.array([r[npay] for r in rows], dtype=np.float64)
     r_lat = np.array([r[npay + 1] for r in rows], dtype=np.float64)
     r_payload = {

@@ -242,3 +242,84 @@ def test_h60_spark_column(spark):
     df = spark.createDataFrame([("abc",), ("hello world",), ("",)], "s string")
     for r in df.select("s", h60_col(F.col("s")).alias("h")).collect():
         assert r.h == h60_py(r.s), r.s
+
+
+def test_parse_wkt_rejects_3d():
+    """Z/M/ZM WKT would pair the flat number list wrongly — must parse to
+    None (null geometry → row dropped), not corrupted 2-D coordinates."""
+    from spark_ml_spatialjointransformer_spark.functions.geometry import parse_wkt
+
+    assert parse_wkt("LINESTRING Z (0 0 1, 1 1 2)") is None
+    assert parse_wkt("POINT M (1 2 3)") is None
+    assert parse_wkt("POLYGON ZM ((0 0 1 2, 1 0 1 2, 0 1 1 2, 0 0 1 2))") is None
+    assert parse_wkt("LINESTRING (0 0, 1 1)") is not None  # 2-D still fine
+
+
+def test_haversine_clamped_near_antipodal(spark):
+    """Antipodal pairs must yield ~pi*R meters, never NaN, in all three
+    haversine forms (numpy / Column / SQL)."""
+    import duckdb
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_spatialjointransformer_spark.functions.geodesic import (
+        EARTH_RADIUS_M,
+        haversine_expr,
+        haversine_np,
+        haversine_sql,
+    )
+
+    cases = [(0.0, 0.0, 180.0, 0.0), (45.0, 45.0, -135.0, -45.0)]
+    df = spark.createDataFrame(cases, "a double, b double, c double, d double")
+    got = df.select(
+        haversine_expr(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
+    ).collect()
+    con = duckdb.connect()
+    for (lon1, lat1, lon2, lat2), row in zip(cases, got):
+        want = float(haversine_np(lon1, lat1, lon2, lat2))
+        assert not math.isnan(row.m)
+        assert row.m == pytest.approx(want)
+        assert row.m == pytest.approx(math.pi * EARTH_RADIUS_M, rel=1e-6)
+        sql = haversine_sql(str(lon1), str(lat1), str(lon2), str(lat2))
+        assert con.execute(f"SELECT {sql}").fetchone()[0] == pytest.approx(want)
+
+
+def test_broadcast_knn_null_tiebreak(spark):
+    """A NULL in a tie-break column must not crash the nearest fast path's
+    broadcast collect+sort (None-safe sort key, nulls first)."""
+    from pyspark.sql import types as T
+
+    from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from spark_ml_spatialjointransformer_spark.plans.config import (
+        PointColumns,
+        SideConfig,
+        SpatialJoinPlan,
+    )
+
+    P = SideConfig(point_columns=PointColumns("lon", "lat"))
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType(), True),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+        ]
+    )
+    ext = spark.createDataFrame(
+        [(None, 1.0, 1.0), ("b", 1.0, 1.0), ("a", 5.0, 5.0)], schema
+    )
+    inp = spark.createDataFrame([("q", 1.01, 1.01)], schema)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=P,
+        input_side=P,
+        data_columns=(("name", "poi_name"),),
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("name",),
+    )
+    rows = spatial_join(inp, ext, plan).collect()
+    assert len(rows) == 1
+    assert rows[0].poi_name is None  # nulls-first tie-break won the tie
