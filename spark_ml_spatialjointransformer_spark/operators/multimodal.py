@@ -122,20 +122,37 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {c: [] for c in keep}
-            idxs: list[int] = []
-            frames: list[bytes] = []
-            for _, row in pdf.iterrows():
-                data = row[binary_col]
-                data = data if isinstance(data, bytes) else bytes(data or b"")
-                n = max(1, (len(data) + frame_bytes - 1) // frame_bytes)
-                for fi in range(0, n, stride):
-                    for c in keep:
-                        rows[c].append(row[c])
-                    idxs.append(fi)
-                    frames.append(data[fi * frame_bytes : (fi + 1) * frame_bytes])
-            out = pd.DataFrame(rows | {"frame_idx": idxs, "frame": frames})
-            yield out
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                b if isinstance(b, bytes) else bytes(b or b"")
+                for b in pdf[binary_col]
+            ]
+            # frames per row, then one np.repeat for ALL keep-columns —
+            # iterrows would walk python objects row-at-a-time in the hot
+            # one-to-many explosion
+            counts = np.array(
+                [
+                    len(range(0, max(1, (len(d) + frame_bytes - 1) // frame_bytes), stride))
+                    for d in payloads
+                ],
+                dtype=np.int64,
+            )
+            rep = np.repeat(np.arange(len(pdf)), counts)
+            idxs = np.concatenate(
+                [
+                    np.arange(0, max(1, (len(d) + frame_bytes - 1) // frame_bytes), stride)
+                    for d in payloads
+                ]
+            ) if len(pdf) else np.array([], dtype=np.int64)
+            frames = [
+                payloads[ri][fi * frame_bytes : (fi + 1) * frame_bytes]
+                for ri, fi in zip(rep, idxs)
+            ]
+            out = {c: pdf[c].to_numpy()[rep] for c in keep}
+            out["frame_idx"] = idxs.astype(np.int32)
+            out["frame"] = frames
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=out_schema)
 

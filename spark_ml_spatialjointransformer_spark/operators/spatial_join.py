@@ -519,7 +519,9 @@ def spatial_join(
         None if op == "withindist" else _bbox_condition(op, lt, rt)
     )
     if plan.condition:
-        extra = F.expr(rewrite_condition(plan.condition, EXT_PREFIX))
+        rewritten = rewrite_condition(plan.condition, EXT_PREFIX)
+        _validate_condition_syntax(input_df, rewritten, plan.condition)
+        extra = F.expr(rewritten)
         cond = extra if cond is None else (cond & extra)
 
     if op == "withindist":
@@ -649,6 +651,25 @@ def spatial_join(
         for side, idx, name in out_items
     ]
     return joined.groupBy("__sjt_lid").agg(*aggs).select(*final)
+
+
+def _validate_condition_syntax(df: DataFrame, rewritten: str, original: str) -> None:
+    """Config-time failure parity: the reference rejects bad ``condition``
+    strings when the plan is built (IllegalArgumentException,
+    BroadcastSpatialJoin.scala:531).  ``F.expr`` defers parsing to analysis,
+    so force a parse here; on backends without the classic parser handle the
+    failure still surfaces at analysis (best-effort early check)."""
+    try:
+        parser = df.sparkSession._jsparkSession.sessionState().sqlParser()
+    except Exception:
+        return
+    try:
+        parser.parseExpression(rewritten)
+    except Exception as e:
+        raise ValueError(
+            f"invalid condition {original!r}: "
+            "not parseable as a SQL boolean expression"
+        ) from e
 
 
 def _partitioned_nearest_route(

@@ -563,3 +563,13 @@ class TestPartitionedNearest:
                     data_columns=(("id", "id2"),), strategy="partitioned",
                 ),
             )
+
+
+def test_invalid_condition_fails_at_plan_build(spark):
+    """Garbage `condition` strings fail when the plan compiles (reference
+    parity: IllegalArgumentException at config time,
+    BroadcastSpatialJoin.scala:531), not when Catalyst analyzes the job."""
+    poi = poi_df(spark, SMOKE_POI)
+    t = make_transformer(poi).setJoinCondition("this is !! not sql ((")
+    with pytest.raises(ValueError, match="invalid condition"):
+        t.transform(input_df(spark, SMOKE_INPUT))
