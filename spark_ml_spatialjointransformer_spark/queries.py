@@ -332,6 +332,39 @@ def j8_theta_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "j13_withindist_wkt",
+    f"""
+WITH {_GEO_CTE},
+{_NATION_RECT_CTE},
+nc AS (SELECT n_nationkey, (x0 + x1) / 2 AS lon, (y0 + y1) / 2 AS lat FROM n),
+p AS (SELECT c.c_custkey, nc.n_nationkey,
+             {haversine_sql('c.lon', 'c.lat', 'nc.lon', 'nc.lat')} AS d
+      FROM c CROSS JOIN nc)
+SELECT c_custkey, n_nationkey AS nat_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM p WHERE CAST(round(d) AS INTEGER) <= 1500000
+""",
+)
+def j13_withindist_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withindist with a WKT polygon side: distance is between CENTROIDS
+    (reference semantics, SpatialJoin.scala:32-40) — customers within
+    1500 km of each nation rectangle's centroid.  Exercises the WKT
+    centroid UDF and the latitude-only binning path (longitude binning is
+    point×point only) through the value-level gate."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    nations = nations_rect(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="withindist 1500000",
+        external_side=_WKT,
+        input_side=_POINT,
+        data_columns=(("n_nationkey", "nat_key"),),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+    )
+    return spatial_join(cust, nations, plan).select("c_custkey", "nat_key", "dist_m")
+
+
+@_register(
     "j9_nearest_customer_per_supplier",
     f"""
 WITH {_GEO_CTE},
@@ -825,6 +858,74 @@ def t11_dedup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T12_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {h60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 100
+"""
+
+
+@_register("t12_stratified_sample", _T12_ORACLE)
+def t12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: first 100 docs per language in
+    (h60(doc_id), doc_id) order — a reproducible pseudo-random quota per
+    stratum (training-mixture construction), engine-independent unlike
+    RNG-based sampleBy."""
+    from spark_ml_spatialjointransformer_spark.operators.sampling import (
+        stratified_take,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_take(docs, "lang", "doc_id", 100)
+
+
+_T13_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(tokens_before / 2048.0) AS BIGINT) AS window_id,
+       tokens_before % 2048 AS offset
+FROM c
+"""
+
+
+@_register("t13_sequence_packing", _T13_ORACLE)
+def t13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (concat-then-chunk, 2048-token windows): each
+    doc's window id + offset in the virtual token stream.  The Spark plan
+    runs the two-level distributed prefix sum (operators/sampling.py); the
+    oracle is the equivalent single global window formula."""
+    from spark_ml_spatialjointransformer_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    t = F.trim(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", window_tokens=2048)
+
+
 # ---------------------------------------------------------------------------
 # vector similarity (embeddings table)
 # ---------------------------------------------------------------------------
@@ -1212,6 +1313,40 @@ def e3_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.round(F.col("total_value") * 10000).cast("bigint").alias("total_value_e4"),
         )
+    )
+
+
+_E5_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("e5_stream_dedup", _E5_ORACLE)
+def e5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the events source unioned with itself (every
+    event delivered twice — the at-least-once replay scenario) through
+    ``dropDuplicatesWithinWatermark`` on event_id; aggregating the deduped
+    sink must reproduce the single-copy batch aggregate exactly."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        deduped_events_stream,
+        run_to_memory,
+    )
+
+    name = "q_e5_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = run_to_memory(
+        deduped_events_stream(spark, f"{sf_dir}/events.parquet"),
+        name,
+        output_mode="append",
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
     )
 
 

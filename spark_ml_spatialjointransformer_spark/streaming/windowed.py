@@ -130,6 +130,24 @@ def sessionized_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deduped_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: two readStream copies of the events source
+    are unioned (every event arrives twice — the kafka at-least-once /
+    replay scenario) and ``dropDuplicatesWithinWatermark`` keeps the first
+    occurrence per ``event_id``.
+
+    The watermark bounds the dedup state: an id is remembered only until
+    the watermark passes its event time, so state is O(events per watermark
+    window) instead of O(all history) — the property that makes streaming
+    dedup viable at cluster scale (RocksDB-backed state).  The duplicate
+    copies here arrive in the same trigger, well inside any watermark, so
+    the dedup is exact and the batch DISTINCT oracle must match."""
+    doubled = events_stream(spark, sf_dir).unionByName(events_stream(spark, sf_dir))
+    return doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
