@@ -1316,6 +1316,142 @@ def e3_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P1_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, source, text,
+         md5(array_to_string(list_sort(str_split(text, ' ')), ' ')) AS fp
+  FROM documents WHERE lang = 'en'
+),
+k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM f),
+d AS (SELECT doc_id, source, text FROM k WHERE doc_id = keeper),
+r AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {h60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS rn
+  FROM d
+),
+s AS (SELECT doc_id, source, text FROM r WHERE rn <= 50),
+t AS (
+  SELECT doc_id, source,
+         CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+              AS BIGINT) AS n_tokens
+  FROM s
+),
+c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(before / 1024.0) AS BIGINT) AS window_id,
+       before % 1024 AS offset
+FROM c
+"""
+
+
+@_register("p1_training_pipeline", _P1_ORACLE)
+def p1_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline COMPOSITION — the workflow the
+    individual operators exist for, verified as one chained plan:
+    language filter → exact dedup (token-multiset fingerprint, keep the
+    minimum id per group) → deterministic stratified sample (50 per
+    source) → context-window packing (1024-token windows)."""
+    from pyspark.sql.window import Window
+
+    from spark_ml_spatialjointransformer_spark.operators.sampling import (
+        pack_sequences,
+        stratified_take,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    fp = F.md5(F.array_join(F.sort_array(F.split(F.col("text"), " ")), " "))
+    deduped = (
+        docs.withColumn("__fp", fp)
+        .withColumn("__keeper", F.min("doc_id").over(Window.partitionBy("__fp")))
+        .where(F.col("doc_id") == F.col("__keeper"))
+        .select("doc_id", "source", "text")
+    )
+    sampled = stratified_take(deduped, "source", "doc_id", 50).drop("rn")
+    t = F.trim(F.col("text"))
+    with_tokens = sampled.select(
+        "doc_id",
+        "source",
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(with_tokens, "doc_id", "n_tokens", window_tokens=1024)
+
+
+_V4_ORACLE = f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) - 1 AS i FROM e),
+q AS (SELECT vec_id, i, CAST(floor(v * 100000.0 + 0.5) AS BIGINT) AS qv FROM u),
+p AS (SELECT j, i, ((j * 73856093 + i * 19349663 + 83492791) % 2039) % 17 - 8 AS pv
+      FROM range(12) t1(j) CROSS JOIN range(64) t2(i)),
+d AS (SELECT q.vec_id, p.j, sum(q.qv * p.pv) AS dot
+      FROM q JOIN p ON p.i = q.i GROUP BY q.vec_id, p.j),
+b AS (SELECT vec_id,
+       sum(CASE WHEN j >= 0 AND j < 6 AND dot > 0
+           THEN CAST(1 AS BIGINT) << (j - 0) ELSE 0 END) AS k0,
+       sum(CASE WHEN j >= 6 AND j < 12 AND dot > 0
+           THEN CAST(1 AS BIGINT) << (j - 6) ELSE 0 END) AS k1
+      FROM d GROUP BY vec_id),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id),
+cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM b x JOIN b y ON x.vec_id < y.vec_id
+         WHERE x.k0 = y.k0 OR x.k1 = y.k1),
+dp AS (SELECT c.id_a, c.id_b, sum(ua.v * ub.v) AS dot
+       FROM cand c
+       JOIN u ua ON ua.vec_id = c.id_a
+       JOIN u ub ON ub.vec_id = c.id_b AND ub.i = ua.i
+       GROUP BY c.id_a, c.id_b),
+pairs AS (
+  SELECT dp.id_a, dp.id_b
+  FROM dp
+  JOIN nrm na ON na.vec_id = dp.id_a
+  JOIN nrm nb ON nb.vec_id = dp.id_b
+  WHERE na.nm > 0 AND nb.nm > 0
+    AND CAST(round(dp.dot / (na.nm * nb.nm) * 1000000) AS BIGINT) >= 900000
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(v, u2) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.v, eg.b FROM reach r JOIN edges eg ON eg.a = r.u2
+),
+k AS (SELECT v AS vec_id, min(u2) AS keeper FROM reach GROUP BY v)
+SELECT em.vec_id, k.keeper, k.keeper != em.vec_id AS is_dup
+FROM embeddings em JOIN k USING (vec_id)
+"""
+
+
+@_register("v4_embedding_dedup", _V4_ORACLE)
+def v4_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup end-to-end: quantized SRP-LSH candidate pairs
+    at cosine ≥ 0.9 → transitive-closure keeper assignment over the vector
+    ids — the multimodal twin of the text dedup pipeline (t5 → t11),
+    composed from v2's LSH and t11's label propagation."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        dedup_connected_components,
+    )
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.9,
+        n_planes=6, bands=2, quantized=True,
+    )
+    return dedup_connected_components(
+        pairs.select("id_a", "id_b"), emb.select("vec_id"), "vec_id"
+    )
+
+
 _E5_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
