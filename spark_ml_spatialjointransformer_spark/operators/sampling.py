@@ -56,28 +56,50 @@ def pack_sequences(
     in (``window_id``) plus its offset inside that window.
 
     Scale shape: a single global cumulative sum would serialize on one
-    partition, so this runs the classic TWO-LEVEL prefix sum —
-    range-partition by id, partition-local running totals, plus an
-    exclusive per-partition prefix (a tiny aggregate over #partitions rows)
-    broadcast back.  The result is identical to the global formula
-    (windows don't respect document boundaries; documents spanning windows
-    is intended concat-then-chunk semantics).
+    partition, so this runs the classic TWO-LEVEL prefix sum — ONE shuffle
+    total: range-partition by id, then a partition-LOCAL exclusive running
+    sum (Arrow pass over the sorted partition — a Window keyed on the
+    physical partition id would force a second full-data hash exchange,
+    because the optimizer cannot prove range partitioning already clusters
+    it), plus an exclusive per-partition prefix (a tiny aggregate over
+    #partitions rows) broadcast back.  The result is identical to the
+    global formula and invariant to the partition count (property-tested);
+    documents spanning windows is intended concat-then-chunk semantics.
+
+    Callers should project to the columns they need before packing — every
+    input column rides through the Arrow pass.
 
     Output: input columns ++ (window_id, offset).
     """
+    import numpy as np
+    from pyspark.sql import types as T
+
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    local = df.repartitionByRange(n_parts, id_col).withColumn(
-        "__part", F.spark_partition_id()
+    base = df.repartitionByRange(n_parts, id_col).sortWithinPartitions(id_col)
+    mid_schema = T.StructType(
+        list(base.schema.fields)
+        + [
+            T.StructField("__part", T.IntegerType()),
+            T.StructField("__local_excl", T.LongType()),
+        ]
     )
-    w_local = (
-        Window.partitionBy("__part")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = local.withColumn(
-        "__local_excl",
-        F.coalesce(F.sum(n_tokens_col).over(w_local), F.lit(0)).cast("bigint"),
+
+    def local_cumsum(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for pdf in batches:
+            tok = pdf[n_tokens_col].to_numpy(dtype="int64")
+            excl = run + np.concatenate(([0], np.cumsum(tok[:-1]))) if len(tok) else tok
+            run += int(tok.sum())
+            yield pdf.assign(__part=np.int32(pid), __local_excl=excl)
+
+    # one materialization: the per-partition totals and the main branch both
+    # read it (otherwise the scan + range shuffle + cumsum run twice)
+    local = base.mapInPandas(local_cumsum, schema=mid_schema).localCheckpoint(
+        eager=False
     )
     totals = local.groupBy("__part").agg(
         F.sum(n_tokens_col).cast("bigint").alias("__tot")
