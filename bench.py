@@ -27,6 +27,23 @@ def run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def clear_session_state(spark) -> None:
+    """Unpersist everything between timed runs: the checkpointing operators
+    (LSH self-joins, the kNN loop, packing) leave localCheckpoint RDDs
+    behind, and letting them pile up across 38 independent queries turns
+    the bench into a memory-pressure measurement instead of a query one."""
+    import gc
+
+    spark.catalog.clearCache()
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().valuesIterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass
+    gc.collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -62,6 +79,7 @@ def main() -> None:
         try:
             best = None
             for _ in range(2):  # best-of-2: damp scheduler/GC noise
+                clear_session_state(spark)  # outside the timed region
                 t0 = time.perf_counter()
                 run(qd.fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
