@@ -1452,6 +1452,41 @@ def v4_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T14_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t FROM documents
+),
+v AS (
+  SELECT t AS token,
+         count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_total
+  FROM tok GROUP BY t
+)
+SELECT token, n_docs, n_total FROM v WHERE n_docs >= 5
+"""
+
+
+@_register("t14_vocab_df", _T14_ORACLE)
+def t14_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction with document frequencies (tokenizer
+    training / min_df pruning): per token, the number of containing
+    documents and total occurrences, pruned at df ≥ 5.  Pure
+    explode → aggregate — the count(DISTINCT) runs as Spark's two-phase
+    partial aggregation, shuffling (token, doc_id) pairs once."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .where(F.col("n_docs") >= 5)
+    )
+
+
 _E5_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
