@@ -403,6 +403,83 @@ def _withindist_bins(
     return left, right, cond
 
 
+def _bbox_bins(
+    op: str, left: DataFrame, right: DataFrame, lt: str, rt: str
+) -> tuple[DataFrame, DataFrame, Column]:
+    """Grid-cell equi-keys for the bbox predicates under
+    ``strategy='partitioned'`` — big×big joins with no broadcast for
+    within/contains/intersects/overlaps.
+
+    - ``within`` (left ⊆ right): the left side emits only its bbox
+      MIN-CORNER cell — containment implies the right side's covered cells
+      include it — so no dedup is needed (one cell per left row);
+    - ``contains``: symmetric (right emits its corner, left explodes);
+    - ``intersects``/``overlaps``: both sides explode their covered cells
+      and a pair survives only in the cell of the bbox-intersection's min
+      corner (the withindist reference-point dedup at radius 0).
+
+    Cells are planar (no antimeridian wrap), matching the reference's
+    planar bbox semantics for these predicates; sequences clamp to the
+    globe range so degenerate geometry can't explode rows.  The precise
+    bbox window stays in the residual condition and the exact DE-9IM
+    refine runs downstream unchanged.
+    """
+    w = _BIN_W_MAX
+    ww = F.lit(w)
+    lat_lo, lat_hi = math.floor(-90.0 / w), math.floor(90.0 / w)
+    lon_lo, lon_hi = math.floor(-180.0 / w), math.floor(180.0 / w)
+
+    def clamp(c: Column, lo: int, hi: int) -> Column:
+        return F.greatest(F.least(c, F.lit(hi)), F.lit(lo))
+
+    def cover(df: DataFrame, tag: str) -> DataFrame:
+        x0, y0, x1, y1 = (F.col(f"__sjt_{tag}_{c}") for c in ("x0", "y0", "x1", "y1"))
+
+        def seq(lo: Column, hi: Column, lo_lim: int, hi_lim: int) -> Column:
+            lo, hi = clamp(lo, lo_lim, hi_lim), clamp(hi, lo_lim, hi_lim)
+            return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+
+        return df.withColumn(
+            f"__sjt_cx_{tag}",
+            F.explode(seq(F.floor(x0 / ww), F.floor(x1 / ww), lon_lo, lon_hi)),
+        ).withColumn(
+            f"__sjt_cy_{tag}",
+            F.explode(seq(F.floor(y0 / ww), F.floor(y1 / ww), lat_lo, lat_hi)),
+        )
+
+    def corner(df: DataFrame, tag: str) -> DataFrame:
+        x0, y0 = F.col(f"__sjt_{tag}_x0"), F.col(f"__sjt_{tag}_y0")
+        return df.withColumn(
+            f"__sjt_cx_{tag}", clamp(F.floor(x0 / ww), lon_lo, lon_hi)
+        ).withColumn(f"__sjt_cy_{tag}", clamp(F.floor(y0 / ww), lat_lo, lat_hi))
+
+    dedup: Column | None = None
+    if op == "within":
+        left, right = corner(left, lt), cover(right, rt)
+    elif op == "contains":
+        left, right = cover(left, lt), corner(right, rt)
+    else:  # intersects / overlaps
+        left, right = cover(left, lt), cover(right, rt)
+        lx0, ly0 = F.col(f"__sjt_{lt}_x0"), F.col(f"__sjt_{lt}_y0")
+        rx0, ry0 = F.col(f"__sjt_{rt}_x0"), F.col(f"__sjt_{rt}_y0")
+        dedup = (
+            F.col(f"__sjt_cx_{lt}")
+            == clamp(F.floor(F.greatest(lx0, rx0) / ww), lon_lo, lon_hi)
+        ) & (
+            F.col(f"__sjt_cy_{lt}")
+            == clamp(F.floor(F.greatest(ly0, ry0) / ww), lat_lo, lat_hi)
+        )
+
+    cond = (F.col(f"__sjt_cx_{lt}") == F.col(f"__sjt_cx_{rt}")) & (
+        F.col(f"__sjt_cy_{lt}") == F.col(f"__sjt_cy_{rt}")
+    )
+    if dedup is not None:
+        cond = cond & dedup
+    return left, right, cond
+
+
 def prepare_external(df: DataFrame, plan: SpatialJoinPlan) -> DataFrame:
     """Filter → project → repartition the external side, then move it into
     the internal ``__sjt_e__`` namespace so it can never collide with input
@@ -454,11 +531,6 @@ def spatial_join(
     """
     ensure_udf_portability()
     op = plan.op
-    if plan.strategy == "partitioned" and op not in ("withindist", "nearest"):
-        raise ValueError(
-            "strategy='partitioned' supports only 'withindist n' and 'nearest' "
-            f"(got predicate {plan.predicate!r})"
-        )
     if plan.strategy == "partitioned" and op == "nearest":
         if plan.condition:
             raise ValueError(
@@ -536,13 +608,16 @@ def spatial_join(
             left, right, lt, rt, plan.radius_degrees, lon_binnable
         )
         cond = bin_cond if cond is None else (bin_cond & cond)
+    elif plan.strategy == "partitioned":
+        # bbox predicates under partitioned strategy: grid-cell equi-keys
+        # turn the would-be nested loop into a shuffled hash join
+        left, right, bin_cond = _bbox_bins(op, left, right, lt, rt)
+        cond = bin_cond if cond is None else (bin_cond & cond)
 
     if plan.strategy == "partitioned":
-        # big×big distance join: no broadcast — both sides shuffle on the
-        # latitude-band equi-key built above (sort-merge/shuffled-hash under
-        # AQE, skew-split on hot bands).  Only withindist has an equi-key;
-        # every other predicate needs the broadcast contract (validated on
-        # entry).
+        # big×big join: no broadcast — both sides shuffle on the grid-cell
+        # equi-keys built above (sort-merge/shuffled-hash under AQE,
+        # skew-split on hot cells)
         joined = left.join(right, on=cond, how="inner")
     else:
         joined = (

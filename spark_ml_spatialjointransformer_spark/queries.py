@@ -234,6 +234,25 @@ def j2_within_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join(cust, nations, plan).select("c_custkey", "nat_key")
 
 
+@_register("j14_within_partitioned", _PT_IN_RECT_ORACLE)
+def j14_within_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The j2 point-in-polygon join under strategy='partitioned': both
+    sides shuffle on grid cells (the point side contributes its single
+    cell, the polygon side its covered cells) — no broadcast, no nested
+    loop.  Same oracle as j2: hash equality proves the strategies agree."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    nations = nations_rect(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="within",
+        external_side=_WKT,
+        input_side=_POINT,
+        data_columns=(("n_nationkey", "nat_key"),),
+        broadcast_input=False,
+        strategy="partitioned",
+    )
+    return spatial_join(cust, nations, plan).select("c_custkey", "nat_key")
+
+
 @_register("j3_contains_nation", _PT_IN_RECT_ORACLE)
 def j3_contains_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 contains — the J2 relation from the flipped direction (external
@@ -270,6 +289,34 @@ def j4_intersects_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
         input_side=_WKT,
         data_columns=(("n_nationkey", "nat_key"),),
         broadcast_input=False,
+    )
+    return spatial_join(supp, nations, plan).select("s_suppkey", "nat_key")
+
+
+_J4_ORACLE = f"""
+WITH {_SUPP_RECT_CTE},
+{_NATION_RECT_CTE}
+SELECT sr.s_suppkey, n.n_nationkey AS nat_key
+FROM sr JOIN n
+  ON sr.x0 <= n.x1 AND sr.x1 >= n.x0 AND sr.y0 <= n.y1 AND sr.y1 >= n.y0
+"""
+
+
+@_register("j15_intersects_partitioned", _J4_ORACLE)
+def j15_intersects_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The j4 polygon-intersection join under strategy='partitioned': both
+    WKT sides explode their covered grid cells, with the bbox-intersection
+    min-corner dedup keeping each pair once — the big×big path for
+    intersects/overlaps.  Same oracle as j4."""
+    supp = suppliers_rect(spark, sf_dir).select("s_suppkey", "wkt")
+    nations = nations_rect(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="intersects",
+        external_side=_WKT,
+        input_side=_WKT,
+        data_columns=(("n_nationkey", "nat_key"),),
+        broadcast_input=False,
+        strategy="partitioned",
     )
     return spatial_join(supp, nations, plan).select("s_suppkey", "nat_key")
 

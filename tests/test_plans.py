@@ -95,12 +95,9 @@ def test_partitioned_strategy_shuffles_and_matches_broadcast(spark):
     assert got == expected
     assert len(got) > 0
 
-    # nearest gained a partitioned strategy (operators/knn.py); the other
-    # index predicates still require the broadcast contract
-    with pytest.raises(ValueError, match="partitioned"):
-        spatial_join(
-            cust, supp, SpatialJoinPlan(predicate="within", strategy="partitioned", **base)
-        )
+    # every predicate now has a partitioned strategy; the bbox predicates
+    # get grid-cell equi-keys (tests/test_spatial_join.py proves equality
+    # with broadcast disabled for each)
 
 
 def test_filter_param_pushes_to_parquet_scan(spark):

@@ -573,3 +573,56 @@ def test_invalid_condition_fails_at_plan_build(spark):
     t = make_transformer(poi).setJoinCondition("this is !! not sql ((")
     with pytest.raises(ValueError, match="invalid condition"):
         t.transform(input_df(spark, SMOKE_INPUT))
+
+
+@pytest.mark.parametrize("predicate", ["within", "contains", "intersects", "overlaps"])
+def test_partitioned_bbox_predicates_match_broadcast(spark, predicate):
+    """strategy='partitioned' for the bbox predicates must reproduce the
+    broadcast plan's pairs with broadcast joins disabled — grid-cell
+    equi-keys instead of a nested loop, lifting the memory bound for every
+    predicate in the family."""
+    from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from spark_ml_spatialjointransformer_spark.plans.config import (
+        PointColumns,
+        SideConfig,
+        SpatialJoinPlan,
+    )
+    from spark_ml_spatialjointransformer_spark.sources.tables import (
+        customers_geo,
+        nations_rect,
+        suppliers_rect,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    nations = nations_rect(spark, sf)
+    if predicate in ("within", "contains"):
+        inp = customers_geo(spark, sf).select("c_custkey", "lon", "lat")
+        input_side = SideConfig(point_columns=PointColumns("lon", "lat"))
+        broadcast_input = predicate == "contains"
+    else:
+        inp = suppliers_rect(spark, sf).select("s_suppkey", "wkt")
+        input_side = SideConfig(wkt_column="wkt")
+        broadcast_input = False
+
+    def run(strategy):
+        plan = SpatialJoinPlan(
+            predicate=predicate,
+            external_side=SideConfig(wkt_column="wkt"),
+            input_side=input_side,
+            data_columns=(("n_nationkey", "nat_key"),),
+            broadcast_input=broadcast_input,
+            strategy=strategy,
+        )
+        return sorted(tuple(r) for r in spatial_join(inp, nations, plan).collect())
+
+    expected = run("broadcast")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = run("partitioned")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == expected
+    assert len(got) > 0
