@@ -545,6 +545,15 @@ def spatial_join(
             "withindist requires a positive radius in meters, e.g. "
             f"'withindist 500' (got predicate {plan.predicate!r})"
         )
+    if plan.k != 1 and op != "nearest":
+        raise ValueError(f"k={plan.k} is only meaningful for 'nearest'")
+    if plan.k != 1 and plan.strategy == "partitioned":
+        raise ValueError(
+            "k>1 nearest is broadcast-only (the partitioned grid loop "
+            "resolves the single nearest)"
+        )
+    if plan.k < 1:
+        raise ValueError(f"k must be >= 1 (got {plan.k})")
     need_dist = bool(plan.distance_column) or op in ("nearest", "withindist")
     need_refine = op in _NEEDS_REFINE
     need_bbox = op in _NEEDS_BBOX
@@ -677,6 +686,31 @@ def spatial_join(
                 F.round(F.col("__sjt_dist")).cast("int").alias(plan.distance_column)
             )
         return joined.select(*out_cols)
+
+    if op == "nearest" and plan.k > 1:
+        # k-nearest with extra condition: row_number over the candidate set
+        # (a k-row min-struct would not be partially aggregatable; the
+        # window shuffles the post-condition candidates once)
+        from pyspark.sql.window import Window
+
+        tb_order = [
+            F.col(c if rt == "i" else f"{EXT_PREFIX}{c}") for c in plan.tie_break
+        ]
+        wnd = Window.partitionBy("__sjt_lid").orderBy(
+            F.col("__sjt_dist"), *tb_order, F.col("__sjt_rid")
+        )
+        out_cols = [F.col(c) for c in input_cols]
+        for name, alias in plan.data_columns:
+            out_cols.append(F.col(f"{EXT_PREFIX}{name}").alias(alias))
+        if plan.distance_column:
+            out_cols.append(
+                F.round(F.col("__sjt_dist")).cast("int").alias(plan.distance_column)
+            )
+        return (
+            joined.withColumn("__sjt_rn", F.row_number().over(wnd))
+            .where(F.col("__sjt_rn") <= plan.k)
+            .select(*out_cols)
+        )
 
     # nearest (with extra condition): min-by-(distance, tie-break, rid) per
     # iterated row.  min is partially aggregatable, so only one candidate
@@ -899,27 +933,50 @@ def _broadcast_knn(
     # bound the B×R temp matrices (vincenty allocates ~10 temporaries)
     max_cells = 2_000_000 if is_geodesic else 8_000_000
 
+    k = plan.k
+
     def knn_batches(batches):
         r_lon_, r_lat_, r_payload_ = bc.value
         n_r = len(r_lon_)
+        take = min(k, n_r)
         for pdf in batches:
             if n_r == 0 or len(pdf) == 0:
                 continue
             l_lon = pdf[lgx].to_numpy(np.float64)
             l_lat = pdf[lgy].to_numpy(np.float64)
             step = max(1, max_cells // max(n_r, 1))
-            idx = np.empty(len(pdf), dtype=np.int64)
-            dmin = np.empty(len(pdf), dtype=np.float64)
-            for s in range(0, len(pdf), step):
-                e = min(s + step, len(pdf))
-                dm = kernel(
-                    l_lon[s:e, None], l_lat[s:e, None], r_lon_[None, :], r_lat_[None, :]
-                )
-                idx[s:e] = np.argmin(dm, axis=1)  # first min → tie-break order
-                dmin[s:e] = dm[np.arange(e - s), idx[s:e]]
+            if take == 1:
+                idx = np.empty(len(pdf), dtype=np.int64)
+                dmin = np.empty(len(pdf), dtype=np.float64)
+                for s in range(0, len(pdf), step):
+                    e = min(s + step, len(pdf))
+                    dm = kernel(
+                        l_lon[s:e, None], l_lat[s:e, None],
+                        r_lon_[None, :], r_lat_[None, :],
+                    )
+                    idx[s:e] = np.argmin(dm, axis=1)  # first min → tie-break order
+                    dmin[s:e] = dm[np.arange(e - s), idx[s:e]]
+                rep = np.arange(len(pdf))
+            else:
+                # top-k: stable argsort keeps equal distances in broadcast
+                # (tie-break) order, matching the window path's ordering
+                idx2 = np.empty((len(pdf), take), dtype=np.int64)
+                dk = np.empty((len(pdf), take), dtype=np.float64)
+                for s in range(0, len(pdf), step):
+                    e = min(s + step, len(pdf))
+                    dm = kernel(
+                        l_lon[s:e, None], l_lat[s:e, None],
+                        r_lon_[None, :], r_lat_[None, :],
+                    )
+                    order = np.argsort(dm, axis=1, kind="stable")[:, :take]
+                    idx2[s:e] = order
+                    dk[s:e] = dm[np.arange(e - s)[:, None], order]
+                idx = idx2.ravel()
+                dmin = dk.ravel()
+                rep = np.repeat(np.arange(len(pdf)), take)
             out = {}
             for name, src in zip(left_out_names, left_keep):
-                out[name] = pdf[src].to_numpy()
+                out[name] = pdf[src].to_numpy()[rep]
             for name, arr in r_payload_.items():
                 out[name] = arr[idx]
             if distance_column:

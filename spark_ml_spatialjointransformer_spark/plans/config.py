@@ -149,9 +149,13 @@ class SpatialJoinPlan:
     distance_kernel: str = "geodesic"  # 'geodesic' (WGS84, parity) | 'haversine' (pure JVM)
     tie_break: tuple[str, ...] = ()  # input-side cols for deterministic nearest ties
     #: 'broadcast' (reference contract: small side fits in memory) or
-    #: 'partitioned' (withindist only: both sides shuffle on latitude-band
-    #: cells — lifts the broadcast memory bound for big×big distance joins)
+    #: 'partitioned' (both sides shuffle on grid cells — lifts the
+    #: broadcast memory bound; supported for every predicate)
     strategy: str = "broadcast"
+    #: for 'nearest': the k nearest broadcast-side rows per iterated row
+    #: (k=1 is the reference's semantics; k>1 is a beyond-reference
+    #: extension — output cardinality becomes iterated-rows × k)
+    k: int = 1
 
     @property
     def op(self) -> str:

@@ -187,6 +187,37 @@ def j11_withindist_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")
 
 
+@_register(
+    "j16_knn3_supplier",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d FROM c CROSS JOIN s),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
+      FROM p)
+SELECT c_custkey, s_suppkey AS supp_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM r WHERE rn <= 3
+""",
+)
+def j16_knn3_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest (k=3) — beyond the reference's top-1: the 3 nearest
+    suppliers per customer through the zero-shuffle broadcast-kNN fast
+    path (stable per-chunk argsort keeps ties in tie-break order)."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("s_suppkey",),
+        k=3,
+    )
+    return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")
+
+
 @_register("j12_nearest_partitioned", _J7_ORACLE)
 def j12_nearest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The j7 kNN under strategy='partitioned': grid-cell bucketing +
@@ -1566,6 +1597,40 @@ def e5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
     )
+
+
+_E6_ORACLE = """
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts - INTERVAL 2 MINUTE
+ AND b.ts <= a.ts + INTERVAL 2 MINUTE
+GROUP BY a.user_id
+"""
+
+
+@_register("e6_stream_stream_join", _E6_ORACLE)
+def e6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: same-user event pairs within ±2 minutes, run as
+    two watermarked streams (state evicted by the time-interval bound);
+    the appended pair stream aggregated per user must equal the batch
+    self-join oracle exactly."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        event_pair_stream,
+        run_to_memory,
+    )
+
+    name = "q_e6_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = run_to_memory(
+        event_pair_stream(spark, f"{sf_dir}/events.parquet"),
+        name,
+        output_mode="append",
+    )
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 # ---------------------------------------------------------------------------

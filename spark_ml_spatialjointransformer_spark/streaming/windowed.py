@@ -148,6 +148,29 @@ def deduped_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_pair_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream self-join: unordered pairs of events from the same
+    user within ±2 minutes of each other (co-occurrence mining — the
+    session-stitching / attribution-join shape).
+
+    Both sides carry a watermark, so the join state retains each event only
+    while the other stream's watermark can still produce a match (the
+    time-interval condition gives Spark the exact state-eviction bound) —
+    O(events per interval) state, the property that makes stream-stream
+    joins viable at scale.  ``a.event_id < b.event_id`` keeps each
+    unordered pair exactly once."""
+    a = events_stream(spark, sf_dir).alias("a").withWatermark("ts", "10 minutes")
+    b = events_stream(spark, sf_dir).alias("b").withWatermark("ts", "10 minutes")
+    return a.join(
+        b,
+        F.expr(
+            "a.user_id = b.user_id AND a.event_id < b.event_id "
+            "AND b.ts >= a.ts - INTERVAL 2 MINUTES "
+            "AND b.ts <= a.ts + INTERVAL 2 MINUTES"
+        ),
+    ).select(F.col("a.user_id").alias("user_id"))
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

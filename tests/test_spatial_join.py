@@ -626,3 +626,78 @@ def test_partitioned_bbox_predicates_match_broadcast(spark, predicate):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert got == expected
     assert len(got) > 0
+
+
+def test_knn_k3_with_condition_window_path(spark):
+    """k>1 nearest WITH an extra condition runs the row_number window path;
+    verify against a python brute force over the real sf0.001 tables."""
+    from spark_ml_spatialjointransformer_spark.functions.geodesic import haversine_np
+    from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from spark_ml_spatialjointransformer_spark.plans.config import (
+        PointColumns,
+        SideConfig,
+        SpatialJoinPlan,
+    )
+    from spark_ml_spatialjointransformer_spark.sources.tables import (
+        customers_geo,
+        suppliers_geo,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cust = customers_geo(spark, sf).select("c_custkey", "c_nationkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf)
+    P = SideConfig(point_columns=PointColumns("lon", "lat"))
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=P,
+        input_side=P,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        condition="left.s_nationkey != right.c_nationkey",
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("s_suppkey",),
+        k=3,
+    )
+    got = {}
+    for r in spatial_join(cust, supp, plan).collect():
+        got.setdefault(r.c_custkey, set()).add((r.supp_key, r.dist_m))
+
+    crows = cust.collect()
+    srows = supp.select("s_suppkey", "s_nationkey", "lon", "lat").collect()
+    for c in crows:
+        cands = sorted(
+            (
+                float(haversine_np(float(c.lon), float(c.lat), float(s.lon), float(s.lat))),
+                s.s_suppkey,
+            )
+            for s in srows
+            if s.s_nationkey != c.c_nationkey
+        )[:3]
+        expect = {(sk, int(d + 0.5)) for d, sk in cands}
+        assert got[c.c_custkey] == expect, c.c_custkey
+    assert all(len(v) == 3 for v in got.values())
+
+
+def test_knn_k_validation(spark):
+    from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from spark_ml_spatialjointransformer_spark.plans.config import (
+        PointColumns,
+        SideConfig,
+        SpatialJoinPlan,
+    )
+
+    P = SideConfig(point_columns=PointColumns("lon", "lat"))
+    df = input_df(spark, SMOKE_INPUT)
+    with pytest.raises(ValueError, match="only meaningful for 'nearest'"):
+        spatial_join(df, df, SpatialJoinPlan(
+            predicate="within", external_side=P, input_side=P,
+            data_columns=(("id", "id2"),), k=3))
+    with pytest.raises(ValueError, match="broadcast-only"):
+        spatial_join(df, df, SpatialJoinPlan(
+            predicate="nearest", external_side=P, input_side=P,
+            data_columns=(("id", "id2"),), k=3, strategy="partitioned"))
