@@ -127,3 +127,16 @@ def test_filter_param_pushes_to_parquet_scan(spark):
     assert "ReadSchema: struct<s_suppkey:bigint,s_acctbal:double>" in plan
     # projection pruning: the supplier scan must not read s_name/s_address
     assert "s_name" not in plan
+
+
+def test_partitioned_bbox_join_is_shuffled_hash(spark):
+    """The partitioned bbox strategy must plan a shuffled equi-join on the
+    grid-cell keys, not a nested loop, when broadcast is unavailable."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(QUERIES["j15_intersects_partitioned"].fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
