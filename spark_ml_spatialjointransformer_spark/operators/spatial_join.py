@@ -288,6 +288,24 @@ _BIN_W_MIN, _BIN_W_MAX = 0.5, 2.0
 #: frames could overlap (a pair matching under two shifts would duplicate);
 #: for points that needs 2·radius ≥ 360°, so 90° is a 4× safety margin.
 _LON_BIN_MAX_RADIUS_DEG = 90.0
+#: chord lower bound: a pair within d meters has Δλ ≤ d / (_MPD_LON·cos φmax)
+#: degrees (2·polar-radius/180 ≈ 70630; margin) — the latitude-AWARE lon
+#: window.  The reference's flat meters/35000 inflation stops over-covering
+#: above ~72° latitude (its known limitation); the oracle gate demands exact
+#: semantics at every latitude, so the engine goes beyond the reference here.
+_MPD_LON_CHORD = 70600.0
+_PHI_CAP_DEG = 89.99
+
+
+def _lon_window_deg(radius_m: float, d: float, phi_basis: Column) -> Column:
+    """Safe longitude half-window (degrees) for a side whose partner's
+    latitude can reach ``|phi_basis| + d`` (the inflated lat window):
+    ``radius / (70600 · cos(φmax))``, capped so near-pole rows get the
+    'whole circle' sentinel (≥ 180)."""
+    phi_max = F.least(F.lit(_PHI_CAP_DEG), F.abs(phi_basis) + F.lit(d))
+    return F.least(
+        F.lit(360.0), F.lit(radius_m / _MPD_LON_CHORD) / F.cos(F.radians(phi_max))
+    )
 
 
 def _withindist_bins(
@@ -296,6 +314,7 @@ def _withindist_bins(
     lt: str,
     rt: str,
     d: float,
+    radius_m: float,
     lon_binnable: bool,
 ) -> tuple[DataFrame, DataFrame, Column]:
     """Discretize the distance join into grid-cell equi-keys so Catalyst
@@ -361,10 +380,19 @@ def _withindist_bins(
         # pair at lon -180.0 vs +177.7 is ~250 km apart but 357.7 apart in
         # raw degrees (the reference's planar index misses these; the
         # geodesic refine is wraparound-correct, so the prefilter must be).
-        def lon_ok(shift: float) -> Column:
-            return (lx0 - dd <= rx1 + shift) & (lx1 + dd >= rx0 + shift)
+        # The half-window is latitude-aware; near-pole rows (dl ≥ 180)
+        # place no longitude constraint at all.
+        dl = _lon_window_deg(radius_m, d, F.greatest(F.abs(ry0), F.abs(ry1)))
+        wide = dl >= F.lit(180.0)
 
-        return left, right, cond & (lon_ok(0.0) | lon_ok(360.0) | lon_ok(-360.0))
+        def lon_ok(shift: float) -> Column:
+            return (lx0 - dl <= rx1 + shift) & (lx1 + dl >= rx0 + shift)
+
+        return (
+            left,
+            right,
+            cond & (wide | lon_ok(0.0) | lon_ok(360.0) | lon_ok(-360.0)),
+        )
 
     lon_lo, lon_hi = math.floor(-180.0 / w), math.floor(180.0 / w)
     left = left.withColumn("__sjt_lbin_l", F.floor(lx0 / ww))
@@ -374,15 +402,29 @@ def _withindist_bins(
         # its (element, index) variant and bind the shift to the array index
         return lambda b: F.struct(b.alias("bin"), F.lit(shift).alias("sh"))
 
+    # per-row latitude-aware half-window; rows whose window reaches the
+    # whole circle (dl ≥ 180) emit every cell in the s=0 frame only, so a
+    # pair matches exactly one (bin, shift) and needs no dedup
+    dl = _lon_window_deg(radius_m, d, ry0)
+    wide = dl >= F.lit(180.0)
+    full_range = F.transform(
+        F.sequence(F.lit(lon_lo), F.lit(lon_hi)), _bin_shift_struct(0.0)
+    )
     arrs = []
     for s in (-360.0, 0.0, 360.0):
-        lo = F.greatest(F.floor((rx0 + s - dd) / ww), F.lit(lon_lo))
-        hi = F.least(F.floor((rx1 + s + dd) / ww), F.lit(lon_hi))
-        arrs.append(
-            F.when(
-                lo <= hi, F.transform(F.sequence(lo, hi), _bin_shift_struct(s))
-            ).otherwise(F.array().cast("array<struct<bin:bigint,sh:double>>"))
-        )
+        lo = F.greatest(F.floor((rx0 + s - dl) / ww), F.lit(lon_lo))
+        hi = F.least(F.floor((rx1 + s + dl) / ww), F.lit(lon_hi))
+        normal = F.when(
+            lo <= hi, F.transform(F.sequence(lo, hi), _bin_shift_struct(s))
+        ).otherwise(F.array().cast("array<struct<bin:bigint,sh:double>>"))
+        if s == 0.0:
+            arrs.append(F.when(wide, full_range).otherwise(normal))
+        else:
+            arrs.append(
+                F.when(
+                    wide, F.array().cast("array<struct<bin:bigint,sh:double>>")
+                ).otherwise(normal)
+            )
     right = (
         right.withColumn("__sjt_lonbin", F.explode(F.concat(*arrs)))
         .withColumn("__sjt_lbin_r", F.col("__sjt_lonbin.bin"))
@@ -390,16 +432,17 @@ def _withindist_bins(
         .drop("__sjt_lonbin")
     )
     sh = F.col("__sjt_sh")
+    dl_post = _lon_window_deg(radius_m, d, F.col(f"__sjt_{rt}_y0"))
+    wide_post = dl_post >= F.lit(180.0)
     lon_ref = F.greatest(
-        F.floor(F.greatest(lx0, rx0 + sh - dd) / ww), F.lit(lon_lo)
+        F.floor(F.greatest(lx0, rx0 + sh - dl_post) / ww), F.lit(lon_lo)
     )
-    cond = (
-        cond
-        & (F.col("__sjt_lbin_l") == F.col("__sjt_lbin_r"))
-        & (F.col("__sjt_lbin_l") == lon_ref)
-        & (lx0 - dd <= rx1 + sh)
-        & (lx1 + dd >= rx0 + sh)
+    lon_cond = F.when(wide_post, F.lit(True)).otherwise(
+        (F.col("__sjt_lbin_l") == lon_ref)
+        & (lx0 - dl_post <= rx1 + sh)
+        & (lx1 + dl_post >= rx0 + sh)
     )
+    cond = cond & (F.col("__sjt_lbin_l") == F.col("__sjt_lbin_r")) & lon_cond
     return left, right, cond
 
 
@@ -614,7 +657,8 @@ def spatial_join(
             and plan.radius_degrees < _LON_BIN_MAX_RADIUS_DEG
         )
         left, right, bin_cond = _withindist_bins(
-            left, right, lt, rt, plan.radius_degrees, lon_binnable
+            left, right, lt, rt, plan.radius_degrees, plan.radius_meters,
+            lon_binnable,
         )
         cond = bin_cond if cond is None else (bin_cond & cond)
     elif plan.strategy == "partitioned":

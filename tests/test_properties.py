@@ -2,9 +2,9 @@
 
 - ``withindist`` result == brute-force pair enumeration (prefilter is sound
   and refine is exact) on randomized point sets, including antimeridian
-  neighbors; latitudes capped at ±60° where the reference's 1° ≈ 35 km
-  inflation constant is a guaranteed over-cover (parity keeps the constant,
-  and with it the reference's known >72°-latitude under-cover);
+  neighbors and near-pole latitudes (the latitude-aware chord window fixes
+  the reference's >72°-latitude under-cover of its flat 1° ≈ 35 km
+  inflation, so the full ±89° range is exercised);
 - ``nearest`` cardinality == iterated-side row count, and every reported
   distance achieves the true minimum;
 - ``within`` and ``contains`` are the same relation under direction swap;
@@ -35,7 +35,7 @@ _POINT = SideConfig(point_columns=PointColumns("lon", "lat"))
 # coarse lon/lat grid: every value is exactly representable, antimeridian
 # included via lon near ±180
 lons = st.integers(min_value=-1795, max_value=1795).map(lambda v: v / 10.0)
-lats = st.integers(min_value=-600, max_value=600).map(lambda v: v / 10.0)
+lats = st.integers(min_value=-890, max_value=890).map(lambda v: v / 10.0)
 points = st.lists(st.tuples(lons, lats), min_size=1, max_size=8, unique=True)
 
 SPARK_SETTINGS = settings(

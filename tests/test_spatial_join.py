@@ -701,3 +701,17 @@ def test_knn_k_validation(spark):
         spatial_join(df, df, SpatialJoinPlan(
             predicate="nearest", external_side=P, input_side=P,
             data_columns=(("id", "id2"),), k=3, strategy="partitioned"))
+
+
+def test_withindist_high_latitude_pairs(spark):
+    """Above ~72° latitude the reference's flat 1° ≈ 35 km window under-
+    covers (longitude degrees shrink with cos φ): these pairs are 1.2-1.6M m
+    apart but 66-74° apart in raw longitude.  The latitude-aware chord
+    window must keep them."""
+    poi = poi_df(spark, [("d8", -85.642, 78.998)])
+    inp = input_df(spark, [("i1", -151.925, 75.673), ("i2", -11.815, 84.786)])
+    t = make_transformer(poi).setPredicate("withindist 2000000").setDistanceKernel(
+        "haversine"
+    )
+    out = collect_sorted(t.transform(inp))
+    assert [(r[0], r[3]) for r in out] == [("i1", "d8"), ("i2", "d8")]
