@@ -56,66 +56,65 @@ def pack_sequences(
     in (``window_id``) plus its offset inside that window.
 
     Scale shape: a single global cumulative sum would serialize on one
-    partition, so this runs the classic TWO-LEVEL prefix sum — ONE shuffle
-    total: range-partition by id, then a partition-LOCAL exclusive running
-    sum (Arrow pass over the sorted partition — a Window keyed on the
-    physical partition id would force a second full-data hash exchange,
-    because the optimizer cannot prove range partitioning already clusters
-    it), plus an exclusive per-partition prefix (a tiny aggregate over
-    #partitions rows) broadcast back.  The result is identical to the
-    global formula and invariant to the partition count (property-tested);
-    documents spanning windows is intended concat-then-chunk semantics.
+    partition, so this runs the classic TWO-LEVEL prefix sum over a
+    DETERMINISTIC bucket key derived from the id value itself
+    (``(id - min_id) div ceil(span / B)``) — never from the physical
+    partition id, so the result is a pure function of the data and
+    identical under any partitioning, task order, or retry.  Plan: one
+    tiny min/max job to fix the bucket width, a map-side-combined
+    per-bucket total (B rows) windowed into an exclusive bucket prefix and
+    broadcast back, and ONE full-data shuffle — the within-bucket
+    exclusive-prefix window partitioned by bucket and ordered by id.
+    All arithmetic is 64-bit integer (``div``/``%``), exact past 2^53
+    cumulative tokens.  Documents spanning windows is intended
+    concat-then-chunk semantics.
 
-    Callers should project to the columns they need before packing — every
-    input column rides through the Arrow pass.
+    ``id_col`` must be integral; id gaps/clustering only skew bucket
+    sizes, never results (raise ``num_partitions`` if skewed).
 
     Output: input columns ++ (window_id, offset).
     """
-    import numpy as np
-    from pyspark.sql import types as T
-
     spark = df.sparkSession
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    base = df.repartitionByRange(n_parts, id_col).sortWithinPartitions(id_col)
-    mid_schema = T.StructType(
-        list(base.schema.fields)
-        + [
-            T.StructField("__part", T.IntegerType()),
-            T.StructField("__local_excl", T.LongType()),
-        ]
+    n_buckets = num_partitions or spark.sparkContext.defaultParallelism
+    bounds = df.agg(
+        F.min(F.col(id_col).cast("bigint")).alias("lo"),
+        F.max(F.col(id_col).cast("bigint")).alias("hi"),
+    ).first()
+    if bounds["lo"] is None:  # empty input: just add the two columns
+        return df.withColumn("window_id", F.lit(0).cast("bigint")).withColumn(
+            "offset", F.lit(0).cast("bigint")
+        )
+    span = bounds["hi"] - bounds["lo"] + 1
+    width = max(1, -(-span // n_buckets))  # ceil(span / B)
+    b = df.withColumn(
+        "__bucket",
+        F.expr(
+            f"(CAST(`{id_col}` AS BIGINT) - {bounds['lo']}L) div {width}L"
+        ).cast("int"),
     )
 
-    def local_cumsum(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        run = 0
-        for pdf in batches:
-            tok = pdf[n_tokens_col].to_numpy(dtype="int64")
-            excl = run + np.concatenate(([0], np.cumsum(tok[:-1]))) if len(tok) else tok
-            run += int(tok.sum())
-            yield pdf.assign(__part=np.int32(pid), __local_excl=excl)
-
-    # one materialization: the per-partition totals and the main branch both
-    # read it (otherwise the scan + range shuffle + cumsum run twice)
-    local = base.mapInPandas(local_cumsum, schema=mid_schema).localCheckpoint(
-        eager=False
-    )
-    totals = local.groupBy("__part").agg(
+    totals = b.groupBy("__bucket").agg(
         F.sum(n_tokens_col).cast("bigint").alias("__tot")
     )
-    w_tot = Window.orderBy("__part").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     prefix = totals.withColumn(
         "__prefix", F.coalesce(F.sum("__tot").over(w_tot), F.lit(0)).cast("bigint")
-    ).select("__part", "__prefix")
+    ).select("__bucket", "__prefix")
 
-    before = F.col("__local_excl") + F.col("__prefix")
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_excl = F.coalesce(
+        F.sum(F.col(n_tokens_col).cast("bigint")).over(w_in), F.lit(0)
+    )
     return (
-        local.join(F.broadcast(prefix), "__part")
+        b.join(F.broadcast(prefix), "__bucket")
+        .withColumn("__before", (local_excl + F.col("__prefix")).cast("bigint"))
         .withColumn(
-            "window_id",
-            F.floor(before / F.lit(float(window_tokens))).cast("bigint"),
+            "window_id", F.expr(f"__before div {int(window_tokens)}L").cast("bigint")
         )
-        .withColumn("offset", (before % window_tokens).cast("bigint"))
-        .drop("__part", "__local_excl", "__prefix")
+        .withColumn("offset", (F.col("__before") % window_tokens).cast("bigint"))
+        .drop("__bucket", "__prefix", "__before")
     )
