@@ -118,22 +118,26 @@ def srp_int_planes(n_planes: int, dim: int) -> list[list[int]]:
     ]
 
 
-def _srp_int_bucket_udf(n_planes: int, dim: int, bands: int = 1):
+def _srp_int_feats_udf(n_planes: int, dim: int, bands: int = 1):
     """Integer-exact twin of ``_srp_bucket_udf``: embeddings are quantized
     with ``floor(v·scale + 0.5)`` (floor is the one half-up rounding spelled
     identically in numpy, Spark, and DuckDB) and hit integer planes in int64
-    — the resulting bucket ids are exactly what the SQL oracle computes."""
+    — the resulting bucket ids are exactly what the SQL oracle computes.
+
+    Returns a struct with the per-band bucket ids PLUS the quantized vector
+    and its exact integer norm² so the downstream refine can run the same
+    order-free int64 arithmetic (one Arrow pass computes all three)."""
     import numpy as np
 
     planes = np.array(srp_int_planes(n_planes * bands, dim), dtype=np.int64).T
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    @F.pandas_udf("array<bigint>")
-    def _buckets(emb: pd.Series) -> pd.Series:
+    @F.pandas_udf("buckets array<bigint>, q array<bigint>, qn2 bigint")
+    def _feats(emb: pd.Series) -> pd.DataFrame:
         import numpy as np
 
         if len(emb) == 0:
-            return pd.Series([], dtype=object)
+            return pd.DataFrame({"buckets": [], "q": [], "qn2": []})
         mat = np.array([np.asarray(v, dtype=np.float64) for v in emb])
         q = np.floor(mat * SRP_INT_SCALE + 0.5).astype(np.int64)
         signs = (q @ planes) > 0  # n × (B*p), integer-exact
@@ -142,9 +146,15 @@ def _srp_int_bucket_udf(n_planes: int, dim: int, bands: int = 1):
             for b in range(bands)
         ]
         stacked = np.stack(out, axis=1)
-        return pd.Series([list(row) for row in stacked])
+        return pd.DataFrame(
+            {
+                "buckets": [list(row) for row in stacked],
+                "q": [list(row) for row in q],
+                "qn2": np.einsum("ij,ij->i", q, q),
+            }
+        )
 
-    return _buckets
+    return _feats
 
 
 def _pair_cosine_udf():
@@ -165,6 +175,35 @@ def _pair_cosine_udf():
         )
 
     return _cos
+
+
+def _pair_qcos_udf():
+    """Quantized-cosine refine: the int64 dot product of the quantized
+    vectors is EXACT (no summation-order hazard), so one einsum per Arrow
+    batch is bit-identical to the oracle's BIGINT sum — divided by the
+    per-side double sqrts of the integer norms², the full cosine is a pure
+    function every engine computes identically."""
+
+    @F.pandas_udf("double")
+    def _qcos(
+        qa: pd.Series, na2: pd.Series, qb: pd.Series, nb2: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        if len(qa) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.array([np.asarray(v, dtype=np.int64) for v in qa])
+        mb = np.array([np.asarray(v, dtype=np.int64) for v in qb])
+        dot = np.einsum("ij,ij->i", ma, mb).astype(np.float64)
+        return pd.Series(
+            dot
+            / (
+                np.sqrt(na2.to_numpy(dtype="float64"))
+                * np.sqrt(nb2.to_numpy(dtype="float64"))
+            )
+        )
+
+    return _qcos
 
 
 def lsh_neardup_pairs(
@@ -189,25 +228,33 @@ def lsh_neardup_pairs(
     several bands is emitted only in its lowest one (codegen first-match
     filter, no dedup shuffle — same trick as the MinHash/SimHash joins).
 
-    ``quantized=True`` switches to the integer SRP variant (``srp_int_planes``
-    + floor quantization) whose buckets are pure BIGINT arithmetic, and
-    refines with the JVM fold (``dot_col``) instead of einsum — both choices
-    exist so the DuckDB oracle reproduces the output bit-for-bit (the float
-    plane dot products and einsum's pairwise summation have no cross-engine
-    determinism guarantee; the JVM left-fold demonstrably matches DuckDB's
-    sum on this data — see v1)."""
-    bucket_udf = (
-        _srp_int_bucket_udf(n_planes, dim, bands)
-        if quantized
-        else _srp_bucket_udf(n_planes, dim, bands)
-    )
-    base = (
-        _normed(df, id_col, emb_col)
-        .withColumn("__buckets", bucket_udf(F.col("__emb")))
-        .select(
-            "*",
-            F.posexplode("__buckets").alias("__band", "__bucket"),
+    ``quantized=True`` switches to the fully integer-exact variant
+    (``srp_int_planes`` + floor quantization): bucket ids AND the refine are
+    pure int64 arithmetic — the dot product of two quantized vectors is an
+    exact BIGINT sum with NO summation-order hazard, so a single numpy
+    einsum per Arrow batch is bit-identical to the DuckDB oracle's
+    ``sum(qa*qb)`` (the float einsum's pairwise summation has no such
+    cross-engine guarantee, which is why the unquantized tier cannot be
+    oracled this tightly).  The checkpointed base also shrinks: only the
+    quantized vector + its integer norm² ride into the self-join."""
+    if quantized:
+        pre = (
+            _normed(df, id_col, emb_col)
+            .withColumn("__f", _srp_int_feats_udf(n_planes, dim, bands)(F.col("__emb")))
+            .select(
+                "__id",
+                F.col("__f.buckets").alias("__buckets"),
+                F.col("__f.q").alias("__q"),
+                F.col("__f.qn2").alias("__qn2"),
+            )
+            .where(F.col("__qn2") > 0)
         )
+    else:
+        pre = _normed(df, id_col, emb_col).withColumn(
+            "__buckets", _srp_bucket_udf(n_planes, dim, bands)(F.col("__emb"))
+        )
+    base = (
+        pre.select("*", F.posexplode("__buckets").alias("__band", "__bucket"))
         .localCheckpoint(eager=False)
     )
     first_match = F.lit(True)
@@ -218,8 +265,8 @@ def lsh_neardup_pairs(
         )
     a, b = base.alias("a"), base.alias("b")
     if quantized:
-        cos = dot_col(F.col("a.__emb"), F.col("b.__emb")) / (
-            F.col("a.__norm") * F.col("b.__norm")
+        cos = _pair_qcos_udf()(
+            F.col("a.__q"), F.col("a.__qn2"), F.col("b.__q"), F.col("b.__qn2")
         )
     else:
         cos = _pair_cosine_udf()(

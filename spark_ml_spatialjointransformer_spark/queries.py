@@ -1020,8 +1020,9 @@ def _v2_oracle(
     from the inline closed form (similarity.srp_int_planes), floor-quantized
     embeddings, BIGINT dot signs → per-band bucket keys; candidates share
     ANY band's key (the Spark first-match dedup emits each exactly once);
-    refine = exact double cosine, same per-side-sqrt shape as the Spark
-    plan."""
+    refine = the EXACT BIGINT dot of the quantized vectors (order-free, so
+    Spark's einsum and this sum agree bit-for-bit) over per-side double
+    sqrts of the integer norms²."""
     band_keys = ",\n       ".join(
         f"sum(CASE WHEN j >= {b * n_planes} AND j < {(b + 1) * n_planes} AND dot > 0 "
         f"THEN CAST(1 AS BIGINT) << (j - {b * n_planes}) ELSE 0 END) AS k{b}"
@@ -1031,28 +1032,33 @@ def _v2_oracle(
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) - 1 AS i FROM e),
-q AS (SELECT vec_id, i, CAST(floor(v * 100000.0 + 0.5) AS BIGINT) AS qv FROM u),
+nrm0 AS (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id),
+q AS (SELECT u.vec_id, u.i, CAST(floor(u.v * 100000.0 + 0.5) AS BIGINT) AS qv
+      FROM u JOIN nrm0 ON nrm0.vec_id = u.vec_id WHERE nrm0.nm > 0),
+qn AS (SELECT vec_id, sum(qv * qv) AS qn2 FROM q GROUP BY vec_id HAVING sum(qv * qv) > 0),
 p AS (SELECT j, i, ((j * 73856093 + i * 19349663 + 83492791) % 2039) % 17 - 8 AS pv
       FROM range({n_planes * bands}) t1(j) CROSS JOIN range({dim}) t2(i)),
 d AS (SELECT q.vec_id, p.j, sum(q.qv * p.pv) AS dot
-      FROM q JOIN p ON p.i = q.i GROUP BY q.vec_id, p.j),
+      FROM q JOIN qn USING (vec_id) JOIN p ON p.i = q.i GROUP BY q.vec_id, p.j),
 b AS (SELECT vec_id, {band_keys} FROM d GROUP BY vec_id),
-nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id),
 cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
          FROM b x JOIN b y ON x.vec_id < y.vec_id
          WHERE {any_band}),
-dp AS (SELECT c.id_a, c.id_b, sum(ua.v * ub.v) AS dot
+dp AS (SELECT c.id_a, c.id_b, sum(qa.qv * qb.qv) AS dot
        FROM cand c
-       JOIN u ua ON ua.vec_id = c.id_a
-       JOIN u ub ON ub.vec_id = c.id_b AND ub.i = ua.i
+       JOIN q qa ON qa.vec_id = c.id_a
+       JOIN q qb ON qb.vec_id = c.id_b AND qb.i = qa.i
        GROUP BY c.id_a, c.id_b)
 SELECT dp.id_a, dp.id_b,
-       CAST(round(dp.dot / (na.nm * nb.nm) * 1000000) AS BIGINT) AS cos_e6
+       CAST(round(CAST(dp.dot AS DOUBLE)
+                  / (sqrt(CAST(na.qn2 AS DOUBLE)) * sqrt(CAST(nb.qn2 AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS cos_e6
 FROM dp
-JOIN nrm na ON na.vec_id = dp.id_a
-JOIN nrm nb ON nb.vec_id = dp.id_b
-WHERE na.nm > 0 AND nb.nm > 0
-  AND CAST(round(dp.dot / (na.nm * nb.nm) * 1000000) AS BIGINT) >= {threshold_e6}
+JOIN qn na ON na.vec_id = dp.id_a
+JOIN qn nb ON nb.vec_id = dp.id_b
+WHERE CAST(round(CAST(dp.dot AS DOUBLE)
+                 / (sqrt(CAST(na.qn2 AS DOUBLE)) * sqrt(CAST(nb.qn2 AS DOUBLE)))
+                 * 1000000) AS BIGINT) >= {threshold_e6}
 """
 
 
@@ -1466,33 +1472,36 @@ def p1_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _V4_ORACLE = f"""
 WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) - 1 AS i FROM e),
-q AS (SELECT vec_id, i, CAST(floor(v * 100000.0 + 0.5) AS BIGINT) AS qv FROM u),
+nrm0 AS (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id),
+q AS (SELECT u.vec_id, u.i, CAST(floor(u.v * 100000.0 + 0.5) AS BIGINT) AS qv
+      FROM u JOIN nrm0 ON nrm0.vec_id = u.vec_id WHERE nrm0.nm > 0),
+qn AS (SELECT vec_id, sum(qv * qv) AS qn2 FROM q GROUP BY vec_id HAVING sum(qv * qv) > 0),
 p AS (SELECT j, i, ((j * 73856093 + i * 19349663 + 83492791) % 2039) % 17 - 8 AS pv
       FROM range(12) t1(j) CROSS JOIN range(64) t2(i)),
 d AS (SELECT q.vec_id, p.j, sum(q.qv * p.pv) AS dot
-      FROM q JOIN p ON p.i = q.i GROUP BY q.vec_id, p.j),
+      FROM q JOIN qn USING (vec_id) JOIN p ON p.i = q.i GROUP BY q.vec_id, p.j),
 b AS (SELECT vec_id,
        sum(CASE WHEN j >= 0 AND j < 6 AND dot > 0
            THEN CAST(1 AS BIGINT) << (j - 0) ELSE 0 END) AS k0,
        sum(CASE WHEN j >= 6 AND j < 12 AND dot > 0
            THEN CAST(1 AS BIGINT) << (j - 6) ELSE 0 END) AS k1
       FROM d GROUP BY vec_id),
-nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id),
 cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
          FROM b x JOIN b y ON x.vec_id < y.vec_id
          WHERE x.k0 = y.k0 OR x.k1 = y.k1),
-dp AS (SELECT c.id_a, c.id_b, sum(ua.v * ub.v) AS dot
+dp AS (SELECT c.id_a, c.id_b, sum(qa.qv * qb.qv) AS dot
        FROM cand c
-       JOIN u ua ON ua.vec_id = c.id_a
-       JOIN u ub ON ub.vec_id = c.id_b AND ub.i = ua.i
+       JOIN q qa ON qa.vec_id = c.id_a
+       JOIN q qb ON qb.vec_id = c.id_b AND qb.i = qa.i
        GROUP BY c.id_a, c.id_b),
 pairs AS (
   SELECT dp.id_a, dp.id_b
   FROM dp
-  JOIN nrm na ON na.vec_id = dp.id_a
-  JOIN nrm nb ON nb.vec_id = dp.id_b
-  WHERE na.nm > 0 AND nb.nm > 0
-    AND CAST(round(dp.dot / (na.nm * nb.nm) * 1000000) AS BIGINT) >= 900000
+  JOIN qn na ON na.vec_id = dp.id_a
+  JOIN qn nb ON nb.vec_id = dp.id_b
+  WHERE CAST(round(CAST(dp.dot AS DOUBLE)
+                   / (sqrt(CAST(na.qn2 AS DOUBLE)) * sqrt(CAST(nb.qn2 AS DOUBLE)))
+                   * 1000000) AS BIGINT) >= 900000
 ),
 edges AS (SELECT id_a AS a, id_b AS b FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),
