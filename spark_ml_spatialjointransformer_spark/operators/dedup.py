@@ -207,14 +207,20 @@ def minhash_lsh_pairs(
         "__id", "__sig", "b.band", "b.key"
     )
 
-    agree = F.aggregate(
-        F.zip_with(
-            F.col("a.__sig"), F.col("b.__sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    est = agree / F.lit(float(k))
+    # threshold <= 0 means "every band collision is a candidate" (the LSH
+    # candidate-generation mode): skip the per-pair agreement fold entirely
+    # — it is an interpreted HOF chain the caller would throw away
+    if threshold > 0:
+        agree = F.aggregate(
+            F.zip_with(
+                F.col("a.__sig"), F.col("b.__sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        est_e6 = F.round((agree / F.lit(float(k))) * 1_000_000).cast("bigint")
+    else:
+        est_e6 = F.lit(0).cast("bigint")
 
     # first-match dedup instead of dropDuplicates: a pair matching in
     # several bands is emitted only in its LOWEST matching band (no earlier
@@ -243,7 +249,7 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(est * 1_000_000).cast("bigint").alias("est_jaccard_e6"),
+            est_e6.alias("est_jaccard_e6"),
         )
         .where(F.col("est_jaccard_e6") >= int(threshold * 1_000_000))
     )
@@ -413,6 +419,68 @@ def ngram_jaccard_pairs(
     jacc = F.col("inter") * 1_000_000.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
     return (
         inter.withColumn("jaccard_e6", F.round(jacc).cast("bigint"))
+        .where(F.col("jaccard_e6") >= int(threshold * 1_000_000))
+        .select("id_a", "id_b", "jaccard_e6")
+    )
+
+
+def neardup_pairs_lsh_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs with LSH candidate generation — the
+    100 TB shape of ``ngram_jaccard_pairs``: banded MinHash proposes
+    candidate pairs (every band collision, no estimate filter — shuffles
+    only band keys and k-long signatures), and the exact distinct-shingle
+    Jaccard is then computed ONLY for candidate pairs, as
+    ``size(array_intersect)`` over per-doc h60 shingle-hash arrays carried
+    by two id-keyed joins.  NO shingle string is ever a shuffle key: the
+    hash arrays (8 bytes/shingle) ship once per candidate appearance
+    (asserted in tests/test_plans.py).
+
+    vs the exact tier: output is identical whenever banding recall holds
+    (a J ≥ t pair misses all b bands of r rows with prob (1-t^r)^b —
+    near-dup corpora sit at J ≈ 1 where this vanishes; raise ``bands`` to
+    trade shuffle volume for recall at the margin).  h60 collisions merging
+    two distinct shingles are ~2^-60 — the oracles stay the string-exact
+    formulation.
+
+    Output: (id_a, id_b, jaccard_e6) with exact Jaccard ≥ threshold.
+    """
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, k=k, bands=bands, threshold=0.0, n=n
+    ).select("id_a", "id_b")
+    docs_sh = (
+        _parallelize(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_sort(
+                F.transform(
+                    shingles_udf(n)(F.col(text_col)),
+                    lambda s: h60_col(s) % MINHASH_PRIME,
+                )
+            ).alias("__hs"),
+        )
+        .where(F.size("__hs") > 0)
+        .withColumn("__sz", F.size("__hs"))
+    )
+    a = docs_sh.select(
+        F.col("__id").alias("id_a"), F.col("__hs").alias("__hsa"), F.col("__sz").alias("__sza")
+    )
+    b = docs_sh.select(
+        F.col("__id").alias("id_b"), F.col("__hs").alias("__hsb"), F.col("__sz").alias("__szb")
+    )
+    inter = F.size(F.array_intersect("__hsa", "__hsb"))
+    jacc = inter * 1_000_000.0 / (F.col("__sza") + F.col("__szb") - inter)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard_e6", F.round(jacc).cast("bigint"))
         .where(F.col("jaccard_e6") >= int(threshold * 1_000_000))
         .select("id_a", "id_b", "jaccard_e6")
     )

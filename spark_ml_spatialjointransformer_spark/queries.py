@@ -875,16 +875,19 @@ FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id
 
 @_register("t9_dedup_keeper", _T9_ORACLE)
 def t9_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dup pipeline: exact trigram Jaccard ≥ 0.6 pairs →
-    one-hop keeper assignment (every duplicate maps to the smallest doc_id
-    it pairs with; survivors keep themselves)."""
+    """End-to-end near-dup pipeline: MinHash-LSH candidate pairs verified
+    with exact trigram Jaccard ≥ 0.6 → one-hop keeper assignment (every
+    duplicate maps to the smallest doc_id it pairs with; survivors keep
+    themselves).  The candidate generator keeps shingle strings out of
+    every shuffle (the 100 TB shape); the oracle stays the all-pairs exact
+    formulation, which the LSH tier must reproduce."""
     from spark_ml_spatialjointransformer_spark.operators.dedup import (
         dedup_assign_keeper,
-        ngram_jaccard_pairs,
+        neardup_pairs_lsh_verified,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    pairs = neardup_pairs_lsh_verified(docs, "doc_id", "text", threshold=0.6)
     ids = docs.select("doc_id")
     return dedup_assign_keeper(pairs.select("id_a", "id_b"), ids, "doc_id")
 
@@ -919,18 +922,19 @@ FROM documents d JOIN k USING (doc_id)
 
 @_register("t11_dedup_closure", _T11_ORACLE)
 def t11_dedup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive-closure dedup: exact trigram Jaccard ≥ 0.6 pairs →
+    """Transitive-closure dedup: LSH-verified exact Jaccard ≥ 0.6 pairs →
     min-label propagation to fixpoint, so every member of a near-dup
     CHAIN (A≈B≈C with A,C not directly similar) maps to one keeper —
     the fix for t9's one-hop limitation.  The DuckDB oracle computes the
-    same closure as a recursive reachability CTE."""
+    same closure as a recursive reachability CTE over the all-pairs exact
+    graph, which the LSH candidate tier must reproduce."""
     from spark_ml_spatialjointransformer_spark.operators.dedup import (
         dedup_connected_components,
-        ngram_jaccard_pairs,
+        neardup_pairs_lsh_verified,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    pairs = neardup_pairs_lsh_verified(docs, "doc_id", "text", threshold=0.6)
     return dedup_connected_components(
         pairs.select("id_a", "id_b"), docs.select("doc_id"), "doc_id"
     )

@@ -129,6 +129,28 @@ def test_filter_param_pushes_to_parquet_scan(spark):
     assert "s_name" not in plan
 
 
+def test_neardup_lsh_verified_never_shuffles_shingle_strings(spark):
+    """The scale contract of the t9/t11 pipeline: every exchange keys on
+    ids, band keys, or signature longs — never on a shingle STRING column
+    (the old exact tier's `s`/`__s` self-join key).  The exact-Jaccard
+    refine must appear as the JVM array_intersect over carried hash
+    arrays, not a string equi-join."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        neardup_pairs_lsh_verified,
+    )
+    from spark_ml_spatialjointransformer_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(neardup_pairs_lsh_verified(docs, "doc_id", "text", threshold=0.6))
+    assert "hashpartitioning(s#" not in plan
+    assert "hashpartitioning(__s#" not in plan
+    assert "array_intersect" in plan
+    # t9's full registry plan inherits the property
+    plan9 = plan_of(QUERIES["t9_dedup_keeper"].fn(spark, SF))
+    assert "hashpartitioning(s#" not in plan9
+    assert "hashpartitioning(__s#" not in plan9
+
+
 def test_partitioned_bbox_join_is_shuffled_hash(spark):
     """The partitioned bbox strategy must plan a shuffled equi-join on the
     grid-cell keys, not a nested loop, when broadcast is unavailable."""
