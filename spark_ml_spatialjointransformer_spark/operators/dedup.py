@@ -106,7 +106,8 @@ def shingles_udf(n: int = 3):
 
 
 def minhash_signature_col(text: Column, k: int = 64, n: int = 3) -> Column:
-    """Array of k minhash values: ``min_h((a_j * crc32(shingle) + b_j) % P)``.
+    """Array of k minhash values: ``min_h((a_j * h60(shingle) + b_j) % P)``
+    (h60 = md5-derived 60-bit hash, reduced mod MINHASH_PRIME).
 
     One JVM expression tree, no UDF.  Empty shingle sets yield an empty
     signature (such docs never join)."""
@@ -130,8 +131,13 @@ def _parallelize(df: DataFrame) -> DataFrame:
     """Small-file parallelism guard (mirrors spatial_join's): a tiny local
     parquet collapses to 1-2 input splits, serializing the shingle UDF and
     explode on one core.  At cluster scale the scan already has >=
-    defaultParallelism splits and this is a no-op."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    defaultParallelism splits and this is a no-op — and the probe itself
+    (``df.rdd`` forces a plan→RDD conversion on the driver) can be skipped
+    entirely with ``spark.sjt.parallelismGuard=false``."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.sjt.parallelismGuard", "true") != "true":
+        return df
+    par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
@@ -532,6 +538,7 @@ def dedup_connected_components(
         .repartition(par)
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, F.col("__a") == F.col("__v"))
@@ -549,6 +556,16 @@ def dedup_connected_components(
         labels = merged.select("__v", F.col("__new").alias("__lbl"))
         if changed == 0:
             break
+    if changed != 0:
+        # a silent non-fixpoint would hand back WRONG keepers (chain members
+        # still carrying intermediate labels); fail loudly — callers with
+        # adversarially deep graphs should raise max_iters or swap in the
+        # log-round large-star/small-star variant
+        raise RuntimeError(
+            f"dedup_connected_components: no fixpoint after {max_iters} "
+            f"iterations ({changed} labels still changing — component "
+            "diameter exceeds max_iters; raise max_iters)"
+        )
     return (
         ids.join(labels, ids[id_col] == labels["__v"])
         .select(

@@ -79,13 +79,38 @@ def partitioned_nearest(
     distance_column: str | None,
     out_names: list[str],
     cell_deg: float = KNN_CELL_DEG,
-    max_rounds: int = 16,
+    max_rounds: int = 3,
+    condition: Column | None = None,
+    l_extra_cols: list[str] = (),
+    r_extra_cols: list[str] = (),
+    k: int = 1,
 ) -> DataFrame:
-    """For every left row, the nearest right row — no broadcast of either
-    side.  ``dist_expr(lx, ly, rx, ry) -> Column`` computes meters;
+    """For every left row, the ``k`` nearest right rows — no broadcast of
+    either side.  ``dist_expr(lx, ly, rx, ry) -> Column`` computes meters;
     ``out_names`` = output columns in order left_id_cols ++ renamed
     right_pay_cols (++ distance_column).  Ties break on (distance,
     tie_break right columns, right insertion id) like the broadcast paths.
+
+    ``condition`` (optional boolean Column over ``l_extra_cols`` /
+    ``r_extra_cols``) filters candidate pairs INSIDE the cell join — the
+    per-row resolution bound stays valid because a filter only removes
+    candidates, never brings a farther point closer.  The named extra
+    columns ride the loop state (left) / the bucketed right table so the
+    filter evaluates without re-joining payloads.
+
+    ``k > 1`` carries a sorted k-element top-array instead of the single
+    min-struct: per-round candidates reduce via sort+slice of a
+    ``collect_list`` (unbounded map-side, bounded to k after the per-pid
+    shuffle — acceptable because each round's candidates per row are
+    annulus-bounded), rounds merge by sorted-concat-slice, and a row
+    resolves when its K-th best distance beats the unexplored-ring bound
+    (then nothing outside can displace ANY of the k).
+
+    ``max_rounds`` caps the number of driver rounds: the radius schedule
+    grows geometrically from 4 cells (×8 per round — each driver round
+    costs scheduling round-trips, and the cell join prunes the area
+    growth) and always ends with a global-cover round, so ``max_rounds=1``
+    degenerates to one all-cells pass.
     """
     w = cell_deg
     nbx = max(1, int(round(360.0 / w)))
@@ -93,6 +118,12 @@ def partitioned_nearest(
 
     lx, ly = F.col(left_xy[0]), F.col(left_xy[1])
     rx, ry = F.col(right_xy[0]), F.col(right_xy[1])
+    # payload-side dedup (id cols already ride the payload frame) vs
+    # loop-state carry (the loop drops id cols, so EVERY condition column
+    # must ride the iterate explicitly)
+    l_extra = [c for c in l_extra_cols if c not in left_id_cols]
+    l_loop = list(dict.fromkeys(l_extra_cols))
+    r_extra = [c for c in r_extra_cols if c not in right_pay_cols]
 
     def wrap_cx(c: Column) -> Column:
         return ((c % nbx) + nbx) % nbx
@@ -100,6 +131,7 @@ def partitioned_nearest(
     R = (
         right.select(
             *[F.col(c) for c in right_pay_cols],
+            *[F.col(c) for c in r_extra],
             rx.alias("__rx"),
             ry.alias("__ry"),
             wrap_cx(F.floor(rx / w)).alias("__rcx"),
@@ -109,34 +141,46 @@ def partitioned_nearest(
         .localCheckpoint(eager=False)
     )
 
-    # the loop state: only id + coords + cell + best-so-far struct iterate
+    # the loop state: only id + coords + cell + best-so-far (+ condition
+    # columns) iterate
+    from pyspark.sql import types as T
+
+    best_t = _best_type(right, right_pay_cols, tie_break)
+    init_best = (
+        F.lit(None).cast(best_t)
+        if k == 1
+        else F.array().cast(T.ArrayType(best_t))
+    )
+    empty_arr = F.array().cast(T.ArrayType(best_t))
     rem = left.select(
         *[F.col(c) for c in left_id_cols],
+        *[F.col(c) for c in l_extra],
         lx.alias("__lx"),
         ly.alias("__ly"),
     ).withColumn("__pid", F.monotonically_increasing_id())
     payload = rem.localCheckpoint(eager=False)  # joined back at the end
     rem = payload.select(
         "__pid",
+        *l_loop,
         "__lx",
         "__ly",
         wrap_cx(F.floor(F.col("__lx") / w)).alias("__lcx"),
         F.floor(F.col("__ly") / w).alias("__lcy"),
         (F.abs(F.col("__ly")) >= F.lit(_POLAR_LAT)).alias("__polar"),
-        F.lit(None)
-        .cast(_best_type(right, right_pay_cols, tie_break))
-        .alias("__best"),
+        init_best.alias("__best"),
     )
 
     sel = _best_struct(right_pay_cols, tie_break)
     resolved: DataFrame | None = None
     half = nbx // 2
-    # sparse schedule: each driver round costs several scheduling
-    # round-trips, so grow the radius aggressively; the cell join prunes
-    # the (≈ 16×) annulus area growth.  r=2 resolves the bulk for
-    # realistically dense data; the final entry forces global coverage.
-    schedule = [4, 32, max(nbx, nby_r)][: max(1, max_rounds)]
-    schedule[-1] = max(schedule[-1], nbx, nby_r)
+    # sparse geometric schedule ending in forced global coverage
+    gmax = max(nbx, nby_r)
+    schedule: list[int] = []
+    r = 4
+    while len(schedule) < max(1, max_rounds) - 1 and (2 * r + 1) < gmax:
+        schedule.append(r)
+        r *= 8
+    schedule.append(gmax)
     r_prev = -1  # first round is the full disk INCLUDING the own cell
     for r in schedule:
         _t0 = time.time()
@@ -147,14 +191,23 @@ def partitioned_nearest(
         # no separate band-join branch.  Annulus via per-row sequence
         # explodes + filter (a literal offset array would put (2r+1)^2
         # elements into one codegen expression).
-        dx_lo = F.when(F.col("__polar"), F.lit(-half)).otherwise(F.lit(-r))
-        dx_hi = F.when(F.col("__polar"), F.lit(nbx - half - 1)).otherwise(F.lit(r))
+        # clamp the lon window to one full wrap: dx beyond ±half would
+        # alias onto already-joined cells after wrap_cx, duplicating the
+        # same right row in a round's candidate set (harmless under the
+        # k=1 idempotent least(), WRONG for the k>1 top-array)
+        dx_lo = F.when(F.col("__polar"), F.lit(-half)).otherwise(
+            F.lit(-min(r, half))
+        )
+        dx_hi = F.when(F.col("__polar"), F.lit(nbx - half - 1)).otherwise(
+            F.lit(min(r, nbx - half - 1))
+        )
         new_ring = F.when(
             F.col("__polar"), F.abs(F.col("__dy")) > r_prev
         ).otherwise(F.greatest(F.abs("__dx"), F.abs("__dy")) > r_prev)
+        dy_cap = min(r, nby_r)  # lat cells never wrap; beyond them is empty
         cand = (
             rem.withColumn("__dx", F.explode(F.sequence(dx_lo, dx_hi)))
-            .withColumn("__dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("__dy", F.explode(F.sequence(F.lit(-dy_cap), F.lit(dy_cap))))
             .where(new_ring)
             .withColumn("__jcx", wrap_cx(F.col("__lcx") + F.col("__dx")))
             .withColumn("__jcy", F.col("__lcy") + F.col("__dy"))
@@ -163,33 +216,61 @@ def partitioned_nearest(
                 (F.col("__jcx") == F.col("__rcx")) & (F.col("__jcy") == F.col("__rcy")),
             )
         )
+        if condition is not None:
+            cand = cand.where(condition)
 
-        found = (
-            cand.withColumn(
-                "__d",
-                dist_expr(
-                    F.col("__lx"), F.col("__ly"), F.col("__rx"), F.col("__ry")
-                ),
-            )
-            .groupBy("__pid")
-            .agg(F.min(sel).alias("__new"))
+        cand = cand.withColumn(
+            "__d",
+            dist_expr(F.col("__lx"), F.col("__ly"), F.col("__rx"), F.col("__ry")),
         )
+        if k == 1:
+            found = cand.groupBy("__pid").agg(F.min(sel).alias("__new"))
+        else:
+            # bound candidates to k per row BEFORE collecting: a bare
+            # collect_list would buffer every candidate of a dense ring in
+            # the hash aggregate (OOM at scale); the row_number window is
+            # sort-based (spillable) and its pid-partitioning is reused by
+            # the groupBy, so this costs one shuffle, not two
+            from pyspark.sql.window import Window as _W
+
+            w_k = _W.partitionBy("__pid").orderBy("__c")
+            found = (
+                cand.withColumn("__c", sel)
+                .withColumn("__rn", F.row_number().over(w_k))
+                .where(F.col("__rn") <= k)
+                .groupBy("__pid")
+                .agg(F.array_sort(F.collect_list("__c")).alias("__new"))
+            )
         # ONE materialization per round (repartitioned first: AQE would
         # coalesce the shrinking state to one partition and serialize the
         # next round's much larger explode+join); done/rem are then cheap
         # filters over the checkpointed result, so neither the final union
         # nor the next round recomputes this round's join
         par = left.sparkSession.sparkContext.defaultParallelism
+        merge_best = (
+            F.least("__best", "__new")
+            if k == 1
+            else F.slice(
+                F.array_sort(
+                    F.concat(F.col("__best"), F.coalesce(F.col("__new"), empty_arr))
+                ),
+                1,
+                k,
+            )
+        )
         merged = (
             rem.join(found, "__pid", "left")
-            .withColumn("__best", F.least("__best", "__new"))
+            .withColumn("__best", merge_best)
             .drop("__new")
             .repartition(par)
             .localCheckpoint(eager=True)
         )
 
         if global_cover:
-            final = merged.where(F.col("__best").isNotNull())
+            have_any = (
+                F.col("__best").isNotNull() if k == 1 else F.size("__best") > 0
+            )
+            final = merged.where(have_any)
             resolved = final if resolved is None else resolved.unionByName(final)
             break
 
@@ -202,7 +283,17 @@ def partitioned_nearest(
         #   Δφ ≤ best/_MPD_LAT matters — evaluating cos at THAT offset (not
         #   at the full ring height, whose cos collapses to 0 as r grows)
         #   keeps the bound convergent at every latitude.
-        d_best = F.col("__best.__d")
+        # k > 1: the bound must clear the K-th best — then no unexplored
+        # point can displace any of the current top k (it would have to be
+        # closer than the k-th, contradicting the ring bound)
+        if k == 1:
+            d_best = F.col("__best.__d")
+            have_k = F.col("__best").isNotNull()
+        else:
+            d_best = F.when(
+                F.size("__best") >= k, F.element_at("__best", k)["__d"]
+            )
+            have_k = d_best.isNotNull()
         lat_ok = d_best <= F.lit(_MPD_LAT * r * w)
         phi_star = F.least(
             F.lit(_PHI_CAP),
@@ -211,7 +302,7 @@ def partitioned_nearest(
         )
         lon_ok = d_best <= F.lit(_MPD_LON * r * w) * F.cos(F.radians(phi_star))
         accept = (
-            F.col("__best").isNotNull()
+            have_k
             & lat_ok
             & (F.lit((2 * r + 1) >= nbx) | F.col("__polar") | lon_ok)
         )
@@ -228,16 +319,20 @@ def partitioned_nearest(
             break
         r_prev = r
 
+    joined = payload.join(resolved.select("__pid", "__best"), "__pid")
+    b = "__best" if k == 1 else "__b"
+    if k > 1:
+        joined = joined.withColumn("__b", F.explode("__best"))
     out_right = [
-        F.col(f"__best.p.__p{i}").alias(out_names[len(left_id_cols) + i])
+        F.col(f"{b}.p.__p{i}").alias(out_names[len(left_id_cols) + i])
         for i in range(len(right_pay_cols))
     ]
     cols = [F.col(c).alias(n) for c, n in zip(left_id_cols, out_names)] + out_right
     if distance_column:
         cols.append(
-            F.round(F.col("__best.__d")).cast("int").alias(distance_column)
+            F.round(F.col(f"{b}.__d")).cast("int").alias(distance_column)
         )
-    return payload.join(resolved.select("__pid", "__best"), "__pid").select(*cols)
+    return joined.select(*cols)
 
 
 def _best_struct(right_pay_cols: list[str], tie_break: list[str]) -> Column:

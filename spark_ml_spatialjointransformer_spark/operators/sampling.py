@@ -17,7 +17,7 @@ from spark_ml_spatialjointransformer_spark.functions.hashing import h60_col
 
 
 def stratified_take(
-    df: DataFrame, group_col: str, id_col: str, n: int
+    df: DataFrame, group_col: str, id_col: str, n: int, prefilter: bool = True
 ) -> DataFrame:
     """Deterministic per-group quota sample: rank rows inside each group by
     (h60(id), id) — a content-independent pseudo-random but reproducible
@@ -27,19 +27,40 @@ def stratified_take(
     (unlike ``sampleBy``, whose RNG is partitioning-dependent), which is
     what a training-data pipeline needs for reproducible mixtures.
 
-    At 100 TB: one shuffle on the group key; for heavy-hitter groups replace
-    the exact window with a pre-filter ``h60(id) < threshold(group)`` from an
-    approximate per-group quantile, then rank only the survivors — same
-    output, the window's sort touches ~n rows per group instead of all.
+    Heavy-hitter guard (``prefilter=True``): before the exact per-group
+    window, an Arrow pass keeps only each batch's LOCAL first-``n`` rows
+    per group (combiner-style top-n).  The union of batch-local top-n sets
+    is always a superset of the global top-n — for ANY partitioning — so
+    the final window output is bit-identical, but the group-key shuffle
+    and sort now carry at most n·num_batches rows per group instead of
+    every row of a hot group.  h60 is computed JVM-side once and reused as
+    the window key.
 
     Output: input columns ++ ``rn`` (1-based rank within the group).
     """
-    w = Window.partitionBy(group_col).orderBy(
-        h60_col(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    if not prefilter:
+        w = Window.partitionBy(group_col).orderBy(
+            h60_col(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= n)
+
+    base = df.withColumn("__h", h60_col(F.col(id_col).cast("string")))
+    schema = base.schema
+
+    def local_topn(batches):
+        for pdf in batches:
+            yield (
+                pdf.sort_values(["__h", id_col])
+                .groupby(group_col, sort=False)
+                .head(n)
+            )
+
+    surv = base.mapInPandas(local_topn, schema=schema)
+    w = Window.partitionBy(group_col).orderBy("__h", id_col)
     return (
-        df.withColumn("rn", F.row_number().over(w))
+        surv.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= n)
+        .drop("__h")
     )
 
 

@@ -412,7 +412,15 @@ def _withindist_bins(
         )
 
     lon_lo, lon_hi = math.floor(-180.0 / w), math.floor(180.0 / w)
-    left = left.withColumn("__sjt_lbin_l", F.floor(lx0 / ww))
+    # clamp the left bin into the same [lon_lo, lon_hi] domain as the right
+    # side's emitted cells: a left lon marginally outside [-180, 180]
+    # (dirty data) then behaves like boundary data instead of silently
+    # matching nothing (in-domain rows are unaffected — floor(lx0/ww) is
+    # already inside the clamp range)
+    left = left.withColumn(
+        "__sjt_lbin_l",
+        F.greatest(F.least(F.floor(lx0 / ww), F.lit(lon_hi)), F.lit(lon_lo)),
+    )
 
     def _bin_shift_struct(shift: float):
         # single-arg lambda: a 2-arg lambda would be read by F.transform as
@@ -451,8 +459,11 @@ def _withindist_bins(
     sh = F.col("__sjt_sh")
     dl_post = _lon_window_deg(radius_m, d, F.col(f"__sjt_{rt}_y0"))
     wide_post = dl_post >= F.lit(180.0)
-    lon_ref = F.greatest(
-        F.floor(F.greatest(lx0, rx0 + sh - dl_post) / ww), F.lit(lon_lo)
+    lon_ref = F.least(
+        F.greatest(
+            F.floor(F.greatest(lx0, rx0 + sh - dl_post) / ww), F.lit(lon_lo)
+        ),
+        F.lit(lon_hi),
     )
     lon_cond = F.when(wide_post, F.lit(True)).otherwise(
         (F.col("__sjt_lbin_l") == lon_ref)
@@ -592,10 +603,6 @@ def spatial_join(
     ensure_udf_portability()
     op = plan.op
     if plan.strategy == "partitioned" and op == "nearest":
-        if plan.condition:
-            raise ValueError(
-                "strategy='partitioned' nearest does not support an extra condition"
-            )
         if plan.external_side.is_wkt or plan.input_side.is_wkt:
             raise ValueError(
                 "strategy='partitioned' nearest requires point geometry on both sides"
@@ -607,11 +614,6 @@ def spatial_join(
         )
     if plan.k != 1 and op != "nearest":
         raise ValueError(f"k={plan.k} is only meaningful for 'nearest'")
-    if plan.k != 1 and plan.strategy == "partitioned":
-        raise ValueError(
-            "k>1 nearest is broadcast-only (the partitioned grid loop "
-            "resolves the single nearest)"
-        )
     if plan.k < 1:
         raise ValueError(f"k must be >= 1 (got {plan.k})")
     need_dist = bool(plan.distance_column) or op in ("nearest", "withindist")
@@ -638,9 +640,15 @@ def spatial_join(
     # parquet collapses to 1-2 input splits, which would serialize the whole
     # join; at cluster scale the side already has >= defaultParallelism
     # partitions and this is a no-op.  An explicit numPartitions on the
-    # external side is honored as-is (reference X1 semantics).
+    # external side is honored as-is (reference X1 semantics).  The probe
+    # (df.rdd forces plan→RDD conversion at build time) can be disabled on
+    # real clusters with spark.sjt.parallelismGuard=false.
     explicit_parts = plan.num_partitions is not None and lt == "e"
-    if not explicit_parts:
+    guard_on = (
+        input_df.sparkSession.conf.get("spark.sjt.parallelismGuard", "true")
+        == "true"
+    )
+    if not explicit_parts and guard_on:
         par = input_df.sparkSession.sparkContext.defaultParallelism
         if left.rdd.getNumPartitions() < par:
             left = left.repartition(par)
@@ -868,6 +876,25 @@ def _partitioned_nearest_route(
         out_names = [a for _, a in plan.data_columns] + list(input_cols)
         tb = list(plan.tie_break)
 
+    cond_col = None
+    l_extra: list[str] = []
+    r_extra: list[str] = []
+    if plan.condition:
+        from spark_ml_spatialjointransformer_spark.plans.config import (
+            condition_input_columns,
+        )
+
+        rewritten = rewrite_condition(plan.condition, EXT_PREFIX)
+        _validate_condition_syntax(left, rewritten, plan.condition)
+        cond_col = F.expr(rewritten)
+        ext_cond = [
+            f"{EXT_PREFIX}{c}" for c in condition_external_columns(plan.condition)
+        ]
+        inp_cond = condition_input_columns(plan.condition)
+        l_extra, r_extra = (
+            (inp_cond, ext_cond) if lt == "i" else (ext_cond, inp_cond)
+        )
+
     if plan.distance_kernel == "haversine":
         dist_fn = haversine_expr
     else:
@@ -887,6 +914,10 @@ def _partitioned_nearest_route(
         dist_fn,
         plan.distance_column,
         out_names,
+        condition=cond_col,
+        l_extra_cols=l_extra,
+        r_extra_cols=r_extra,
+        k=plan.k,
     )
     order = list(input_cols) + [a for _, a in plan.data_columns]
     if plan.distance_column:

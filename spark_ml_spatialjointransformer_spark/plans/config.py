@@ -117,6 +117,17 @@ def condition_external_columns(condition: str) -> list[str]:
     return seen
 
 
+def condition_input_columns(condition: str) -> list[str]:
+    """Input-side columns referenced by the extra condition (``right.Y`` in
+    the reference grammar — the transformer input side)."""
+    cond = condition or ""
+    seen: list[str] = []
+    for m in _RIGHT_REF.finditer(cond):
+        if m.group(1) not in seen:
+            seen.append(m.group(1))
+    return seen
+
+
 def rewrite_condition(condition: str, ext_prefix: str) -> str:
     """Rewrite ``left.X`` / ``right.Y`` refs into the joined-plan namespace:
     external columns are internally prefixed, input columns keep their names.

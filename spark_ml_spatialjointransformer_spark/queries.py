@@ -241,6 +241,76 @@ def j12_nearest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")
 
 
+@_register(
+    "j17_nearest_cond_partitioned",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d
+      FROM c CROSS JOIN s
+      WHERE s.s_nationkey != c.c_nationkey),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
+      FROM p)
+SELECT c_custkey, s_suppkey AS supp_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM r WHERE rn = 1
+""",
+)
+def j17_nearest_cond_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j10 under strategy='partitioned': nearest supplier in a DIFFERENT
+    nation with neither side broadcast — the extra theta condition filters
+    candidates inside the grid loop's cell join (the per-row resolution
+    bound survives because a filter only removes candidates).  Same oracle
+    as j10: hash equality proves the big×big path honors the condition."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "c_nationkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        condition="left.s_nationkey != right.c_nationkey",
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("s_suppkey",),
+        strategy="partitioned",
+    )
+    return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")
+
+
+@_register(
+    "j18_knn3_partitioned",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d FROM c CROSS JOIN s),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
+      FROM p)
+SELECT c_custkey, s_suppkey AS supp_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM r WHERE rn <= 3
+""",
+)
+def j18_knn3_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j16 under strategy='partitioned': k=3 nearest with neither side
+    broadcast — the grid loop carries a sorted k-element top-array and a
+    row resolves when its K-th best beats the unexplored-ring bound.  Same
+    oracle as j16: hash equality proves the big×big top-k agrees with the
+    zero-shuffle broadcast path."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("s_suppkey",),
+        strategy="partitioned",
+        k=3,
+    )
+    return spatial_join(cust, supp, plan).select("c_custkey", "supp_key", "dist_m")
+
+
 _PT_IN_RECT_ORACLE = f"""
 WITH {_GEO_CTE},
 {_NATION_RECT_CTE}

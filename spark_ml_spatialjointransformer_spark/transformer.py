@@ -115,9 +115,11 @@ class BroadcastSpatialJoin(
     )
     joinStrategy = _str_param(
         "joinStrategy",
-        "'broadcast' (reference contract) or 'partitioned' (withindist only: "
-        "both sides shuffle on latitude-band cells; lifts the broadcast "
-        "memory bound for big-by-big distance joins)",
+        "'broadcast' (reference contract) or 'partitioned' (every predicate: "
+        "both sides shuffle on grid-cell equi-keys — withindist uses "
+        "latitude bands, bbox predicates grid cells, nearest the iterative "
+        "radius-expansion loop incl. k>1 and extra conditions; lifts the "
+        "broadcast memory bound for big-by-big joins)",
     )
 
     @keyword_only

@@ -28,6 +28,29 @@ def test_stratified_take_deterministic_and_quota(spark):
         assert got == expect, lang
 
 
+def test_stratified_take_heavy_hitter_prefilter_exact(spark):
+    """One group holding 90% of rows: the combiner-style local-top-n
+    prefilter must return EXACTLY the naive window's output (superset
+    property), under several partitionings."""
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(2000)]
+    for n_parts in (1, 4, 13):
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string"
+        ).repartition(n_parts)
+        fast = {
+            (r.doc_id, r.lang, r.rn)
+            for r in stratified_take(df, "lang", "doc_id", 25).collect()
+        }
+        exact = {
+            (r.doc_id, r.lang, r.rn)
+            for r in stratified_take(
+                df, "lang", "doc_id", 25, prefilter=False
+            ).collect()
+        }
+        assert fast == exact, n_parts
+        assert len(fast) == 50
+
+
 @pytest.mark.parametrize("n_parts", [1, 3, 7])
 def test_pack_sequences_partitioning_invariant(spark, n_parts):
     """The two-level prefix sum must equal the global formula for ANY

@@ -544,16 +544,8 @@ class TestPartitionedNearest:
         P = SideConfig(point_columns=PointColumns("lon", "lat"))
         W = SideConfig(wkt_column="wkt")
         df = input_df(spark, SMOKE_INPUT)
-        with pytest.raises(ValueError, match="extra condition"):
-            spatial_join(
-                df,
-                df,
-                SpatialJoinPlan(
-                    predicate="nearest", external_side=P, input_side=P,
-                    data_columns=(("id", "id2"),), condition="left.id != right.id",
-                    strategy="partitioned",
-                ),
-            )
+        # extra condition + k>1 are SUPPORTED under partitioned since r3
+        # (j17/j18 prove hash equality); only WKT sides stay rejected
         with pytest.raises(ValueError, match="point geometry"):
             spatial_join(
                 df,
@@ -697,10 +689,10 @@ def test_knn_k_validation(spark):
         spatial_join(df, df, SpatialJoinPlan(
             predicate="within", external_side=P, input_side=P,
             data_columns=(("id", "id2"),), k=3))
-    with pytest.raises(ValueError, match="broadcast-only"):
+    with pytest.raises(ValueError, match="k must be"):
         spatial_join(df, df, SpatialJoinPlan(
             predicate="nearest", external_side=P, input_side=P,
-            data_columns=(("id", "id2"),), k=3, strategy="partitioned"))
+            data_columns=(("id", "id2"),), k=0))
 
 
 def test_withindist_high_latitude_pairs(spark):
