@@ -513,14 +513,20 @@ def dedup_connected_components(
     (one-hop keeper assignment can give chain members A≈B≈C different
     keepers; this is the real pipeline's final dedup pass).
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors' labels (one equi-join + one partial-
-    aggregatable min per round — only (node, label) longs shuffle, never
-    documents), checkpointed per round, stopping at the fixpoint.  Round
-    count is bounded by the component diameter — near-dup components are
-    shallow stars/chains in practice; for adversarial graphs the log-round
-    large-star/small-star variant (Kiveris et al., "Connected Components in
-    MapReduce") swaps in behind the same signature.
+    Hash-Min with ADAPTIVE POINTER DOUBLING: each round every node takes
+    the min of (its own label, its neighbors' labels) — one equi-join + a
+    partially-aggregatable min.  Near-dup graphs are shallow stars/chains
+    that reach the fixpoint in 2-3 such rounds; if the graph has NOT
+    converged by round 3, every later round also takes the min with its
+    LABEL'S label (one more (node,label)×(node,label) equi-join) which
+    halves the label-forest depth — convergence then needs O(log diameter)
+    total rounds, so a 2^20-deep adversarial chain resolves within the
+    default ``max_iters`` instead of needing a round per hop (the
+    guarantee the large-star/small-star family provides, here with a
+    cheaper round and zero overhead on the common shallow case).  Only
+    (node, label) longs ever shuffle, never documents; state is
+    checkpointed per round; the loop stops at the fixpoint and raises if
+    ``max_iters`` is exhausted first.
 
     Output: (id_col, keeper, is_dup) — one row per id in ``ids``.
     """
@@ -539,16 +545,31 @@ def dedup_connected_components(
         .localCheckpoint(eager=True)
     )
     changed = 0
-    for _ in range(max_iters):
+    for i in range(max_iters):
         nbr = (
             edges.join(labels, F.col("__a") == F.col("__v"))
             .select(F.col("__b").alias("__v"), F.col("__lbl"))
             .groupBy("__v")
             .agg(F.min("__lbl").alias("__nbr"))
         )
+        half = labels.join(nbr, "__v", "left").select(
+            "__v", "__lbl", F.least("__lbl", "__nbr").alias("__mid")
+        )
+        if i >= 3:
+            # not converged in the shallow-graph budget: engage pointer
+            # doubling — also take the label OF my label (labels are node
+            # ids, so the lookup table is the label frame itself); each
+            # such round halves the label-forest depth
+            lut = labels.select(
+                F.col("__v").alias("__lv"), F.col("__lbl").alias("__ll")
+            )
+            half = (
+                half.join(lut, F.col("__mid") == F.col("__lv"), "left")
+                .withColumn("__mid", F.least("__mid", "__ll"))
+                .select("__v", "__lbl", "__mid")
+            )
         merged = (
-            labels.join(nbr, "__v", "left")
-            .withColumn("__new", F.least("__lbl", "__nbr"))
+            half.withColumnRenamed("__mid", "__new")
             .repartition(par)
             .localCheckpoint(eager=True)
         )
@@ -559,8 +580,7 @@ def dedup_connected_components(
     if changed != 0:
         # a silent non-fixpoint would hand back WRONG keepers (chain members
         # still carrying intermediate labels); fail loudly — callers with
-        # adversarially deep graphs should raise max_iters or swap in the
-        # log-round large-star/small-star variant
+        # adversarially deep graphs should raise max_iters
         raise RuntimeError(
             f"dedup_connected_components: no fixpoint after {max_iters} "
             f"iterations ({changed} labels still changing — component "

@@ -599,7 +599,28 @@ def spatial_join(
     ``external_df`` is the raw external dataset (pre-filter); ``input_df`` is
     the transformer input.  Returns the joined DataFrame with columns
     ``input ++ selected-aliased-external ++ [distance]``.
+
+    ``num_partitions`` honors the reference X1 contract (output has exactly
+    N partitions — BroadcastSpatialJoinTest.scala:151): broadcast plans that
+    iterate the repartitioned external side carry N through for free; plans
+    that shuffle after the join (nearest aggregation/window, partitioned
+    strategy) append one explicit repartition.
     """
+    out = _compile_spatial_join(input_df, external_df, plan)
+    if plan.num_partitions:
+        preserved = (
+            plan.strategy == "broadcast"
+            and plan.broadcast_input  # external side is the iterated left
+            and (plan.op != "nearest" or not plan.condition)
+        )
+        if not preserved:
+            out = out.repartition(plan.num_partitions)
+    return out
+
+
+def _compile_spatial_join(
+    input_df: DataFrame, external_df: DataFrame, plan: SpatialJoinPlan
+) -> DataFrame:
     ensure_udf_portability()
     op = plan.op
     if plan.strategy == "partitioned" and op == "nearest":

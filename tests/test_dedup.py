@@ -261,6 +261,26 @@ def test_connected_components_chain(spark):
     }
 
 
+def test_connected_components_deep_chain_log_rounds(spark):
+    """A 400-hop path graph (worst case for plain min-propagation, which
+    needs a round per hop) must converge within a logarithmic round budget
+    thanks to pointer doubling — and must NOT silently return non-converged
+    labels (the loop raises if the budget is exhausted)."""
+    n = 400
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id long")
+    out = {
+        r.doc_id: r.keeper
+        for r in dedup.dedup_connected_components(
+            pairs, ids, "doc_id", max_iters=12
+        ).collect()
+    }
+    assert all(k == 0 for k in out.values())
+    assert len(out) == n + 1
+
+
 def test_connected_components_vs_union_find(spark, docs_pd):
     """Real t5 pair graph at sf0.001 vs an independent python union-find."""
     docs = load_table(spark, SF, "documents")

@@ -557,6 +557,46 @@ class TestPartitionedNearest:
             )
 
 
+def test_num_partitions_output_contract(spark):
+    """Reference X1 contract (BroadcastSpatialJoinTest.scala:151): with
+    numPartitions set, the OUTPUT has exactly N partitions — free when the
+    broadcast plan iterates the repartitioned external side, via an
+    explicit final repartition when the plan shuffles after the join."""
+    from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from spark_ml_spatialjointransformer_spark.plans.config import (
+        PointColumns,
+        SideConfig,
+        SpatialJoinPlan,
+    )
+
+    P = SideConfig(point_columns=PointColumns("lon", "lat"))
+    inp = input_df(spark, SMOKE_INPUT)
+    poi = poi_df(spark, SMOKE_POI)
+    base = dict(
+        external_side=P, input_side=P, data_columns=(("poi_id", "poi"),),
+        num_partitions=5, distance_kernel="haversine",
+    )
+    cases = [
+        # (plan, note) — tie_break names BROADCAST-side columns
+        (SpatialJoinPlan(predicate="nearest", broadcast_input=True,
+                         tie_break=("id",), **base), "free: ext iterated"),
+        (SpatialJoinPlan(predicate="withindist 500000", broadcast_input=True,
+                         **base), "free: predicate join"),
+        (SpatialJoinPlan(predicate="nearest", broadcast_input=False,
+                         tie_break=("poi_id",), **base), "repartition: input side"),
+        (SpatialJoinPlan(predicate="nearest", broadcast_input=True,
+                         condition="left.poi_id != right.id",
+                         tie_break=("id",), **base), "repartition: agg path"),
+        (SpatialJoinPlan(predicate="withindist 500000", broadcast_input=False,
+                         strategy="partitioned", **base), "repartition: partitioned"),
+    ]
+    for plan, note in cases:
+        out = spatial_join(inp, poi, plan)
+        assert out.rdd.getNumPartitions() == 5, note
+
+
 def test_invalid_condition_fails_at_plan_build(spark):
     """Garbage `condition` strings fail when the plan compiles (reference
     parity: IllegalArgumentException at config time,
