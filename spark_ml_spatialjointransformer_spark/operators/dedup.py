@@ -302,7 +302,7 @@ def simhash_values(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(__id, __sh) per document — same values as ``simhash_col`` but via
     explode → 32 codegen'd sum-aggregates (one pass over token hashes
     instead of one interpreted array scan per bit)."""
-    # distinct applies to the HASH set (crc32 collisions merge), matching
+    # distinct applies to the HASH set (h60 collisions merge), matching
     # simhash_col and the python oracle; the transform runs over the small
     # already-distinct token array, not the raw text pipeline
     exploded = _parallelize(df).select(

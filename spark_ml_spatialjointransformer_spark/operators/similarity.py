@@ -206,6 +206,93 @@ def _pair_qcos_udf():
     return _qcos
 
 
+def _quantized_base(
+    df: DataFrame, id_col: str, emb_col: str, dim: int, n_planes: int, bands: int
+) -> DataFrame:
+    """(__id, __buckets, __q, __qn2) for the integer-exact SRP tier: per-band
+    bucket ids, the quantized int64 vector, and its exact integer norm²
+    (zero-norm rows dropped — they have no cosine)."""
+    return (
+        _normed(df, id_col, emb_col)
+        .withColumn("__f", _srp_int_feats_udf(n_planes, dim, bands)(F.col("__emb")))
+        .select(
+            "__id",
+            F.col("__f.buckets").alias("__buckets"),
+            F.col("__f.q").alias("__q"),
+            F.col("__f.qn2").alias("__qn2"),
+        )
+        .where(F.col("__qn2") > 0)
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    emb_col: str,
+    q_id_col: str,
+    q_emb_col: str,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 6,
+    bands: int = 2,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k — the third ANN tier beside v1's
+    brute force and v3's IVF: corpus rows are candidates for a query iff
+    they share ANY band's quantized-SRP bucket; candidates rank by EXACT
+    cosine (integer dot over quantized vectors — bit-identical across
+    engines, see ``_pair_qcos_udf``).
+
+    Scale shape: the join key is (band, bucket) — the query side is tiny
+    and broadcast; each query probes only its own buckets
+    (~bands/2^n_planes of the corpus), and the corpus bucketing is a
+    one-off scan reusable across query batches.  Recall is tunable via
+    bands/n_planes; a pair sharing several bands is ranked once (codegen
+    first-match filter on the carried bucket arrays).
+
+    Output: (q_id, id, cos_e6) — ≤ k rows per query (fewer when the
+    buckets hold fewer candidates: approximate by design).
+    """
+    from pyspark.sql.window import Window
+
+    corpus = _quantized_base(df, id_col, emb_col, dim, n_planes, bands).select(
+        "*", F.posexplode("__buckets").alias("__band", "__bucket")
+    )
+    qs = (
+        _quantized_base(queries, q_id_col, q_emb_col, dim, n_planes, bands)
+        .select(
+            F.col("__id").alias("__qid"),
+            F.col("__buckets").alias("__qbuckets"),
+            F.col("__q").alias("__qq"),
+            F.col("__qn2").alias("__qqn2"),
+        )
+        .select("*", F.posexplode("__qbuckets").alias("__band", "__bucket"))
+    )
+    first_match = F.lit(True)
+    for bi in range(bands - 1):
+        first_match = first_match & (
+            (F.col("__band") <= bi)
+            | (F.col("__buckets")[bi] != F.col("__qbuckets")[bi])
+        )
+    cos = _pair_qcos_udf()(
+        F.col("__q"), F.col("__qn2"), F.col("__qq"), F.col("__qqn2")
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col("__id"))
+    return (
+        corpus.join(F.broadcast(qs), ["__band", "__bucket"])
+        .where(F.col("__id") != F.col("__qid"))
+        .where(first_match)
+        .withColumn("__cos", cos)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("__qid").alias("q_id"),
+            F.col("__id").alias("id"),
+            F.round(F.col("__cos") * 1_000_000).cast("bigint").alias("cos_e6"),
+        )
+    )
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -238,17 +325,7 @@ def lsh_neardup_pairs(
     oracled this tightly).  The checkpointed base also shrinks: only the
     quantized vector + its integer norm² ride into the self-join."""
     if quantized:
-        pre = (
-            _normed(df, id_col, emb_col)
-            .withColumn("__f", _srp_int_feats_udf(n_planes, dim, bands)(F.col("__emb")))
-            .select(
-                "__id",
-                F.col("__f.buckets").alias("__buckets"),
-                F.col("__f.q").alias("__q"),
-                F.col("__f.qn2").alias("__qn2"),
-            )
-            .where(F.col("__qn2") > 0)
-        )
+        pre = _quantized_base(df, id_col, emb_col, dim, n_planes, bands)
     else:
         pre = _normed(df, id_col, emb_col).withColumn(
             "__buckets", _srp_bucket_udf(n_planes, dim, bands)(F.col("__emb"))

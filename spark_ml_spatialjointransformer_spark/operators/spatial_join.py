@@ -669,7 +669,7 @@ def _compile_spatial_join(
         input_df.sparkSession.conf.get("spark.sjt.parallelismGuard", "true")
         == "true"
     )
-    if not explicit_parts and guard_on:
+    if not explicit_parts and guard_on and not left.isStreaming:
         par = input_df.sparkSession.sparkContext.defaultParallelism
         if left.rdd.getNumPartitions() < par:
             left = left.repartition(par)
@@ -682,8 +682,12 @@ def _compile_spatial_join(
         # fast path: vectorized broadcast-kNN, no join/shuffle at all
         return _broadcast_knn(left, right, lt, plan, input_cols, inp, ext)
 
-    left = left.withColumn("__sjt_lid", F.monotonically_increasing_id())
-    right = right.withColumn("__sjt_rid", F.monotonically_increasing_id())
+    if op == "nearest":
+        # per-row ids only exist for the nearest aggregation/window paths
+        # (group key + deterministic tie order); predicate joins never read
+        # them — and leaving them off keeps those plans streaming-legal
+        left = left.withColumn("__sjt_lid", F.monotonically_increasing_id())
+        right = right.withColumn("__sjt_rid", F.monotonically_increasing_id())
 
     cond = (
         None if op == "withindist" else _bbox_condition(op, lt, rt)

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_ml_spatialjointransformer_spark.functions.geodesic import haversine_sql
-from spark_ml_spatialjointransformer_spark.functions.hashing import h60_sql
+from spark_ml_spatialjointransformer_spark.functions.hashing import h60_col, h60_sql
 from spark_ml_spatialjointransformer_spark.operators.dedup import (
     MINHASH_PRIME,
     SIMHASH_BITS,
@@ -1223,6 +1223,50 @@ def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M2_ORACLE = f"""
+WITH c AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+f AS (SELECT doc_id, hx,
+             unnest(range(0, greatest(1, CAST(ceil(n / 256.0) AS BIGINT)), 2))
+               AS frame_idx
+      FROM c),
+s AS (SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             substring(hx, CAST(frame_idx * 512 + 1 AS BIGINT), 512) AS fh
+      FROM f)
+SELECT doc_id, frame_idx,
+       CAST(length(fh) / 2 AS INTEGER) AS frame_len,
+       {h60_sql('fh')} AS frame_h60
+FROM s
+"""
+
+
+@_register("m2_frame_sampling", _M2_ORACLE)
+def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal one-to-many frame sampling: the payload splits into
+    256-byte "frames", keeping every 2nd (the keyframe-sampling shape —
+    real decoders swap the chunker, the mapInPandas row-explosion plumbing
+    is what's exercised).  Frames are verified by content: the oracle
+    replays the byte chunking via hex-string slicing (2 hex chars/byte)
+    and both engines h60 the SAME uppercase hex text of each frame."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    frames = sample_frames(
+        docs, "content", frame_bytes=256, stride=2, id_cols=("doc_id",)
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame").cast("int").alias("frame_len"),
+        h60_col(F.hex(F.col("frame"))).alias("frame_h60"),
+    )
+
+
 _V3_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM e),
@@ -1657,6 +1701,62 @@ GROUP BY event_type
 """
 
 
+_V5_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) - 1 AS i FROM e),
+nrm0 AS (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id),
+q AS (SELECT u.vec_id, u.i, CAST(floor(u.v * 100000.0 + 0.5) AS BIGINT) AS qv
+      FROM u JOIN nrm0 ON nrm0.vec_id = u.vec_id WHERE nrm0.nm > 0),
+qn AS (SELECT vec_id, sum(qv * qv) AS qn2 FROM q GROUP BY vec_id HAVING sum(qv * qv) > 0),
+p AS (SELECT j, i, ((j * 73856093 + i * 19349663 + 83492791) % 2039) % 17 - 8 AS pv
+      FROM range(12) t1(j) CROSS JOIN range(64) t2(i)),
+d AS (SELECT q.vec_id, p.j, sum(q.qv * p.pv) AS dot
+      FROM q JOIN qn USING (vec_id) JOIN p ON p.i = q.i GROUP BY q.vec_id, p.j),
+b AS (SELECT vec_id,
+       sum(CASE WHEN j >= 0 AND j < 6 AND dot > 0
+           THEN CAST(1 AS BIGINT) << (j - 0) ELSE 0 END) AS k0,
+       sum(CASE WHEN j >= 6 AND j < 12 AND dot > 0
+           THEN CAST(1 AS BIGINT) << (j - 6) ELSE 0 END) AS k1
+      FROM d GROUP BY vec_id),
+cand AS (SELECT qb.vec_id AS q_id, xb.vec_id AS id
+         FROM b qb JOIN b xb
+           ON xb.vec_id != qb.vec_id AND (xb.k0 = qb.k0 OR xb.k1 = qb.k1)
+         WHERE qb.vec_id % 500 = 0),
+dp AS (SELECT c.q_id, c.id, sum(qa.qv * qb2.qv) AS dot
+       FROM cand c
+       JOIN q qa ON qa.vec_id = c.id
+       JOIN q qb2 ON qb2.vec_id = c.q_id AND qb2.i = qa.i
+       GROUP BY c.q_id, c.id),
+cosv AS (SELECT dp.q_id, dp.id,
+                CAST(dp.dot AS DOUBLE)
+                / (sqrt(CAST(na.qn2 AS DOUBLE)) * sqrt(CAST(nb.qn2 AS DOUBLE))) AS cos
+         FROM dp
+         JOIN qn na ON na.vec_id = dp.id
+         JOIN qn nb ON nb.vec_id = dp.q_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS rn
+      FROM cosv)
+SELECT q_id, id, CAST(round(cos * 1000000) AS BIGINT) AS cos_e6
+FROM r WHERE rn <= 10
+"""
+
+
+@_register("v5_lsh_topk", _V5_ORACLE)
+def v5_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 — the third ANN tier beside v1
+    (brute force) and v3 (IVF): candidates share any quantized-SRP band
+    bucket with the query, ranked by the exact integer-dot cosine.  The
+    whole pipeline is BIGINT arithmetic + per-side sqrts, so the DuckDB
+    oracle reproduces the candidate set AND the ranking bit-for-bit."""
+    from spark_ml_spatialjointransformer_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 500 == 0)
+    return lsh_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        dim=_EMB_DIM, k=10, n_planes=6, bands=2,
+    )
+
+
 @_register("e5_stream_dedup", _E5_ORACLE)
 def e5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: the events source unioned with itself (every
@@ -1680,6 +1780,40 @@ def e5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
     )
+
+
+_E7_ORACLE = f"""
+WITH {_NATION_RECT_CTE},
+ev AS (SELECT event_id,
+              (user_id * 9973 % 3600) / 10.0 - 180.0 AS lon,
+              (user_id * 7919 % 1200) / 10.0 - 60.0 AS lat
+       FROM events)
+SELECT n.n_nationkey AS nat_key, count(*) AS n_events
+FROM ev JOIN n
+  ON ev.lon > n.x0 AND ev.lon < n.x1 AND ev.lat > n.y0 AND ev.lat < n.y1
+GROUP BY n.n_nationkey
+"""
+
+
+@_register("e7_spatial_join_stream", _E7_ORACLE)
+def e7_spatial_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC spatial join: geolocated events stream joined `within`
+    the static broadcast nation rectangles through the same spatial_join
+    operator as the batch queries (stateless micro-batch joins, no
+    watermark needed); the appended sink aggregated per nation must equal
+    the batch point-in-rect join exactly."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        run_to_memory,
+        spatial_join_stream,
+    )
+
+    name = "q_e7_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = run_to_memory(
+        spatial_join_stream(spark, sf_dir), name, output_mode="append"
+    )
+    return out.groupBy("nat_key").agg(F.count(F.lit(1)).alias("n_events"))
 
 
 _E6_ORACLE = """

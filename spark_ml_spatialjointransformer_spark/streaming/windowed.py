@@ -171,6 +171,51 @@ def event_pair_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a.user_id").alias("user_id"))
 
 
+#: deterministic event geolocation: user_id → lon/lat (same spacing scheme
+#: as the customer grid — a stand-in for a device-location column)
+EVENT_LON_SQL = "(user_id * 9973 % 3600) / 10.0 - 180.0"
+EVENT_LAT_SQL = "(user_id * 7919 % 1200) / 10.0 - 60.0"
+
+
+def spatial_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC spatial join: the events stream, geolocated per user,
+    joined `within` the static broadcast nation rectangles through the SAME
+    spatial_join operator the batch queries use — the plan compiles
+    unchanged because the broadcast side is static and the predicate path
+    adds no per-row ids or stream-illegal expressions (stream-static inner
+    joins are stateless: no watermark needed, each micro-batch joins
+    against the broadcast table and emits).
+
+    Output (streaming): (event_id, nat_key) append rows.
+    """
+    from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from spark_ml_spatialjointransformer_spark.plans.config import (
+        PointColumns,
+        SideConfig,
+        SpatialJoinPlan,
+    )
+    from spark_ml_spatialjointransformer_spark.sources.tables import nations_rect
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        F.expr(EVENT_LON_SQL).alias("lon"),
+        F.expr(EVENT_LAT_SQL).alias("lat"),
+    )
+    plan = SpatialJoinPlan(
+        predicate="within",
+        external_side=SideConfig(wkt_column="wkt"),
+        input_side=SideConfig(point_columns=PointColumns("lon", "lat")),
+        data_columns=(("n_nationkey", "nat_key"),),
+        broadcast_input=False,  # the stream must be the iterated side
+    )
+    return spatial_join(pts, nations_rect(spark, sf_dir), plan).select(
+        "event_id", "nat_key"
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
