@@ -1868,3 +1868,309 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 QUERIES["a1_pricing_summary"] = QueryDef(_sql_query(("lineitem",), _A1_SQL), _A1_SQL)
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (as-of / range) — custom operators Spark lacks as
+# built-ins, composed from union+window / bucketed equi-join
+# ---------------------------------------------------------------------------
+
+#: orders shifted into the events' January-2024 window so the as-of join
+#: is non-degenerate: a deterministic minute offset from the order key
+_O_TS_SPARK = (
+    "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, "
+    "CAST(o_orderkey * 7 % 40000 AS INT), 0)"
+)
+_O_TS_DUCK = (
+    "TIMESTAMP '2024-01-01' + (o_orderkey * 7 % 40000) * INTERVAL 1 MINUTE"
+)
+
+_D1_ORACLE = f"""
+WITH od0 AS (SELECT o_custkey AS user_id, {_O_TS_DUCK} AS o_ts,
+                    o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey, o_orderkey * 7 % 40000
+                                       ORDER BY o_orderkey DESC) AS rn
+             FROM orders),
+od AS (SELECT user_id, o_ts, o_orderkey,
+              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_e2
+       FROM od0 WHERE rn = 1)
+SELECT e.event_id, e.user_id, od.o_orderkey AS order_key, od.total_e2
+FROM events e ASOF LEFT JOIN od
+  ON e.user_id = od.user_id AND e.ts >= od.o_ts
+"""
+
+
+@_register("d1_asof_join", _D1_ORACLE)
+def d1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each event picks the user's most recent
+    order at event time.  Spark-side this is the union-merge plan (ONE
+    window shuffle, no join node — see operators/temporal.py); the oracle
+    is DuckDB's native ASOF LEFT JOIN, an algorithmically different merge
+    implementation, so agreement checks the semantics not the plan."""
+    from pyspark.sql.window import Window
+
+    from spark_ml_spatialjointransformer_spark.operators.temporal import asof_join
+
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id")
+    w = Window.partitionBy("user_id", "o_ts").orderBy(F.col("o_orderkey").desc())
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.expr(_O_TS_SPARK).alias("o_ts"),
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("total_e2"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return asof_join(
+        ev,
+        od,
+        on=["user_id"],
+        left_time="ts",
+        right_time="o_ts",
+        right_cols=(("o_orderkey", "order_key"), ("total_e2", "total_e2")),
+    ).select("event_id", "user_id", "order_key", "total_e2")
+
+
+_D2_ORACLE = f"""
+WITH od AS (SELECT o_orderkey AS order_key, o_custkey AS user_id,
+                   {_O_TS_DUCK} AS o_ts
+            FROM orders)
+SELECT od.order_key, count(*) AS n_events
+FROM events e JOIN od
+  ON e.user_id = od.user_id
+ AND e.ts >= od.o_ts AND e.ts < od.o_ts + INTERVAL 7 DAY
+GROUP BY od.order_key
+"""
+
+
+@_register("d2_range_join", _D2_ORACLE)
+def d2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: events land in each order's 7-day follow-up
+    window.  Spark-side the interval side explodes into 7-day buckets and
+    the join is a hash equi-join on (user, bucket) + exact filter — the
+    oracle runs the plain inequality join."""
+    from spark_ml_spatialjointransformer_spark.operators.temporal import range_join
+
+    week_us = 7 * 86400 * 1_000_000
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("__p")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.expr(_O_TS_SPARK)).alias("__lo"),
+        (F.unix_micros(F.expr(_O_TS_SPARK)) + week_us).alias("__hi"),
+    )
+    return (
+        range_join(
+            ev, od, on=["user_id"], point_col="__p", lo_col="__lo",
+            hi_col="__hi", bucket_width=week_us,
+        )
+        .groupBy("order_key")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational rollup + multi-join analytics (one SQL text, two engines)
+# ---------------------------------------------------------------------------
+
+_A2_SQL = """
+SELECT CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+       coalesce(l_returnflag, '') AS returnflag,
+       coalesce(l_linestatus, '') AS linestatus,
+       CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_e2,
+       CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_price_e2,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+QUERIES["a2_rollup_pricing"] = QueryDef(_sql_query(("lineitem",), _A2_SQL), _A2_SQL)
+
+_A3_SQL = """
+SELECT n_name,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+         AS revenue_e2,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+QUERIES["a3_regional_revenue"] = QueryDef(
+    _sql_query(
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"), _A3_SQL
+    ),
+    _A3_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: contamination, repetition, mixture, LM-freq score
+# ---------------------------------------------------------------------------
+
+_T15_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+g AS (SELECT DISTINCT doc_id, gram FROM (
+      SELECT doc_id,
+             unnest([array_to_string(tk[i:i+4], ' ')
+                     FOR i IN generate_series(1, len(tk) - 4)]) AS gram
+      FROM tok WHERE len(tk) >= 5) z),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id, count(*) AS n_shared
+FROM g JOIN b USING (gram)
+WHERE g.doc_id % 97 != 0
+GROUP BY g.doc_id
+"""
+
+
+@_register("t15_contamination", _T15_ORACLE)
+def t15_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag corpus documents sharing any
+    word 5-gram with the held-out set (doc_id % 97 == 0 stands in for the
+    eval benchmark).  Scale shape: the benchmark's distinct gram set is
+    tiny and broadcast; grams travel as h60 ints (8 bytes), never strings;
+    per-doc distinct grams via array_distinct BEFORE the explode, and the
+    count aggregates map-side.  Output: (doc_id, n_shared) for
+    contaminated non-benchmark docs only."""
+    tk = F.split(F.trim(F.col("text")), " ")
+    grams5 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__tk")) - 5),
+            lambda i: h60_col(F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, 5))),
+        )
+    )
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tk.alias("__tk"))
+        .where(F.size("__tk") >= 5)
+        .select("doc_id", F.explode(grams5).alias("__gh"))
+    )
+    bench = g.where(F.col("doc_id") % 97 == 0).select("__gh").distinct()
+    return (
+        g.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "__gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+_T16_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+g AS (SELECT doc_id, tk,
+             [array_to_string(tk[i:i+2], ' ')
+              FOR i IN generate_series(1, len(tk) - 2)] AS g3
+      FROM tok)
+SELECT doc_id,
+       CAST(((len(g3) - len(list_distinct(g3))) * 1000000) // len(g3) AS BIGINT)
+         AS rep3_e6,
+       CAST(((len(tk) - len(list_distinct(tk))) * 1000000) // len(tk) AS BIGINT)
+         AS repw_e6
+FROM g
+"""
+
+
+@_register("t16_repetition", _T16_ORACLE)
+def t16_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher-style duplicate-n-gram rule):
+    per document, the fraction of word 3-gram occurrences that are repeats
+    and the fraction of word occurrences that are repeats — all-integer
+    arithmetic (counts and exact `div`), no floats to disagree on.  Pure
+    per-row JVM expressions over the scan: no shuffle at all."""
+    tk = F.split(F.trim(F.col("text")), " ")
+    g3 = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("__tk")) - 3),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, 3)),
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tk.alias("__tk"))
+        .withColumn("__g3", g3)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(((size(__g3) - size(array_distinct(__g3))) * 1000000)"
+                " div size(__g3) AS BIGINT)"
+            ).alias("rep3_e6"),
+            F.expr(
+                "CAST(((size(__tk) - size(array_distinct(__tk))) * 1000000)"
+                " div size(__tk) AS BIGINT)"
+            ).alias("repw_e6"),
+        )
+    )
+
+
+#: per-language keep-probability of the training mixture (scaled e6)
+_T17_WEIGHTS = {"en": 500_000, "fr": 900_000, "de": 700_000, "es": 250_000}
+_T17_DEFAULT = 1_000_000
+
+_T17_ORACLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {h60_sql("CAST(doc_id AS VARCHAR)")} % 1000000 <
+      CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _T17_WEIGHTS.items())}
+      ELSE {_T17_DEFAULT} END
+"""
+
+
+@_register("t17_mixture_sample", _T17_ORACLE)
+def t17_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: each language keeps a fixed
+    fraction of its documents, selected by a content-stable hash threshold
+    (h60(doc_id) % 1e6 < weight) — reproducible across runs, engines, and
+    partitionings, unlike RNG-based sampleBy.  The weight table joins as a
+    broadcast dim (the realistic shape: mixtures are config tables);
+    filtering happens at the scan with no shuffle."""
+    wdf = spark.createDataFrame(
+        [(k, v) for k, v in _T17_WEIGHTS.items()], ["lang", "__w"]
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .join(F.broadcast(wdf), "lang", "left")
+        .withColumn("__w", F.coalesce("__w", F.lit(_T17_DEFAULT)))
+        .where(h60_col(F.col("doc_id").cast("string")) % 1_000_000 < F.col("__w"))
+        .select("doc_id", "lang")
+    )
+
+
+_T18_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+             FROM documents),
+v AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w)
+SELECT doc_id, CAST((sum(cnt) * 1000) // count(*) AS BIGINT) AS score_e3
+FROM tok JOIN v USING (w)
+GROUP BY doc_id
+"""
+
+
+@_register("t18_corpus_freq_score", _T18_ORACLE)
+def t18_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram corpus-frequency scoring (the integer-exact stand-in for LM
+    perplexity filtering): per document, the mean corpus frequency of its
+    token occurrences — rare-token-heavy docs score low.  Scale shape:
+    the vocabulary aggregates two-phase (map-side partial) and joins back
+    as a broadcast dim (Zipf: vocab ≪ corpus); the per-doc mean is one
+    partial-aggregated shuffle of (doc_id, sum, n) longs."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(F.expr("CAST((sum(cnt) * 1000) div count(1) AS BIGINT)").alias("score_e3"))
+    )
