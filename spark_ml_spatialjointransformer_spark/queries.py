@@ -1053,7 +1053,7 @@ c AS (
 )
 SELECT doc_id, n_tokens,
        CAST(floor(tokens_before / 2048.0) AS BIGINT) AS window_id,
-       tokens_before % 2048 AS offset
+       CAST(tokens_before % 2048 AS BIGINT) AS offset
 FROM c
 """
 
@@ -1548,7 +1548,7 @@ c AS (
 )
 SELECT doc_id, source, n_tokens,
        CAST(floor(before / 1024.0) AS BIGINT) AS window_id,
-       before % 1024 AS offset
+       CAST(before % 1024 AS BIGINT) AS offset
 FROM c
 """
 
@@ -1959,7 +1959,11 @@ def d2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     week_us = 7 * 86400 * 1_000_000
     ev = load_events(spark, sf_dir).select(
-        "event_id", "user_id", F.unix_micros("ts").alias("__p")
+        "event_id",
+        "user_id",
+        # ts may load as TIMESTAMP_NTZ (driver parquet is timestamp[us]);
+        # session TZ is pinned UTC so the cast is value-preserving
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__p"),
     )
     od = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("order_key"),
@@ -2028,13 +2032,13 @@ _T15_ORACLE = """
 WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
 g AS (SELECT DISTINCT doc_id, gram FROM (
       SELECT doc_id,
-             unnest([array_to_string(tk[i:i+4], ' ')
-                     FOR i IN generate_series(1, len(tk) - 4)]) AS gram
-      FROM tok WHERE len(tk) >= 5) z),
-b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+             unnest([array_to_string(tk[i:i+3], ' ')
+                     FOR i IN generate_series(1, len(tk) - 3)]) AS gram
+      FROM tok WHERE len(tk) >= 4) z),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0)
 SELECT g.doc_id, count(*) AS n_shared
 FROM g JOIN b USING (gram)
-WHERE g.doc_id % 97 != 0
+WHERE g.doc_id % 23 != 0
 GROUP BY g.doc_id
 """
 
@@ -2042,28 +2046,29 @@ GROUP BY g.doc_id
 @_register("t15_contamination", _T15_ORACLE)
 def t15_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: flag corpus documents sharing any
-    word 5-gram with the held-out set (doc_id % 97 == 0 stands in for the
-    eval benchmark).  Scale shape: the benchmark's distinct gram set is
+    word 4-gram with the held-out set (doc_id % 23 == 0 stands in for the
+    eval benchmark; mod 23 + 4-grams sized so the sf0.01 fixture yields
+    ~30 contaminated docs, not a single-row smoke answer).  Scale shape: the benchmark's distinct gram set is
     tiny and broadcast; grams travel as h60 ints (8 bytes), never strings;
     per-doc distinct grams via array_distinct BEFORE the explode, and the
     count aggregates map-side.  Output: (doc_id, n_shared) for
     contaminated non-benchmark docs only."""
     tk = F.split(F.trim(F.col("text")), " ")
-    grams5 = F.array_distinct(
+    grams4 = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(F.col("__tk")) - 5),
-            lambda i: h60_col(F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, 5))),
+            F.sequence(F.lit(0), F.size(F.col("__tk")) - 4),
+            lambda i: h60_col(F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, 4))),
         )
     )
     g = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", tk.alias("__tk"))
-        .where(F.size("__tk") >= 5)
-        .select("doc_id", F.explode(grams5).alias("__gh"))
+        .where(F.size("__tk") >= 4)
+        .select("doc_id", F.explode(grams4).alias("__gh"))
     )
-    bench = g.where(F.col("doc_id") % 97 == 0).select("__gh").distinct()
+    bench = g.where(F.col("doc_id") % 23 == 0).select("__gh").distinct()
     return (
-        g.where(F.col("doc_id") % 97 != 0)
+        g.where(F.col("doc_id") % 23 != 0)
         .join(F.broadcast(bench), "__gh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))

@@ -29,20 +29,6 @@ from spark_ml_spatialjointransformer_spark.functions._serde import (
     ensure_udf_portability,
 )
 
-# events parquet carries TIMESTAMP(NANOS): declare ts as long and convert
-# (same convention as sources.tables.load_events)
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _as_stream_dir(path: str) -> str:
     """The streaming file source requires a directory; wrap a single parquet
     file in a stable symlink directory (read-only testdata can't be moved)."""
@@ -60,14 +46,29 @@ def _as_stream_dir(path: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (kafka stand-in)."""
+    """readStream over the events parquet (kafka stand-in).
+
+    The streaming file source needs an explicit schema, and the driver's
+    testdata has shipped ``ts`` as parquet TIMESTAMP(NANOS) in one round and
+    timestamp[us] (TIMESTAMP_NTZ) in another — so instead of hard-coding a
+    convention, probe the footer with one batch read (schema-only, no scan)
+    and adapt, exactly like the batch loader (sources/tables.py).  Whatever
+    the physical encoding, the stream exposes ``ts`` as a session-TZ
+    TimestampType column (UTC-pinned sessions make every cast
+    value-preserving), which watermarks/windows require."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = _as_stream_dir(sf_dir)
+    batch_schema = spark.read.parquet(d).schema
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(_as_stream_dir(sf_dir))
+        .parquet(d)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = batch_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # legacy nanos-as-long encoding: truncate to micros
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
