@@ -128,19 +128,13 @@ def minhash_signature_col(text: Column, k: int = 64, n: int = 3) -> Column:
 
 
 def _parallelize(df: DataFrame) -> DataFrame:
-    """Small-file parallelism guard (mirrors spatial_join's): a tiny local
-    parquet collapses to 1-2 input splits, serializing the shingle UDF and
-    explode on one core.  At cluster scale the scan already has >=
-    defaultParallelism splits and this is a no-op — and the probe itself
-    (``df.rdd`` forces a plan→RDD conversion on the driver) can be skipped
-    entirely with ``spark.sjt.parallelismGuard=false``."""
-    spark = df.sparkSession
-    if spark.conf.get("spark.sjt.parallelismGuard", "true") != "true":
-        return df
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    """Small-input parallelism guard — stats-only probe, see
+    :func:`operators._guard.ensure_min_parallelism`."""
+    from spark_ml_spatialjointransformer_spark.operators._guard import (
+        ensure_min_parallelism,
+    )
+
+    return ensure_min_parallelism(df)
 
 
 def minhash_signatures(
@@ -159,11 +153,19 @@ def minhash_signatures(
     aggs = [
         F.min((F.col("__h") * a + b) % MINHASH_PRIME).alias(f"__m{j}")
         for j, (a, b) in enumerate(minhash_coefficients(k))
-    ]
+    ] + [F.count(F.lit(1)).alias("__sz")]
     return (
         exploded.groupBy("__id")
         .agg(*aggs)
-        .select("__id", F.array(*[f"__m{j}" for j in range(k)]).alias("__sig"))
+        .select(
+            "__id",
+            F.array(*[f"__m{j}" for j in range(k)]).alias("__sig"),
+            # distinct-shingle count rides the same agg for free: the LSH
+            # band join carries it so candidate pairs emerge with both
+            # sizes in hand (enables the Jaccard size-bound prefilter
+            # BEFORE any shingle-hash array ships)
+            "__sz",
+        )
     )
 
 
@@ -175,6 +177,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     n: int = 3,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -209,9 +212,9 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    banded = sig.select("__id", "__sig", F.explode(band_structs).alias("b")).select(
-        "__id", "__sig", "b.band", "b.key"
-    )
+    banded = sig.select(
+        "__id", "__sig", "__sz", F.explode(band_structs).alias("b")
+    ).select("__id", "__sig", "__sz", "b.band", "b.key")
 
     # threshold <= 0 means "every band collision is a candidate" (the LSH
     # candidate-generation mode): skip the per-pair agreement fold entirely
@@ -248,15 +251,21 @@ def minhash_lsh_pairs(
         first_match = first_match & ((F.col("band") <= bi) | _band_differs(bi))
 
     a, b = banded.alias("a"), banded.alias("b")
+    out_cols = [
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        est_e6.alias("est_jaccard_e6"),
+    ]
+    if with_sizes:
+        out_cols += [
+            F.col("a.__sz").alias("sz_a"),
+            F.col("b.__sz").alias("sz_b"),
+        ]
     return (
         a.join(b, on=["band", "key"])
         .where(F.col("a.__id") < F.col("b.__id"))
         .where(first_match)
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            est_e6.alias("est_jaccard_e6"),
-        )
+        .select(*out_cols)
         .where(F.col("est_jaccard_e6") >= int(threshold * 1_000_000))
     )
 
@@ -458,9 +467,22 @@ def neardup_pairs_lsh_verified(
 
     Output: (id_a, id_b, jaccard_e6) with exact Jaccard ≥ threshold.
     """
+    t_e6 = int(threshold * 1_000_000)
     cand = minhash_lsh_pairs(
-        df, id_col, text_col, k=k, bands=bands, threshold=0.0, n=n
-    ).select("id_a", "id_b")
+        df, id_col, text_col, k=k, bands=bands, threshold=0.0, n=n, with_sizes=True
+    ).select("id_a", "id_b", "sz_a", "sz_b")
+    # Jaccard size bound: J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    # pair whose size ratio already falls below the (rounding-aware)
+    # threshold can never verify — drop it HERE, with two longs the band
+    # join carried for free, before any shingle-hash array ships.  The
+    # final filter keeps round(J·1e6) ≥ t_e6, i.e. J·1e6 ≥ t_e6 - 0.5
+    # (HALF_UP), hence the exact integer form 2·min·1e6 ≥ (2·t_e6 - 1)·max.
+    if t_e6 > 0:
+        cand = cand.where(
+            F.least("sz_a", "sz_b") * F.lit(2_000_000)
+            >= F.lit(2 * t_e6 - 1) * F.greatest("sz_a", "sz_b")
+        )
+    cand = cand.select("id_a", "id_b", "sz_a", "sz_b")
     docs_sh = (
         _parallelize(df)
         .select(
@@ -473,21 +495,19 @@ def neardup_pairs_lsh_verified(
             ).alias("__hs"),
         )
         .where(F.size("__hs") > 0)
-        .withColumn("__sz", F.size("__hs"))
     )
-    a = docs_sh.select(
-        F.col("__id").alias("id_a"), F.col("__hs").alias("__hsa"), F.col("__sz").alias("__sza")
-    )
-    b = docs_sh.select(
-        F.col("__id").alias("id_b"), F.col("__hs").alias("__hsb"), F.col("__sz").alias("__szb")
-    )
+    a = docs_sh.select(F.col("__id").alias("id_a"), F.col("__hs").alias("__hsa"))
+    b = docs_sh.select(F.col("__id").alias("id_b"), F.col("__hs").alias("__hsb"))
     inter = F.size(F.array_intersect("__hsa", "__hsb"))
-    jacc = inter * 1_000_000.0 / (F.col("__sza") + F.col("__szb") - inter)
+    # denominator sizes are the ones carried from the signature agg — the
+    # same distinct-shingle counts docs_sh's arrays have (h60 reduction is
+    # applied to the same distinct string set on both paths)
+    jacc = inter * 1_000_000.0 / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("jaccard_e6", F.round(jacc).cast("bigint"))
-        .where(F.col("jaccard_e6") >= int(threshold * 1_000_000))
+        .where(F.col("jaccard_e6") >= t_e6)
         .select("id_a", "id_b", "jaccard_e6")
     )
 
@@ -538,8 +558,13 @@ def dedup_connected_components(
         .localCheckpoint(eager=False)
     )
     par = ids.sparkSession.sparkContext.defaultParallelism
+    # propagation state is O(graph nodes), NOT O(corpus): isolated documents
+    # (the overwhelming majority at any scale) never enter the loop — they
+    # rejoin as keeper=self in the final left join.  At 100 TB the iterated
+    # frames hold only the near-dup pair endpoints.
     labels = (
-        ids.select(F.col(id_col).alias("__v"))
+        edges.select(F.col("__a").alias("__v"))
+        .distinct()
         .withColumn("__lbl", F.col("__v"))
         .repartition(par)
         .localCheckpoint(eager=True)
@@ -587,10 +612,12 @@ def dedup_connected_components(
             "diameter exceeds max_iters; raise max_iters)"
         )
     return (
-        ids.join(labels, ids[id_col] == labels["__v"])
+        ids.join(labels, ids[id_col] == labels["__v"], "left")
         .select(
             F.col(id_col),
-            F.col("__lbl").alias("keeper"),
-            (F.col("__lbl") != F.col(id_col)).alias("is_dup"),
+            F.coalesce(F.col("__lbl"), F.col(id_col)).alias("keeper"),
+            (F.coalesce(F.col("__lbl"), F.col(id_col)) != F.col(id_col)).alias(
+                "is_dup"
+            ),
         )
     )

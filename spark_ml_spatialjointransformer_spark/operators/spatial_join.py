@@ -660,19 +660,16 @@ def _compile_spatial_join(
     # Parallelism guard: the iterated side drives every task.  Small local
     # parquet collapses to 1-2 input splits, which would serialize the whole
     # join; at cluster scale the side already has >= defaultParallelism
-    # partitions and this is a no-op.  An explicit numPartitions on the
-    # external side is honored as-is (reference X1 semantics).  The probe
-    # (df.rdd forces plan→RDD conversion at build time) can be disabled on
-    # real clusters with spark.sjt.parallelismGuard=false.
+    # partitions and this is a no-op (stats-only probe — see
+    # operators/_guard.py).  An explicit numPartitions on the external side
+    # is honored as-is (reference X1 semantics).
     explicit_parts = plan.num_partitions is not None and lt == "e"
-    guard_on = (
-        input_df.sparkSession.conf.get("spark.sjt.parallelismGuard", "true")
-        == "true"
-    )
-    if not explicit_parts and guard_on and not left.isStreaming:
-        par = input_df.sparkSession.sparkContext.defaultParallelism
-        if left.rdd.getNumPartitions() < par:
-            left = left.repartition(par)
+    if not explicit_parts and not left.isStreaming:
+        from spark_ml_spatialjointransformer_spark.operators._guard import (
+            ensure_min_parallelism,
+        )
+
+        left = ensure_min_parallelism(left)
 
     if op == "nearest" and plan.strategy == "partitioned":
         # big×big kNN: grid cells + radius-expansion rounds, no broadcast
