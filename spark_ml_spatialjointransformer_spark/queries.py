@@ -2179,3 +2179,224 @@ def t18_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.expr("CAST((sum(cnt) * 1000) div count(1) AS BIGINT)").alias("score_e3"))
     )
+
+# ---------------------------------------------------------------------------
+# semi-structured extraction, retrieval scoring, filtering, sharding
+# ---------------------------------------------------------------------------
+
+_E8_ORACLE = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_register("e8_json_props", _E8_ORACLE)
+def e8_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` payload and aggregate on it — the log-analytics shape every
+    event pipeline needs.  ``get_json_object`` evaluates JVM-side inside
+    whole-stage codegen (no UDF); the path extraction, cast, bucketing, and
+    partial aggregation all happen in one scan pass, so at scale this is a
+    single map-side-combined shuffle of (type, bucket) longs.  The oracle
+    runs DuckDB's json_extract_string over the same rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(get_json_object(props, '$.k') AS BIGINT) div 10"
+            ).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
+        )
+    )
+
+
+#: BM25 parameters (k1=1.2, b=0.75) and the query term set.  The idf is the
+#: log-free rational variant (N - df + 0.5)/(df + 0.5) — a monotone
+#: transform of the classic log idf chosen because it keeps the whole score
+#: a fixed sequence of IEEE +,-,*,/ on integer-derived doubles: every
+#: operation is correctly rounded, so Spark and DuckDB produce BIT-IDENTICAL
+#: doubles from the IDENTICAL expression text (same parse tree), and the
+#: per-term scaled-int rounding below can never flip between engines.
+_T19_TERMS = ("spark", "hash", "window", "sort")
+#: every literal is written in scientific notation: ``0.5`` parses as
+#: DECIMAL in Spark (and with different scale rules in DuckDB), while
+#: ``0.5e0`` is a DOUBLE literal in both — the bit-identical-doubles
+#: argument above requires every operand to be IEEE double from the start
+_T19_SCORE = (
+    "((n_docs - df + 0.5e0) / (df + 0.5e0)) * (tf * 2.2e0) "
+    "/ (tf + 1.2e0 * (0.25e0 + 0.75e0 * (dl * n_docs * 1.0e0 / sum_dl)))"
+)
+
+_T19_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+       WHERE w IN {_T19_TERMS} GROUP BY doc_id, w),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+sc AS (SELECT tf.doc_id,
+              CAST(floor(({_T19_SCORE}) * 1000000 + 0.5) AS BIGINT) AS s_e6
+       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, sum(s_e6) AS bm25_e6
+FROM sc GROUP BY doc_id
+"""
+
+
+@_register("t19_bm25", _T19_ORACLE)
+def t19_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring of the corpus against a fixed query-term set
+    (k1=1.2, b=0.75; log-free rational idf — see _T19_SCORE).  Scale shape:
+    ONE corpus scan and ONE doc_id shuffle — per-doc length and the
+    per-term counts ride the same partially-aggregated row, the corpus
+    stats (N, Σdl, per-term df) collapse to a single broadcast row, and
+    per-term scores round to scaled ints BEFORE summing, so the only FP
+    expression is the fixed-op-order _T19_SCORE both engines evaluate
+    identically.  Everything is JVM codegen — no UDF.  (The oracle's
+    tf/df/dl CTE formulation is the classic IR textbook shape; this plan
+    computes the same numbers without the doc-keyed re-join.)"""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w")
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(_T19_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_T19_TERMS))
+        ],
+    )
+    term_scores = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            F.expr(
+                "CAST(floor(("
+                + _T19_SCORE.replace("tf", f"tf_{i}").replace("df", f"df_{i}")
+                + ") * 1000000 + 0.5) AS BIGINT)"
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for i in range(len(_T19_TERMS))
+    ]
+    total = term_scores[0]
+    for s in term_scores[1:]:
+        total = total + s
+    any_term = F.greatest(*[F.col(f"tf_{i}") for i in range(len(_T19_TERMS))]) > 0
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .where(any_term)
+        .select("doc_id", total.alias("bm25_e6"))
+    )
+
+
+_T20_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS ntok,
+         len(list_distinct(string_split(trim(text), ' '))) AS ndis,
+         (length(text) - length(replace(text, ' the ', ''))) // 5 AS nthe
+  FROM documents
+)
+SELECT doc_id,
+       CAST(
+         CASE WHEN ntok < 50 THEN 1 ELSE 0 END
+       + CASE WHEN n < 3 * ntok OR n > 10 * ntok THEN 2 ELSE 0 END
+       + CASE WHEN (ntok - ndis) * 10 > 4 * ntok THEN 4 ELSE 0 END
+       + CASE WHEN nthe * 200 < ntok THEN 8 ELSE 0 END
+       AS INTEGER) AS flags,
+       CASE WHEN ntok >= 50 AND n >= 3 * ntok AND n <= 10 * ntok
+             AND (ntok - ndis) * 10 <= 4 * ntok AND nthe * 200 >= ntok
+            THEN TRUE ELSE FALSE END AS keep
+FROM b
+"""
+
+
+@_register("t20_quality_filter", _T20_ORACLE)
+def t20_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality filter (the C4/Gopher-rule shape): four
+    independent signals — too short, average token length out of band,
+    duplicate-word fraction over 40%, stopword ratio under 0.5% — combined
+    into a reason bitmask plus the final keep verdict.  Every comparison is
+    integer cross-multiplication (no ratio ever becomes a double), so the
+    two engines agree exactly.  One scan, no shuffle, pure codegen — at
+    100 TB this runs at I/O speed and the keep column prunes the corpus for
+    every downstream stage."""
+    t = F.trim(F.col("text"))
+    ntok = F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1
+    b = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n"),
+        ntok.alias("ntok"),
+        F.size(F.array_distinct(F.split(t, " "))).alias("ndis"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", " the ", "")))
+            / F.lit(5)
+        ).cast("bigint").alias("nthe"),
+    )
+    short = F.col("ntok") < 50
+    avg_bad = (F.col("n") < 3 * F.col("ntok")) | (F.col("n") > 10 * F.col("ntok"))
+    rep_bad = (F.col("ntok") - F.col("ndis")) * 10 > 4 * F.col("ntok")
+    stop_bad = F.col("nthe") * 200 < F.col("ntok")
+    flags = (
+        F.when(short, 1).otherwise(0)
+        + F.when(avg_bad, 2).otherwise(0)
+        + F.when(rep_bad, 4).otherwise(0)
+        + F.when(stop_bad, 8).otherwise(0)
+    )
+    return b.select(
+        "doc_id",
+        flags.cast("int").alias("flags"),
+        (~short & ~avg_bad & ~rep_bad & ~stop_bad).alias("keep"),
+    )
+
+
+_T21_ORACLE = f"""
+WITH h AS (SELECT doc_id, {h60_sql("CAST(doc_id AS VARCHAR)")} AS hh
+           FROM documents)
+SELECT doc_id,
+       CAST(hh % 64 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY hh % 64 ORDER BY hh, doc_id)
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
+@_register("t21_shard_assign", _T21_ORACLE)
+def t21_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment: every document gets
+    a content-stable shard (h60(doc_id) mod 64) and a reproducible position
+    within its shard (hash order) — the "global shuffle" a training run
+    needs, with NO RNG: re-running on any partitioning of any engine yields
+    the identical shard files.  Scale shape: one hash-partitioned shuffle
+    into 64 shards, each sorted independently (Spark's external sort spills;
+    the hash key is uniform so no shard skews).  This is exactly the plan
+    ``df.repartition(64, shard).sortWithinPartitions(hash)`` produces for
+    the write path; the row_number formulation keeps it oracle-checkable."""
+    h = load_table(spark, sf_dir, "documents").select(
+        "doc_id", h60_col(F.col("doc_id").cast("string")).alias("hh")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col("hh") % 64).orderBy("hh", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hh") % 64).cast("int").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
