@@ -113,3 +113,57 @@ class TestStreaming:
         )
         expected = {r.user_id: (r.n, round(r.t, 6)) for r in batch}
         assert got == expected
+
+class TestStreamSourceEncodingAdaptivity:
+    """The streaming source must adapt to whatever physical ``ts`` encoding
+    the events parquet carries — the driver's testdata has shipped BOTH
+    TIMESTAMP(NANOS)-as-long and timestamp[us] across rounds, and
+    hard-coding either silently corrupts every streamed timestamp 1000×
+    (the r3 e2/e6 regression)."""
+
+    def _rows(self):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        return [
+            (i, base + dt.timedelta(minutes=90 * i), i % 3, "t", 1.0, "{}")
+            for i in range(8)
+        ]
+
+    def _write(self, path, unit):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = self._rows()
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp(unit)),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        )
+        pq.write_table(table, path)
+
+    def test_both_encodings_stream_identically(self, spark, tmp_path):
+        import os
+
+        outs = {}
+        for unit in ("ns", "us"):
+            d = tmp_path / unit
+            os.makedirs(d)
+            self._write(str(d / "events.parquet"), unit)
+            res = windowed.run_to_memory(
+                windowed.hourly_event_counts_stream(spark, str(d / "events.parquet")),
+                f"t_enc_{unit}",
+                output_mode="complete",
+            ).collect()
+            outs[unit] = sorted((r.hour_ts, r.event_type, r.n_events) for r in res)
+        assert outs["ns"] == outs["us"]
+        # 8 events at 90-min spacing span 12 distinct hours — collapsed
+        # windows (the unit-bug signature) would yield far fewer
+        assert len(outs["us"]) == 8
+        # absolute epoch check: first window is 2024-01-01T00:00:00Z
+        assert outs["us"][0][0] == 1704067200

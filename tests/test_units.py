@@ -323,3 +323,26 @@ def test_broadcast_knn_null_tiebreak(spark):
     rows = spatial_join(inp, ext, plan).collect()
     assert len(rows) == 1
     assert rows[0].poi_name is None  # nulls-first tie-break won the tie
+
+
+def test_parallelism_guard_is_stats_only_and_conf_gated(spark):
+    """The small-input guard must repartition tiny scans to
+    defaultParallelism, honor the disable conf, and never convert the plan
+    to an RDD while deciding (the decision reads Catalyst statistics)."""
+    from spark_ml_spatialjointransformer_spark.operators._guard import (
+        ensure_min_parallelism,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+
+    guarded = ensure_min_parallelism(small)
+    assert "Repartition" in guarded._jdf.queryExecution().logical().toString()
+    assert guarded.rdd.getNumPartitions() == par
+
+    spark.conf.set("spark.sjt.parallelismGuard", "false")
+    try:
+        off = ensure_min_parallelism(small)
+        assert off is small
+    finally:
+        spark.conf.set("spark.sjt.parallelismGuard", "true")
