@@ -2400,3 +2400,76 @@ def t21_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hh") % 64).cast("int").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+_A4_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       max(CASE WHEN rn = CAST(ceil(0.5e0 * n) AS BIGINT) THEN n_chars END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.9e0 * n) AS BIGINT) THEN n_chars END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(0.99e0 * n) AS BIGINT) THEN n_chars END) AS p99,
+       max(n) AS n_docs
+FROM r GROUP BY source
+"""
+
+#: exact per-group percentiles (discontinuous / "nearest-rank") via explicit
+#: row selection — one SQL text, two engines.  Scale shape: ONE shuffle on
+#: the group key; both window functions reuse the same partitioning, and the
+#: within-group sort is Spark's spillable external sort.  Exact percentiles
+#: at 100 TB genuinely cost a per-group sort — this is the honest exact op
+#: (approx_percentile is the sketch-tier alternative, but sketches are not
+#: oracle-checkable across engines).  The rank index ceil(q·n) is integral
+#: double arithmetic — exact for any group size below 2^52, identical in
+#: both engines.
+QUERIES["a4_length_percentiles"] = QueryDef(
+    _sql_query(("documents",), _A4_SQL), _A4_SQL
+)
+
+
+_D3_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS v_e4
+  FROM events
+)
+SELECT event_id, user_id,
+       sum(v_e4) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_e4
+FROM v
+"""
+
+#: 3-event moving sum per user (the feature-engineering window shape).
+#: Each double scales to an integer ONCE per row (deterministic), and the
+#: moving aggregate then runs over BIGINTs — integer-exact regardless of
+#: how either engine implements sliding frames (segment trees, inverse
+#: updates, or recompute all drift on floating point; none can drift on
+#: ints).  Scale shape: one user_id shuffle, spillable within-user sort,
+#: O(frame) running state.
+QUERIES["d3_moving_window"] = QueryDef(_sql_query(("events",), _D3_SQL), _D3_SQL)
+
+
+_P2_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+FROM events
+GROUP BY user_id
+"""
+
+#: per-entity feature vector via conditional aggregation (the manual PIVOT
+#: — identical SQL in both engines, unlike engine-specific PIVOT syntax).
+#: The feature-store shape: one partially-aggregated shuffle of (user, six
+#: longs, one double); every CASE evaluates in the same codegen'd scan
+#: pass.  At 100 TB this is a map-side-combined groupBy — the cheapest
+#: possible multi-feature extraction.
+QUERIES["p2_user_features"] = QueryDef(_sql_query(("events",), _P2_SQL), _P2_SQL)
