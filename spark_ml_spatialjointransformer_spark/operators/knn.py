@@ -8,10 +8,12 @@ distributed:
 
 1. bucket both sides on a fixed-width lon/lat grid (cell keys — small ints,
    the only thing that shuffles besides the carried payload);
-2. iterative radius expansion: round ``r`` joins each unresolved left row's
-   Chebyshev-``r`` cell ANNULUS (only the new ring, not the already-seen
-   disk) against the right side's cells — a plain shuffled hash join on the
-   cell key, skew-safe under AQE;
+2. iterative radius expansion: round ``r`` matches each unresolved left
+   row against the OCCUPIED right cells inside its Chebyshev-``r`` ring
+   (only the new ring, not the already-seen disk) — the occupied-cell set
+   is bounded by the grid (≤ 4140 keys at 4°), never by data, so it
+   broadcasts for the ring test, and the matched cells then equi-join the
+   right side as a plain shuffled hash join, skew-safe under AQE;
 3. local argmin via the partially-aggregatable ``min(struct(...))`` (one
    candidate per left row crosses each round's shuffle);
 4. a row RESOLVES when its best-so-far distance is provably smaller than
@@ -170,9 +172,20 @@ def partitioned_nearest(
         init_best.alias("__best"),
     )
 
+    # occupied right cells: bounded by the GRID (≤ nbx·nby keys — 4140 at
+    # 4°), never by data volume, so broadcasting it is always safe; the
+    # per-round candidate generator joins the ring condition against THIS
+    # set instead of exploding every (2r+1)² cell offset — per-row work is
+    # O(occupied ∩ ring), not O(r²), and empty ocean/desert cells cost
+    # nothing
+    occ = (
+        R.select(F.col("__rcx").alias("__ocx"), F.col("__rcy").alias("__ocy"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
     sel = _best_struct(right_pay_cols, tie_break)
     resolved: DataFrame | None = None
-    half = nbx // 2
     # sparse geometric schedule ending in forced global coverage
     gmax = max(nbx, nby_r)
     schedule: list[int] = []
@@ -186,34 +199,27 @@ def partitioned_nearest(
         _t0 = time.time()
         global_cover = (2 * r + 1) >= nbx and (2 * r + 1) >= nby_r
 
-        # ONE cell join per round: polar rows sweep every longitude cell of
-        # the band (their dx bounds cover the whole ring of the globe), so
-        # no separate band-join branch.  Annulus via per-row sequence
-        # explodes + filter (a literal offset array would put (2r+1)^2
-        # elements into one codegen expression).
-        # clamp the lon window to one full wrap: dx beyond ±half would
-        # alias onto already-joined cells after wrap_cx, duplicating the
-        # same right row in a round's candidate set (harmless under the
-        # k=1 idempotent least(), WRONG for the k>1 top-array)
-        dx_lo = F.when(F.col("__polar"), F.lit(-half)).otherwise(
-            F.lit(-min(r, half))
-        )
-        dx_hi = F.when(F.col("__polar"), F.lit(nbx - half - 1)).otherwise(
-            F.lit(min(r, nbx - half - 1))
-        )
-        new_ring = F.when(
-            F.col("__polar"), F.abs(F.col("__dy")) > r_prev
-        ).otherwise(F.greatest(F.abs("__dx"), F.abs("__dy")) > r_prev)
-        dy_cap = min(r, nby_r)  # lat cells never wrap; beyond them is empty
+        # Candidate generation: broadcast-join the unresolved rows against
+        # the occupied-cell set with the wrap-aware Chebyshev ring
+        # condition, then equi-join the matched cells to R.  The min-wrap
+        # distance (dxw ≤ nbx/2 by construction) makes each occupied cell
+        # match a left row at most once per round — no duplicated right
+        # rows (which the k>1 top-array cannot tolerate) — and rounds stay
+        # disjoint through the `> r_prev` ring lower bound.  Polar rows
+        # sweep every longitude of their latitude band (their neighborhood
+        # IS the band), so only the dy ring applies to them.
+        dcx = F.abs(F.col("__lcx") - F.col("__ocx"))
+        dxw = F.least(dcx, F.lit(nbx) - dcx)
+        dy = F.abs(F.col("__lcy") - F.col("__ocy"))
+        cheb = F.greatest(dxw, dy)
+        in_ring = F.when(
+            F.col("__polar"), (dy <= F.lit(r)) & (dy > F.lit(r_prev))
+        ).otherwise((cheb <= F.lit(r)) & (cheb > F.lit(r_prev)))
         cand = (
-            rem.withColumn("__dx", F.explode(F.sequence(dx_lo, dx_hi)))
-            .withColumn("__dy", F.explode(F.sequence(F.lit(-dy_cap), F.lit(dy_cap))))
-            .where(new_ring)
-            .withColumn("__jcx", wrap_cx(F.col("__lcx") + F.col("__dx")))
-            .withColumn("__jcy", F.col("__lcy") + F.col("__dy"))
+            rem.join(F.broadcast(occ), in_ring)
             .join(
                 R,
-                (F.col("__jcx") == F.col("__rcx")) & (F.col("__jcy") == F.col("__rcy")),
+                (F.col("__ocx") == F.col("__rcx")) & (F.col("__ocy") == F.col("__rcy")),
             )
         )
         if condition is not None:
