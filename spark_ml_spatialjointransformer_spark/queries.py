@@ -2473,3 +2473,24 @@ GROUP BY user_id
 #: pass.  At 100 TB this is a map-side-combined groupBy — the cheapest
 #: possible multi-feature extraction.
 QUERIES["p2_user_features"] = QueryDef(_sql_query(("events",), _P2_SQL), _P2_SQL)
+
+
+@_register("e9_json_stream", _E8_ORACLE)
+def e9_json_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e8's JSON-extraction aggregation executed as a Structured Streaming
+    plan (readStream → get_json_object → stateful groupBy → memory sink,
+    run to completion) — checked against the identical batch oracle,
+    proving stream/batch parity of the semi-structured path."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        json_bucket_counts_stream,
+        run_to_memory,
+    )
+
+    name = "q_e9_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return run_to_memory(
+        json_bucket_counts_stream(spark, f"{sf_dir}/events.parquet"),
+        name,
+        output_mode="complete",
+    )

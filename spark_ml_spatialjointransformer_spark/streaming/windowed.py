@@ -185,6 +185,29 @@ def event_pair_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a.user_id").alias("user_id"))
 
 
+def json_bucket_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semi-structured extraction: pull the typed ``k`` field out
+    of the JSON ``props`` payload per micro-batch (``get_json_object`` is
+    stream-legal — stateless row expression) and maintain bucketed counts.
+    The aggregation state is keyed on (event_type, k_bucket) — a few dozen
+    groups regardless of stream volume, the cheapest stateful shape."""
+    return (
+        events_stream(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").alias(
+                "k_bucket"
+            ),
+            "value",
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
+        )
+    )
+
+
 #: deterministic event geolocation: user_id → lon/lat (same spacing scheme
 #: as the customer grid — a stand-in for a device-location column)
 EVENT_LON_SQL = "(user_id * 9973 % 3600) / 10.0 - 180.0"

@@ -1,0 +1,50 @@
+"""Deterministic sharded write: layout must be a pure function of the data
+— same shard files and same within-file order under ANY input partitioning."""
+
+import glob
+
+from spark_ml_spatialjointransformer_spark.operators.sink import (
+    sharded,
+    write_sharded,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _load(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+def test_sharded_partition_count_and_coverage(spark):
+    df = _load(spark)
+    out = sharded(df, "doc_id", 8)
+    assert out.rdd.getNumPartitions() == 8
+    # no row lost or duplicated, every shard id in range
+    assert out.count() == df.count()
+    shards = {r["__shard"] for r in out.select("__shard").distinct().collect()}
+    assert shards <= set(range(8))
+
+
+def test_write_sharded_deterministic_under_repartitioning(spark, tmp_path):
+    df = _load(spark)
+    write_sharded(df, str(tmp_path / "a"), "doc_id", 8)
+    # adversarial input layout: same data, scrambled partitioning
+    write_sharded(df.repartition(13, "text"), str(tmp_path / "b"), "doc_id", 8)
+
+    def snapshot(d):
+        dirs = sorted(glob.glob(str(tmp_path / d / "__shard=*")))
+        out = {}
+        for sd in dirs:
+            files = glob.glob(sd + "/part-*.parquet")
+            assert len(files) == 1, f"{sd}: expected one file per shard"
+            # parquet row order IS the written order
+            out[sd.rsplit("=", 1)[1]] = [
+                tuple(r) for r in spark.read.parquet(files[0]).collect()
+            ]
+        return out
+
+    a, b = snapshot("a"), snapshot("b")
+    assert len(a) == 8  # 500 docs cover all 8 shards
+    assert set(a) == set(b)
+    for s in a:
+        assert a[s] == b[s], f"shard {s} differs"
