@@ -2274,7 +2274,10 @@ def t19_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf_{i}")
             for i, t in enumerate(_T19_TERMS)
         ],
-    )
+    # both the stats row and the scoring pass consume per_doc: materialize
+    # it once (same reuse rationale as the LSH self-joins) so the corpus
+    # scans exactly once
+    ).localCheckpoint(eager=False)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

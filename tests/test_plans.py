@@ -162,3 +162,35 @@ def test_partitioned_bbox_join_is_shuffled_hash(spark):
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bm25_is_single_scan_single_doc_shuffle(spark):
+    """t19 must read the corpus ONCE (per-doc length and all query-term
+    counts ride one materialized aggregate consumed by both the stats row
+    and the scoring pass) and shuffle once on doc_id; corpus stats join
+    back broadcast."""
+    plan = plan_of(QUERIES["t19_bm25"].fn(spark, SF))
+    # the corpus parquet appears at most once across the whole job: the
+    # materialized per_doc aggregate (Scan ExistingRDD) feeds BOTH the
+    # stats row and the scoring pass
+    assert plan.count("Scan parquet") <= 1
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastExchange" in plan  # the one-row stats dim
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan  # pure codegen
+
+
+def test_json_extract_aggregates_in_scan_pass(spark):
+    """e8: one scan, one partial-aggregated exchange, no UDF."""
+    plan = plan_of(QUERIES["e8_json_props"].fn(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "PythonUDF" not in plan
+    assert plan.count("Exchange") <= 2  # partial agg + (AQE) final
+
+
+def test_quality_filter_is_scan_speed(spark):
+    """t20: no shuffle at all — pure per-row codegen over the scan."""
+    plan = plan_of(QUERIES["t20_quality_filter"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+
