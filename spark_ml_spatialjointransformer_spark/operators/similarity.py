@@ -510,3 +510,93 @@ def brute_force_topk(
             F.round(F.col("__sim") * 1_000_000).cast("bigint").alias("cos_e6"),
         )
     )
+
+
+def knn_join_exact(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    k: int = 5,
+    scale: float = 100000.0,
+) -> DataFrame:
+    """Exact cosine kNN SELF-join: for EVERY corpus vector, its ``k``
+    nearest neighbors — the hard-negative-mining / neighbor-graph shape.
+
+    Mechanics: the corpus quantizes to int64 (``floor(v·1e5 + 0.5)``, one
+    numpy codepath for both the broadcast matrix and the per-batch rows)
+    and ships to every partition as three numpy arrays; each Arrow batch
+    computes a blocked ``B @ Qᵀ`` INT64 matmul — exact integer dot
+    products, no summation-order hazard — then the cosine divides by the
+    premultiplied double sqrts of the integer norms² (a fixed IEEE op
+    sequence the SQL oracle replays bit-identically).  Ties resolve by
+    neighbor id through an exact threshold-then-lexsort (never a truncated
+    argpartition, whose tie handling is order-dependent).
+
+    Scale: one scan-shaped pass, zero shuffle, O(N·dim) broadcast — the
+    same memory contract as the reference's broadcast join and v1/v3's
+    query side.  When the corpus outgrows memory, the v5 LSH tier or v3
+    IVF tier replaces the dense matmul; this operator is the exact
+    neighbor-graph builder below that bound.
+
+    Output: (id, neighbor_id, cos_e6), k rows per non-zero-norm vector.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    pdf = df.select(id_col, emb_col).toPandas()
+    ids_np = pdf[id_col].to_numpy(dtype=np.int64)
+    raw = np.array(
+        [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]], dtype=np.float64
+    )
+    Q = np.floor(raw * scale + 0.5).astype(np.int64)
+    qn2 = np.einsum("ij,ij->i", Q, Q)
+    keep = qn2 > 0
+    ids_np, Q, qn2 = ids_np[keep], Q[keep], qn2[keep]
+    bc = spark.sparkContext.broadcast((ids_np, Q, np.sqrt(qn2.astype(np.float64))))
+
+    out_schema = (
+        f"{id_col} long, neighbor_id long, cos_e6 long"
+    )
+
+    def gen(batches):
+        import numpy as np  # re-import: executor-side body
+
+        cids, cQ, csq = bc.value
+        for pdf_b in batches:
+            if len(pdf_b) == 0:
+                continue
+            bids = pdf_b.iloc[:, 0].to_numpy(dtype=np.int64)
+            braw = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf_b.iloc[:, 1]],
+                dtype=np.float64,
+            )
+            B = np.floor(braw * scale + 0.5).astype(np.int64)
+            bn2 = np.einsum("ij,ij->i", B, B)
+            ok = bn2 > 0
+            if not ok.any():
+                continue
+            bids, B, bn2 = bids[ok], B[ok], bn2[ok]
+            sims = (B @ cQ.T).astype(np.float64) / (
+                np.sqrt(bn2.astype(np.float64))[:, None] * csq[None, :]
+            )
+            sims[bids[:, None] == cids[None, :]] = -2.0  # exclude self
+            kk = min(k, sims.shape[1] - 1)
+            if kk <= 0:
+                continue
+            neg = -sims
+            kth = np.partition(neg, kk - 1, axis=1)[:, kk - 1]
+            out_id, out_nb, out_cos = [], [], []
+            for r in range(sims.shape[0]):
+                cand = np.nonzero(neg[r] <= kth[r])[0]
+                order = np.lexsort((cids[cand], neg[r][cand]))
+                top = cand[order[:kk]]
+                out_id.extend([bids[r]] * len(top))
+                out_nb.extend(cids[top].tolist())
+                out_cos.extend(
+                    np.floor(sims[r][top] * 1_000_000.0 + 0.5).astype(np.int64).tolist()
+                )
+            yield pd.DataFrame(
+                {id_col: out_id, "neighbor_id": out_nb, "cos_e6": out_cos}
+            )
+
+    return df.select(id_col, emb_col).mapInPandas(gen, out_schema)

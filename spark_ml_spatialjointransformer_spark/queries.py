@@ -2497,3 +2497,41 @@ def e9_json_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
         output_mode="complete",
     )
+
+
+_V6_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM e),
+q AS (SELECT vec_id, i, CAST(floor(v * 100000.0 + 0.5) AS BIGINT) AS qv FROM u),
+qn AS (SELECT vec_id, sum(qv * qv) AS qn2 FROM q GROUP BY vec_id
+       HAVING sum(qv * qv) > 0),
+d AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.qv * b.qv) AS dot
+      FROM q a JOIN q b ON a.i = b.i AND a.vec_id != b.vec_id
+      WHERE a.vec_id IN (SELECT vec_id FROM qn)
+        AND b.vec_id IN (SELECT vec_id FROM qn)
+      GROUP BY a.vec_id, b.vec_id),
+c AS (SELECT d.ia, d.ib,
+             d.dot / (sqrt(CAST(na.qn2 AS DOUBLE)) * sqrt(CAST(nb.qn2 AS DOUBLE)))
+               AS sim
+      FROM d JOIN qn na ON na.vec_id = d.ia JOIN qn nb ON nb.vec_id = d.ib),
+r AS (SELECT *, row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rn
+      FROM c)
+SELECT ia AS vec_id, ib AS neighbor_id,
+       CAST(floor(sim * 1000000e0 + 0.5e0) AS BIGINT) AS cos_e6
+FROM r WHERE rn <= 5
+"""
+
+
+@_register("v6_knn_join", _V6_ORACLE)
+def v6_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact cosine kNN self-join (top-5 neighbors for EVERY
+    vector) — the neighbor-graph / hard-negative-mining operator.  Blocked
+    int64 matmul per Arrow batch against the broadcast quantized corpus;
+    quantized dots are exact integers, so the Spark kernel and the DuckDB
+    SQL agree bit-for-bit (see operators/similarity.knn_join_exact)."""
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        knn_join_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_exact(emb, "vec_id", "embedding", k=5)
