@@ -384,9 +384,14 @@ def overlaps(a: Geometry, b: Geometry) -> bool:
     """DE-9IM overlaps: same dimension, interiors intersect, and each
     geometry has points the other lacks.
 
-    Polygon×polygon is exact for the fixture envelope (proper edge crossing
-    or mutual vertex containment ⇒ interior intersection).  Line×line uses
-    collinear-subsegment sharing.  Point×point is proper multipoint overlap.
+    Axis-rect×axis-rect is EXACT via interval arithmetic (strict interior
+    overlap + mutual non-containment).  Irregular polygon×polygon remains
+    exact for the fixture envelope (proper edge crossing or mutual vertex
+    containment ⇒ interior intersection) — e.g. two rects sharing an
+    edge-aligned strip have intersecting interiors with no proper crossing
+    and no interior vertex, which only the rect path detects.  Line×line
+    uses collinear-subsegment sharing.  Point×point is proper multipoint
+    overlap.
     """
     if a.dimension != b.dimension:
         return False
@@ -394,6 +399,18 @@ def overlaps(a: Geometry, b: Geometry) -> bool:
         sa, sb = set(a.coords_flat()), set(b.coords_flat())
         return bool(sa & sb) and bool(sa - sb) and bool(sb - sa)
     if a.kind == "polygon":
+        ra, rb = axis_rect(a), axis_rect(b)
+        if ra is not None and rb is not None:
+            strict = (
+                ra[0] < rb[2] and rb[0] < ra[2] and ra[1] < rb[3] and rb[1] < ra[3]
+            )
+            a_in_b = (
+                ra[0] >= rb[0] and ra[2] <= rb[2] and ra[1] >= rb[1] and ra[3] <= rb[3]
+            )
+            b_in_a = (
+                rb[0] >= ra[0] and rb[2] <= ra[2] and rb[1] >= ra[1] and rb[3] <= ra[3]
+            )
+            return strict and not a_in_b and not b_in_a
         if within(a, b) or within(b, a):
             return False
         interiors = (
@@ -482,3 +499,64 @@ PREDICATE_FUNCS = {
     "intersects": intersects,
     "overlaps": overlaps,
 }
+
+
+def axis_rect(g: Optional[Geometry]):
+    """``(x0, y0, x1, y1)`` iff ``g`` is a single-ring hole-free
+    axis-aligned rectangle with positive extent (4 distinct corners,
+    closed, every edge axis-parallel), else None.
+
+    Rectangles dominate real WKT workloads (bboxes, tiles, viewport
+    filters) and every DE-9IM predicate on closed axis rects reduces to
+    interval arithmetic — see ``rect_predicate_np`` — so the refine layer
+    detects them once per distinct WKT and vectorizes."""
+    if g is None or g.kind != "polygon" or len(g.parts) != 1:
+        return None
+    rings = g.parts[0]
+    if len(rings) != 1:
+        return None
+    ring = rings[0]
+    if len(ring) != 5 or ring[0] != ring[4]:
+        return None
+    if len(set(ring[:4])) != 4:
+        return None
+    xs = {p[0] for p in ring}
+    ys = {p[1] for p in ring}
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        if x1 != x2 and y1 != y2:
+            return None
+    x0, x1_ = min(xs), max(xs)
+    y0, y1_ = min(ys), max(ys)
+    if not (x1_ > x0 and y1_ > y0):
+        return None
+    return (x0, y0, x1_, y1_)
+
+
+def rect_predicate_np(op: str, A, B):
+    """Vectorized DE-9IM predicate over paired axis-rect arrays (n×4 each).
+
+    Exact for closed axis-aligned rectangles with positive extent:
+
+    - ``within(A,B)`` ⟺ A ⊆ B — positive extent makes int(A) ⊆ int(B)
+      automatic under coordinate-wise containment;
+    - ``intersects``: closed-interval overlap (boundary touch counts);
+    - ``overlaps``: interiors intersect (STRICT interval overlap), and
+      neither rect contains the other (each then necessarily has points
+      the other lacks).
+    """
+    ax0, ay0, ax1, ay1 = A[:, 0], A[:, 1], A[:, 2], A[:, 3]
+    bx0, by0, bx1, by1 = B[:, 0], B[:, 1], B[:, 2], B[:, 3]
+    a_in_b = (ax0 >= bx0) & (ax1 <= bx1) & (ay0 >= by0) & (ay1 <= by1)
+    b_in_a = (bx0 >= ax0) & (bx1 <= ax1) & (by0 >= ay0) & (by1 <= ay1)
+    if op == "within":
+        return a_in_b
+    if op == "contains":
+        return b_in_a
+    if op == "intersects":
+        return (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    if op == "overlaps":
+        strict = (ax0 < bx1) & (bx0 < ax1) & (ay0 < by1) & (by0 < ay1)
+        return strict & ~a_in_b & ~b_in_a
+    raise ValueError(f"rect_predicate_np: unsupported op {op!r}")

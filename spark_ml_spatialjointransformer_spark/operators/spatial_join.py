@@ -61,10 +61,12 @@ from spark_ml_spatialjointransformer_spark.functions.geodesic import (
 )
 from spark_ml_spatialjointransformer_spark.functions.geometry import (
     PREDICATE_FUNCS,
+    axis_rect,
     centroid,
     parse_wkt,
     point_geom,
     point_in_polygon_np,
+    rect_predicate_np,
 )
 from spark_ml_spatialjointransformer_spark.plans.config import (
     SideConfig,
@@ -193,28 +195,51 @@ def _refine_udf(op: str, l_is_wkt: bool = True, r_is_wkt: bool = True):
                         )
             return pd.Series(out)
 
-        # general path: one scalar predicate evaluation per DISTINCT
-        # (left, right) geometry pair per batch — the broadcast side
-        # repeats heavily, and WKT×WKT joins often repeat whole pairs
-        # across candidate rows (measured at sf0.1: refine is NOT the
-        # j4/j5 cost — both ~1.3 s, dominated by fixed plan overhead;
-        # the memo keeps the per-pair loop from becoming one at scale)
-        pair_memo: dict[tuple, bool] = {}
-        out = []
-        for w1, x1, y1, w2, x2, y2 in zip(l_wkt, l_x, l_y, r_wkt, r_x, r_y):
-            key = (
-                w1 if isinstance(w1, str) else (x1, y1),
-                w2 if isinstance(w2, str) else (x2, y2),
-            )
-            hit = pair_memo.get(key)
-            if hit is None:
-                g1 = geom(w1, x1, y1)
-                g2 = geom(w2, x2, y2)
-                hit = bool(g1 is not None and g2 is not None and fn(g1, g2))
-                if len(pair_memo) > 200_000:
-                    pair_memo.clear()
-                pair_memo[key] = hit
-            out.append(hit)
+        # general WKT×WKT path.  Axis-aligned rectangles (bboxes, tiles —
+        # the dominant real-world WKT shape) vectorize: every DE-9IM
+        # predicate on closed positive-extent rects is interval arithmetic
+        # (rect_predicate_np), detected ONCE per distinct WKT through the
+        # memo.  Irregular polygons fall back to one scalar predicate
+        # evaluation per DISTINCT (left, right) pair per batch (the
+        # broadcast side repeats heavily, and WKT×WKT joins often repeat
+        # whole pairs across candidate rows).
+        rect_memo: dict[str, tuple | None] = {}
+
+        def rect_of(w):
+            if not isinstance(w, str):
+                return None
+            r = rect_memo.get(w, False)
+            if r is False:
+                r = axis_rect(geom(w, None, None))
+                rect_memo[w] = r
+            return r
+
+        ra = [rect_of(w) for w in l_wkt]
+        rb = [rect_of(w) for w in r_wkt]
+        fast = np.array([a is not None and b is not None for a, b in zip(ra, rb)])
+        out = np.zeros(n, dtype=bool)
+        if fast.any():
+            A = np.array([a for a, m in zip(ra, fast) if m], dtype=np.float64)
+            B = np.array([b for b, m in zip(rb, fast) if m], dtype=np.float64)
+            out[fast] = rect_predicate_np(op, A, B)
+        if not fast.all():
+            pair_memo: dict[tuple, bool] = {}
+            for i in np.nonzero(~fast)[0]:
+                w1, x1, y1 = l_wkt.iat[i], l_x.iat[i], l_y.iat[i]
+                w2, x2, y2 = r_wkt.iat[i], r_x.iat[i], r_y.iat[i]
+                key = (
+                    w1 if isinstance(w1, str) else (x1, y1),
+                    w2 if isinstance(w2, str) else (x2, y2),
+                )
+                hit = pair_memo.get(key)
+                if hit is None:
+                    g1 = geom(w1, x1, y1)
+                    g2 = geom(w2, x2, y2)
+                    hit = bool(g1 is not None and g2 is not None and fn(g1, g2))
+                    if len(pair_memo) > 200_000:
+                        pair_memo.clear()
+                    pair_memo[key] = hit
+                out[i] = hit
         return pd.Series(out)
 
     return _refine

@@ -174,3 +174,45 @@ def test_parse_predicate_total(s):
     """Never raises; unknown strings default to nearest (reference parity)."""
     out = parse_predicate(s)
     assert out in ("withindist", "within", "contains", "intersects", "overlaps", "nearest")
+
+
+# --- vectorized axis-rect predicates vs scalar DE-9IM kernels -------------
+
+_coord = st.integers(min_value=-20, max_value=20)
+
+
+@st.composite
+def _rect_wkt(draw):
+    x0 = draw(_coord)
+    y0 = draw(_coord)
+    w = draw(st.integers(min_value=1, max_value=8))
+    h = draw(st.integers(min_value=1, max_value=8))
+    x1, y1 = x0 + w, y0 + h
+    return (
+        f"POLYGON(({x0} {y0},{x1} {y0},{x1} {y1},{x0} {y1},{x0} {y0}))",
+        (float(x0), float(y0), float(x1), float(y1)),
+    )
+
+
+@given(a=_rect_wkt(), b=_rect_wkt())
+@settings(max_examples=300, deadline=None)
+def test_rect_fast_path_matches_scalar_kernels(a, b):
+    """rect_predicate_np must agree with the scalar DE-9IM kernels on every
+    axis-rect pair — including touching edges, shared corners, containment,
+    and identical rects (the integer grid makes exact contact common)."""
+    from spark_ml_spatialjointransformer_spark.functions.geometry import (
+        PREDICATE_FUNCS,
+        axis_rect,
+        parse_wkt,
+        rect_predicate_np,
+    )
+
+    (wa, ta), (wb, tb) = a, b
+    ga, gb = parse_wkt(wa), parse_wkt(wb)
+    assert axis_rect(ga) == ta and axis_rect(gb) == tb
+    A = np.array([ta], dtype=np.float64)
+    B = np.array([tb], dtype=np.float64)
+    for op, fn in PREDICATE_FUNCS.items():
+        want = bool(fn(ga, gb))
+        got = bool(rect_predicate_np(op, A, B)[0])
+        assert got == want, f"{op}: {wa} vs {wb}: fast={got} scalar={want}"
