@@ -2535,3 +2535,95 @@ def v6_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_join_exact(emb, "vec_id", "embedding", k=5)
+
+
+_D4_ORACLE = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+b AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM e GROUP BY user_id),
+g AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day_idx FROM b),
+c AS (SELECT user_id, d AS day_idx, count(*) AS n FROM e GROUP BY user_id, d)
+SELECT g.user_id, g.day_idx, COALESCE(c.n, 0) AS n_events
+FROM g LEFT JOIN c USING (user_id, day_idx)
+"""
+
+
+@_register("d4_resample_daily", _D4_ORACLE)
+def d4_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: each user's daily event
+    counts over their OWN active span, zero-filled for silent days — the
+    regular-grid densification every per-entity time-series feature needs.
+    Day indices come from integer microsecond division (no doubles, no
+    timezone math — exact in both engines).  Scale shape: per-user span
+    agg + sequence explode generates only each user's own days (never a
+    global calendar cross join); both aggregations shuffle on user keys
+    with map-side combine."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("d"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day_idx")
+    )
+    counts = ev.groupBy("user_id", F.col("d").alias("day_idx")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return grid.join(counts, ["user_id", "day_idx"], "left").select(
+        "user_id", "day_idx", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+_D5_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+      GROUP BY e.user_id)
+SELECT v.user_id,
+       p.p_ts IS NOT NULL AS converted,
+       COALESCE((epoch_us(p.p_ts) - epoch_us(v.v_ts)) // 60000000, -1)
+         AS delay_min
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@_register("d5_funnel", _D5_ORACLE)
+def d5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: for every user with a 'view', whether a
+    'purchase' followed it and after how many whole minutes — the ordered
+    two-step pattern behind every conversion/attribution metric.  The
+    delay is integer microsecond arithmetic (exact in both engines; a
+    seconds-truncating formulation would disagree on sub-second
+    boundaries).  Scale shape: both stages are type-filtered at the scan
+    (predicate pushdown) and aggregate map-side per user; the step-2 join
+    keys on user_id only."""
+    ev = load_events(spark, sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    # bigint `div`, not `/`: double division of near-integer quotients can
+    # round up across the integer before a truncating cast
+    delay = F.expr(
+        "(unix_micros(CAST(p_ts AS TIMESTAMP)) - "
+        "unix_micros(CAST(v_ts AS TIMESTAMP))) div 60000000"
+    )
+    return (
+        v.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("p_ts").isNotNull().alias("converted"),
+            F.coalesce(delay, F.lit(-1)).cast("bigint").alias("delay_min"),
+        )
+    )
