@@ -48,3 +48,42 @@ def test_write_sharded_deterministic_under_repartitioning(spark, tmp_path):
     assert set(a) == set(b)
     for s in a:
         assert a[s] == b[s], f"shard {s} differs"
+
+
+def test_stream_to_sharded_ingests_exactly_once(spark, tmp_path):
+    """The streaming ingestion path must land every source row exactly once
+    under its content-stable shard, matching the batch shard assignment."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_spatialjointransformer_spark.functions.hashing import h60_col
+    from spark_ml_spatialjointransformer_spark.streaming.ingest import (
+        stream_to_sharded,
+    )
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        events_stream,
+    )
+
+    out = str(tmp_path / "bronze")
+    src = f"{SF}/events.parquet"
+    q = stream_to_sharded(
+        events_stream(spark, src).select("event_id", "user_id"),
+        out, "event_id", 4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    batch = spark.read.parquet(src).select("event_id", "user_id")
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
+    # shard assignment matches the batch formula for every row
+    mismatch = got.where(
+        (h60_col(F.col("event_id").cast("string")) % 4).cast("int")
+        != F.col("__shard")
+    ).count()
+    assert mismatch == 0
+    assert len(glob.glob(out + "/__shard=*")) == 4
