@@ -78,7 +78,9 @@ def main() -> None:
     for name, qd in QUERIES.items():
         try:
             best = None
-            for _ in range(2):  # best-of-2: damp scheduler/GC noise
+            for _ in range(3):  # best-of-3: this box carries unrelated
+                # load; two reps proved too few to damp it (r3's record
+                # showed phantom 2-3x regressions that vanished on re-run)
                 clear_session_state(spark)  # outside the timed region
                 t0 = time.perf_counter()
                 run(qd.fn(spark, sf_dir))
