@@ -1,0 +1,37 @@
+"""Results must be a pure function of the DATA — identical under any
+shuffle-partition count.  The oracle parity suite proves engine-vs-engine
+equality at ONE partitioning; this proves the stronger claim for the
+queries whose plans lean hardest on partitioning-sensitive machinery
+(windows, prefix sums, hash sharding, per-partition kernels, driver-loop
+checkpoints, LSH self-joins)."""
+
+import pytest
+
+from spark_ml_spatialjointransformer_spark.queries import QUERIES
+from tests.conftest import collect_sorted
+
+SF = "/root/testdata/sf0.001"
+
+SENSITIVE = [
+    "t12_stratified_sample",   # batch-local top-n prefilter + window
+    "t13_sequence_packing",    # two-level distributed prefix sum
+    "t21_shard_assign",        # hash shard + intra-shard row_number
+    "d3_moving_window",        # per-user sliding frames
+    "v6_knn_join",             # per-partition blocked matmul + broadcast
+    "t9_dedup_keeper",         # LSH self-join + verify + keeper
+    "a4_length_percentiles",   # rank selection windows
+]
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_partitioning(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = collect_sorted(QUERIES[name].fn(spark, SF))
+        spark.conf.set("spark.sql.shuffle.partitions", "11")
+        b = collect_sorted(QUERIES[name].fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
+    assert len(a) > 0
