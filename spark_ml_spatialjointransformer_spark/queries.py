@@ -2321,11 +2321,11 @@ SELECT doc_id,
        CAST(
          CASE WHEN ntok < 50 THEN 1 ELSE 0 END
        + CASE WHEN n < 3 * ntok OR n > 10 * ntok THEN 2 ELSE 0 END
-       + CASE WHEN (ntok - ndis) * 10 > 4 * ntok THEN 4 ELSE 0 END
+       + CASE WHEN (ntok - ndis) * 10 > 6 * ntok THEN 4 ELSE 0 END
        + CASE WHEN nthe * 200 < ntok THEN 8 ELSE 0 END
        AS INTEGER) AS flags,
        CASE WHEN ntok >= 50 AND n >= 3 * ntok AND n <= 10 * ntok
-             AND (ntok - ndis) * 10 <= 4 * ntok AND nthe * 200 >= ntok
+             AND (ntok - ndis) * 10 <= 6 * ntok AND nthe * 200 >= ntok
             THEN TRUE ELSE FALSE END AS keep
 FROM b
 """
@@ -2335,7 +2335,7 @@ FROM b
 def t20_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite heuristic quality filter (the C4/Gopher-rule shape): four
     independent signals — too short, average token length out of band,
-    duplicate-word fraction over 40%, stopword ratio under 0.5% — combined
+    duplicate-word fraction over 60%, stopword ratio under 0.5% — combined
     into a reason bitmask plus the final keep verdict.  Every comparison is
     integer cross-multiplication (no ratio ever becomes a double), so the
     two engines agree exactly.  One scan, no shuffle, pure codegen — at
@@ -2355,7 +2355,7 @@ def t20_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     short = F.col("ntok") < 50
     avg_bad = (F.col("n") < 3 * F.col("ntok")) | (F.col("n") > 10 * F.col("ntok"))
-    rep_bad = (F.col("ntok") - F.col("ndis")) * 10 > 4 * F.col("ntok")
+    rep_bad = (F.col("ntok") - F.col("ndis")) * 10 > 6 * F.col("ntok")
     stop_bad = F.col("nthe") * 200 < F.col("ntok")
     flags = (
         F.when(short, 1).otherwise(0)
@@ -2626,4 +2626,71 @@ def d5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_ts").isNotNull().alias("converted"),
             F.coalesce(delay, F.lit(-1)).cast("bigint").alias("delay_min"),
         )
+    )
+
+
+_P3_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         length(text) AS n,
+         length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS ntok,
+         len(list_distinct(string_split(trim(text), ' '))) AS ndis,
+         (length(text) - length(replace(text, ' the ', ''))) // 5 AS nthe
+  FROM documents
+),
+k AS (SELECT doc_id, lang, ntok FROM b
+      WHERE ntok >= 50 AND n >= 3 * ntok AND n <= 10 * ntok
+        AND (ntok - ndis) * 10 <= 6 * ntok AND nthe * 200 >= ntok),
+u AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+q AS (SELECT vec_id,
+             sum(CAST(floor(v * 100000.0 + 0.5) AS BIGINT)
+                 * CAST(floor(v * 100000.0 + 0.5) AS BIGINT)) AS emb_qnorm2
+      FROM u GROUP BY vec_id)
+SELECT k.doc_id, k.lang, CAST(k.ntok AS BIGINT) AS n_tokens, q.emb_qnorm2,
+       CAST({h60_sql("CAST(k.doc_id AS VARCHAR)")} % 64 AS INTEGER) AS shard
+FROM k JOIN q ON q.vec_id = k.doc_id
+"""
+
+
+@_register("p3_export_manifest", _P3_ORACLE)
+def p3_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal training-export manifest: quality-kept documents (t20's
+    filter) joined to their embedding's exact quantized norm² and assigned
+    their content-stable shard (t21's formula) — the composition that
+    actually gates a multimodal training run: filter → align text/vector →
+    shard.  Everything is integer-exact (cross-multiplied filters, int64
+    norm dots, md5 shard hash); the doc/vector join keys on ids, so at
+    100 TB it is a plain hash join of two id-bucketed tables."""
+    t = F.trim(F.col("text"))
+    ntok = F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1
+    b = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.length("text").alias("n"),
+        ntok.alias("ntok"),
+        F.size(F.array_distinct(F.split(t, " "))).alias("ndis"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", " the ", "")))
+            / F.lit(5)
+        ).cast("bigint").alias("nthe"),
+    )
+    k = b.where(
+        (F.col("ntok") >= 50)
+        & (F.col("n") >= 3 * F.col("ntok"))
+        & (F.col("n") <= 10 * F.col("ntok"))
+        & ((F.col("ntok") - F.col("ndis")) * 10 <= 6 * F.col("ntok"))
+        & (F.col("nthe") * 200 >= F.col("ntok"))
+    ).select("doc_id", "lang", F.col("ntok").cast("bigint").alias("n_tokens"))
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda v: F.floor(v * F.lit(100000.0) + F.lit(0.5)).cast("bigint"),
+    )
+    q = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.aggregate(
+            qv, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).alias("emb_qnorm2"),
+    )
+    return k.join(q, "doc_id").select(
+        "doc_id", "lang", "n_tokens", "emb_qnorm2",
+        (h60_col(F.col("doc_id").cast("string")) % 64).cast("int").alias("shard"),
     )
