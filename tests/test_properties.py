@@ -216,3 +216,28 @@ def test_rect_fast_path_matches_scalar_kernels(a, b):
         want = bool(fn(ga, gb))
         got = bool(rect_predicate_np(op, A, B)[0])
         assert got == want, f"{op}: {wa} vs {wb}: fast={got} scalar={want}"
+
+
+@given(
+    s=st.text(
+        alphabet="POLYGONLINESTRT0123456789(),. -+eE", min_size=0, max_size=60
+    )
+)
+@settings(max_examples=500, deadline=None)
+def test_parse_wkt_never_crashes_on_garbage(s):
+    """Unparseable/malformed WKT must degrade to None (the refine layer
+    then drops the pair — inner-join null semantics), never raise."""
+    from spark_ml_spatialjointransformer_spark.functions.geometry import (
+        PREDICATE_FUNCS,
+        axis_rect,
+        parse_wkt,
+        point_geom,
+    )
+
+    g = parse_wkt(s)
+    axis_rect(g)  # must tolerate whatever parse produced
+    if g is not None:
+        p = point_geom(1.0, 2.0)
+        for fn in PREDICATE_FUNCS.values():
+            assert fn(g, p) in (True, False)
+            assert fn(p, g) in (True, False)
