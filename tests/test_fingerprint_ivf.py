@@ -88,3 +88,31 @@ def test_ivf_topk_recall_and_exactness(spark):
     hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
     total = sum(len(v) for v in exact_sets.values())
     assert hits / total >= 0.6, f"recall@5 = {hits}/{total}"
+
+
+def test_knn_join_exact_edge_cases(spark):
+    """k exceeding the corpus clamps to N-1; zero-norm vectors neither
+    emit rows nor appear as neighbors; every other vector gets exactly
+    min(k, N_nonzero - 1) neighbors and never itself."""
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        knn_join_exact,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [0.0, 0.0]),  # zero norm: no cosine exists
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_join_exact(df, "vec_id", "embedding", k=10).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.vec_id, []).append(r.neighbor_id)
+        assert r.neighbor_id != r.vec_id
+        assert r.neighbor_id != 4
+    assert set(by_id) == {1, 2, 3}
+    assert all(len(v) == 2 for v in by_id.values())  # min(10, 3-1)
+    # nearest neighbor of 1 is 2 (cos ~ .994), not 3 (orthogonal)
+    assert by_id[1][0] == 2
+
