@@ -73,18 +73,29 @@ def main() -> None:
         except Exception:
             pass
 
+    # Rep policy: this box carries unrelated load, and two fixed reps
+    # proved too few to damp it (r3's record showed phantom 2-3x
+    # regressions that vanished on re-run with identical code).  But a
+    # fixed best-of-3 over a growing registry risks outliving the driver's
+    # window — so every query gets two reps, and queries keep earning a
+    # third while the extra-rep wall-clock budget lasts (slowest-first
+    # order would bias the budget; registry order is arbitrary-but-fixed).
+    extra_budget = float(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SEC", "90"))
+    extra_spent = 0.0
     timings: dict[str, float] = {}
     failed: list[str] = []
     for name, qd in QUERIES.items():
         try:
             best = None
-            for _ in range(3):  # best-of-3: this box carries unrelated
-                # load; two reps proved too few to damp it (r3's record
-                # showed phantom 2-3x regressions that vanished on re-run)
+            for rep in range(3):
+                if rep == 2 and extra_spent >= extra_budget:
+                    break
                 clear_session_state(spark)  # outside the timed region
                 t0 = time.perf_counter()
                 run(qd.fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
+                if rep == 2:
+                    extra_spent += dt
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
         except Exception as e:  # one broken query must not void the record

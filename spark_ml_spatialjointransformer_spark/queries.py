@@ -2694,3 +2694,109 @@ def p3_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens", "emb_qnorm2",
         (h60_col(F.col("doc_id").cast("string")) % 64).cast("int").alias("shard"),
     )
+
+
+_T22_ORACLE = """
+WITH tok AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS w
+             FROM documents),
+c AS (SELECT lang, w, count(*) AS cnt FROM tok GROUP BY lang, w),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY cnt DESC, w) AS rn
+      FROM c)
+SELECT lang, w AS token, cnt, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= 3
+"""
+
+
+@_register("t22_heavy_hitters", _T22_ORACLE)
+def t22_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy hitters: the 3 most frequent tokens per language
+    with deterministic ties (count desc, then token) — the vocabulary-audit
+    twin of t14.  Scale shape: the (lang, token) count aggregates with
+    map-side combine, and the per-group top-3 is a rank window over the
+    ALREADY-AGGREGATED counts (vocab-sized, not corpus-sized input — the
+    window sorts |vocab| rows per lang, never raw tokens)."""
+    from pyspark.sql.window import Window
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w")
+    )
+    c = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    win = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("w"))
+    return (
+        c.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 3)
+        .select("lang", F.col("w").alias("token"), "cnt", F.col("rank").cast("int"))
+    )
+
+
+_T23_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+g AS (SELECT DISTINCT doc_id, gram FROM (
+      SELECT doc_id,
+             unnest([array_to_string(tk[i:i+3], ' ')
+                     FOR i IN generate_series(1, len(tk) - 3)]) AS gram
+      FROM tok WHERE len(tk) >= 4) z),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0),
+bad AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
+        WHERE g.doc_id % 23 != 0)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id % 23 != 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+@_register("t23_decontaminate", _T23_ORACLE)
+def t23_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by exclusion: the corpus MINUS the held-out set and
+    MINUS every document t15 flags as sharing a 4-gram with it — the
+    LEFT ANTI join (an operator family the rest of the registry doesn't
+    exercise).  Scale shape: the flagged-id set is dedup-aggregated before
+    the anti join, so the join's build side holds one id per contaminated
+    doc; at 100 TB the anti join is the standard hash anti-join on a
+    broadcast or id-bucketed build side."""
+    bad = t15_contamination(spark, sf_dir).select("doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 23 != 0)
+        .join(bad, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+
+
+_T24_ORACLE = """
+WITH p AS (SELECT doc_id, substr(trim(text), 1, 24) AS pre FROM documents),
+j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.pre, b.pre) AS edit_dist
+      FROM p a JOIN p b
+        ON substr(a.pre, 1, 8) = substr(b.pre, 1, 8) AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(edit_dist AS INTEGER) AS edit_dist
+FROM j WHERE edit_dist <= 8
+"""
+
+
+@_register("t24_fuzzy_match", _T24_ORACLE)
+def t24_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy prefix matching: document pairs whose 24-char prefixes are
+    within edit distance 8, candidates blocked on a shared 8-char prefix —
+    the classic blocking + edit-distance record-linkage shape.  Edit
+    distance is an exact integer metric (identical in every correct
+    implementation, so the cross-engine gate is deterministic), and it
+    runs ONLY on blocked candidate pairs: the join key is the 8-char
+    block, never a cross join.  At 100 TB blocking keys shuffle hash-join
+    style and the DP cost is bounded by 24×24 per candidate pair."""
+    p = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, 24).alias("pre")
+    ).withColumn("blk", F.substring("pre", 1, 8))
+    a = p.select(F.col("doc_id").alias("id_a"), F.col("pre").alias("pa"), "blk")
+    b = p.select(F.col("doc_id").alias("id_b"), F.col("pre").alias("pb"), "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("pa", "pb").cast("int").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 8)
+    )
