@@ -1378,11 +1378,21 @@ def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events: windowed aggregation (batch shape of the streaming operator)
 # ---------------------------------------------------------------------------
 
-_E1_ORACLE = """
+#: every value scales to a BIGINT once per row (floor(v*1e4+0.5): the same
+#: fixed IEEE op sequence in both engines) and the SUM then runs over
+#: integers — deterministic regardless of partial-aggregation order.
+#: round(sum(double)) would depend on FP summation order, which differs
+#: between Spark partials, DuckDB, and streaming incremental state.
+_SUM_VALUE_E4 = "CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT)"
+#: the Spark twin (identical expression text modulo nothing — Spark parses
+#: the same SQL); used via F.expr inside .agg()
+_SUM_VALUE_E4_SPARK = _SUM_VALUE_E4
+
+_E1_ORACLE = f"""
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
        event_type,
        count(*) AS n_events,
-       CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+       {_SUM_VALUE_E4} AS sum_value_e4
 FROM events
 GROUP BY 1, 2
 """
@@ -1397,7 +1407,7 @@ def e1_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
+            F.expr(_SUM_VALUE_E4_SPARK).alias("sum_value_e4"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("hour_ts"),
@@ -1429,7 +1439,7 @@ SELECT user_id,
        -- spark unix_timestamp truncates the sub-second part
        CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
        count(*) AS n_events,
-       CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+       CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_value_e4
 FROM s GROUP BY user_id, sid
 """
 
@@ -1445,7 +1455,7 @@ def e4_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
+            F.expr(_SUM_VALUE_E4_SPARK).alias("sum_value_e4"),
         )
         .select(
             "user_id",
@@ -1480,7 +1490,7 @@ def e2_hourly_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E3_ORACLE = """
 SELECT user_id,
        count(*) AS n_events,
-       CAST(round(sum(value) * 10000) AS BIGINT) AS total_value_e4
+       CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS total_value_e4
 FROM events
 GROUP BY user_id
 """
@@ -1510,11 +1520,7 @@ def e3_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .select(
-            "user_id",
-            "n_events",
-            F.round(F.col("total_value") * 10000).cast("bigint").alias("total_value_e4"),
-        )
+        .select("user_id", "n_events", "total_value_e4")
     )
 
 
@@ -1695,7 +1701,7 @@ def t14_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E5_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+       CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_value_e4
 FROM events
 GROUP BY event_type
 """
@@ -1778,7 +1784,7 @@ def e5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
+        F.expr(_SUM_VALUE_E4_SPARK).alias("sum_value_e4"),
     )
 
 
@@ -1855,13 +1861,22 @@ def e6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # surface — demonstrate the classic shape; identical SQL both engines)
 # ---------------------------------------------------------------------------
 
+#: one SQL text, two engines — and deterministic by construction: every
+#: double scales to a BIGINT per row (a fixed IEEE op sequence, identical
+#: in both engines) before any SUM, so the aggregate is integer-exact no
+#: matter how either engine orders its partial aggregation.  The average
+#: derives from the integer sum (the quotient is a single correctly-rounded
+#: double division + floor — also engine-identical).
 _A1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
-       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_e2,
-       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
-         AS sum_disc_price_e2,
-       CAST(round(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty_e4,
+       CAST(sum(CAST(floor(l_quantity * 100e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+         AS sum_qty_e2,
+       CAST(sum(CAST(floor(l_extendedprice * 100e0 + 0.5e0) AS BIGINT))
+            AS BIGINT) AS sum_base_price_e2,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100e0 + 0.5e0)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_price_e2,
+       CAST(floor(CAST(sum(CAST(floor(l_quantity * 100e0 + 0.5e0) AS BIGINT))
+                       AS DOUBLE) * 100e0 / count(*)) AS BIGINT) AS avg_qty_e4,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -2186,9 +2201,10 @@ def t18_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E8_ORACLE = """
 SELECT event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0e0)
+            AS BIGINT) AS k_bucket,
        count(*) AS n_events,
-       CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+       CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_value_e4
 FROM events
 GROUP BY 1, 2
 """
@@ -2207,15 +2223,18 @@ def e8_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(
             "event_type",
+            # floor-consistent with the oracle (`div` truncates, `//` floors;
+            # they differ on negative k) — see streaming/windowed.py twin
             F.expr(
-                "CAST(get_json_object(props, '$.k') AS BIGINT) div 10"
+                "CAST(floor(CAST(get_json_object(props, '$.k') AS BIGINT)"
+                " / 10.0e0) AS BIGINT)"
             ).alias("k_bucket"),
             "value",
         )
         .groupBy("event_type", "k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
+            F.expr(_SUM_VALUE_E4_SPARK).alias("sum_value_e4"),
         )
     )
 
@@ -2464,7 +2483,7 @@ SELECT user_id,
        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
        sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+       CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_value_e4
 FROM events
 GROUP BY user_id
 """
@@ -2537,8 +2556,14 @@ def v6_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_exact(emb, "vec_id", "embedding", k=5)
 
 
+#: the explicit ts >= epoch filter (a no-op on this dataset) closes the
+#: floor-vs-truncate asymmetry by construction: DuckDB's `//` floors while
+#: Spark's `div` truncates toward zero, so a pre-1970 timestamp would
+#: bucket differently (-5 // 10 = -1 vs -5 div 10 = 0).  On a non-negative
+#: domain the two are identical.
 _D4_ORACLE = """
-WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+           WHERE ts >= TIMESTAMP '1970-01-01 00:00:00'),
 b AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM e GROUP BY user_id),
 g AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day_idx FROM b),
 c AS (SELECT user_id, d AS day_idx, count(*) AS n FROM e GROUP BY user_id, d)
@@ -2557,9 +2582,15 @@ def d4_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg + sequence explode generates only each user's own days (never a
     global calendar cross join); both aggregations shuffle on user keys
     with map-side combine."""
-    ev = load_events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("d"),
+    # ts >= epoch keeps `div` (truncating) and the oracle's `//` (flooring)
+    # identical by construction — see _D4_ORACLE comment
+    ev = (
+        load_events(spark, sf_dir)
+        .where(F.expr("ts >= TIMESTAMP '1970-01-01 00:00:00'"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("d"),
+        )
     )
     bounds = ev.groupBy("user_id").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
@@ -2614,7 +2645,9 @@ def d5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("p_ts"))
     )
     # bigint `div`, not `/`: double division of near-integer quotients can
-    # round up across the integer before a truncating cast
+    # round up across the integer before a truncating cast.  `div` truncates
+    # while the oracle's `//` floors, but the difference is non-negative BY
+    # CONSTRUCTION (the step-2 join requires ts >= v_ts), where both agree.
     delay = F.expr(
         "(unix_micros(CAST(p_ts AS TIMESTAMP)) - "
         "unix_micros(CAST(v_ts AS TIMESTAMP))) div 60000000"
@@ -2800,3 +2833,27 @@ def t24_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Registration order: queries that have never had a driver correctness row
+# (added in round 4; CORRECTNESS_r04 reran exactly the round-3 50-query set)
+# are surfaced FIRST in the registry so a truncating or time-budgeted driver
+# checks them before the long-green rest.  Everything else keeps its original
+# relative order.
+# ---------------------------------------------------------------------------
+_DRIVER_UNCHECKED_FIRST = [
+    "a2_rollup_pricing", "a3_regional_revenue", "a4_length_percentiles",
+    "d3_moving_window", "d4_resample_daily", "d5_funnel",
+    "p2_user_features", "p3_export_manifest",
+    "t15_contamination", "t16_repetition", "t17_mixture_sample",
+    "t18_corpus_freq_score", "t19_bm25", "t20_quality_filter",
+    "t21_shard_assign", "t22_heavy_hitters", "t23_decontaminate",
+    "t24_fuzzy_match",
+    "e8_json_props", "e9_json_stream", "v6_knn_join",
+]
+
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_UNCHECKED_FIRST if n in QUERIES},
+    **{n: q for n, q in QUERIES.items() if n not in _DRIVER_UNCHECKED_FIRST},
+}

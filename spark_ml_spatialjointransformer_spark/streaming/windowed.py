@@ -80,7 +80,13 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
+            # per-row scale to BIGINT, then integer sum: deterministic across
+            # micro-batch incremental state updates AND vs the batch oracle
+            # (FP summation order differs between the two otherwise)
+            F.expr(
+                "CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("sum_value_e4"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("hour_ts"),
@@ -91,8 +97,8 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SESSION_STATE_SCHEMA = "n LONG, total DOUBLE"
-_SESSION_OUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+_SESSION_STATE_SCHEMA = "n LONG, total_e4 LONG"
+_SESSION_OUT_SCHEMA = "user_id LONG, n_events LONG, total_value_e4 LONG"
 
 
 def _update_user_state(
@@ -100,14 +106,22 @@ def _update_user_state(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Stateful kernel: running (count, sum) per user across triggers."""
-    n, total = state.get if state.exists else (0, 0.0)
+    """Stateful kernel: running (count, scaled-int sum) per user across
+    triggers.  Each value scales to int64 ONCE (floor(v*1e4+0.5) — the
+    same IEEE op sequence the batch oracle uses) and the running total
+    accumulates integers, so the final state is independent of trigger
+    boundaries and batch order; a running double total would drift with
+    the incremental summation order."""
+    import numpy as np
+
+    n, total_e4 = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        v = pdf["value"].to_numpy(dtype="float64")
+        total_e4 += int(np.floor(v * 10000.0 + 0.5).astype("int64").sum())
+    state.update((n, total_e4))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {"user_id": [key[0]], "n_events": [n], "total_value_e4": [total_e4]}
     )
 
 
@@ -195,15 +209,25 @@ def json_bucket_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .select(
             "event_type",
-            F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").alias(
-                "k_bucket"
-            ),
+            # floor-consistent bucketing: Spark's `div` truncates toward zero
+            # while DuckDB's `//` floors — they disagree on negative k.  The
+            # double division + floor is the same IEEE op sequence in both.
+            F.expr(
+                "CAST(floor(CAST(get_json_object(props, '$.k') AS BIGINT)"
+                " / 10.0e0) AS BIGINT)"
+            ).alias("k_bucket"),
             "value",
         )
         .groupBy("event_type", "k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"),
+            # per-row scale to BIGINT, then integer sum: deterministic across
+            # micro-batch incremental state updates AND vs the batch oracle
+            # (FP summation order differs between the two otherwise)
+            F.expr(
+                "CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("sum_value_e4"),
         )
     )
 

@@ -84,7 +84,10 @@ class TestStreaming:
             ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("value") * 10000).cast("bigint").alias("s"),
+                F.expr(
+                    "CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT))"
+                    " AS BIGINT)"
+                ).alias("s"),
             )
             .select(F.unix_timestamp("w.start").alias("h"), "event_type", "n", "s")
             .collect()
@@ -103,15 +106,21 @@ class TestStreaming:
         got = {}
         for r in stream_out:
             if r.user_id not in got or r.n_events > got[r.user_id][0]:
-                got[r.user_id] = (r.n_events, round(r.total_value, 6))
+                got[r.user_id] = (r.n_events, r.total_value_e4)
 
         batch = (
             load_events(spark, SF)
             .groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(
+                    "CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT))"
+                    " AS BIGINT)"
+                ).alias("t"),
+            )
             .collect()
         )
-        expected = {r.user_id: (r.n, round(r.t, 6)) for r in batch}
+        expected = {r.user_id: (r.n, r.t) for r in batch}
         assert got == expected
 
 class TestStreamSourceEncodingAdaptivity:
