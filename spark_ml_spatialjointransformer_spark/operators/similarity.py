@@ -512,6 +512,14 @@ def brute_force_topk(
     )
 
 
+#: knn_join_exact ships (int64 ids + int64 [N, dim] matrix + doubles) to
+#: every partition; at dim 64 this is ~0.5 KiB/vector, so 2M rows ≈ 1 GiB
+#: of broadcast — the practical ceiling for a dense exact self-join.  Past
+#: it, the answer is the bucketed tiers (ivf_topk / lsh_topk), not a
+#: bigger broadcast.
+_KNN_EXACT_MAX_BROADCAST_ROWS = 2_000_000
+
+
 def knn_join_exact(
     df: DataFrame,
     id_col: str,
@@ -539,24 +547,43 @@ def knn_join_exact(
     neighbor-graph builder below that bound.
 
     Output: (id, neighbor_id, cos_e6), k rows per non-zero-norm vector.
+
+    NOTE the corpus is EAGERLY collected to the driver at plan-build time
+    (the broadcast matrix has to exist before the job runs) — this operator
+    is intentionally not lazy.  ``max_broadcast_rows`` bounds the collect:
+    above it, raise and point at the scale tiers (v3 IVF / v5 LSH) instead
+    of silently OOMing the driver.
     """
     import numpy as np
 
     spark = df.sparkSession
-    pdf = df.select(id_col, emb_col).toPandas()
-    ids_np = pdf[id_col].to_numpy(dtype=np.int64)
+    out_schema = f"{id_col} long, neighbor_id long, cos_e6 long"
+
+    cnt = df.count()
+    if cnt > _KNN_EXACT_MAX_BROADCAST_ROWS:
+        raise ValueError(
+            f"knn_join_exact: corpus has {cnt} rows, above the broadcast "
+            f"bound of {_KNN_EXACT_MAX_BROADCAST_ROWS}. The exact dense "
+            "self-join ships the whole corpus to every partition; above "
+            "this bound use the scale tiers instead: ivf_topk (v3) or "
+            "lsh_topk (v5) in this module."
+        )
+    # object-array collect, not toPandas(): exact nulls/ints, and an empty
+    # corpus stays an empty list instead of a shape-(0,)-object array
+    rows = df.select(id_col, emb_col).collect()
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    ids_np = np.array([r[0] for r in rows], dtype=np.int64)
     raw = np.array(
-        [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]], dtype=np.float64
+        [np.asarray(r[1], dtype=np.float64) for r in rows], dtype=np.float64
     )
     Q = np.floor(raw * scale + 0.5).astype(np.int64)
     qn2 = np.einsum("ij,ij->i", Q, Q)
     keep = qn2 > 0
+    if not keep.any():
+        return spark.createDataFrame([], out_schema)
     ids_np, Q, qn2 = ids_np[keep], Q[keep], qn2[keep]
     bc = spark.sparkContext.broadcast((ids_np, Q, np.sqrt(qn2.astype(np.float64))))
-
-    out_schema = (
-        f"{id_col} long, neighbor_id long, cos_e6 long"
-    )
 
     def gen(batches):
         import numpy as np  # re-import: executor-side body

@@ -116,3 +116,25 @@ def test_knn_join_exact_edge_cases(spark):
     # nearest neighbor of 1 is 2 (cos ~ .994), not 3 (orthogonal)
     assert by_id[1][0] == 2
 
+
+def test_knn_join_exact_empty_and_guard(spark, monkeypatch):
+    """An empty corpus (or all-zero-norm corpus) returns an empty DataFrame
+    with the contract schema instead of crashing in numpy; a corpus above
+    the broadcast bound raises with a pointer to the scale tiers."""
+    from spark_ml_spatialjointransformer_spark.operators import similarity
+
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    out = similarity.knn_join_exact(empty, "vec_id", "embedding", k=3)
+    assert out.columns == ["vec_id", "neighbor_id", "cos_e6"]
+    assert out.count() == 0
+
+    zeros = spark.createDataFrame([(1, [0.0, 0.0]), (2, [0.0, 0.0])], schema)
+    assert similarity.knn_join_exact(zeros, "vec_id", "embedding").count() == 0
+
+    monkeypatch.setattr(similarity, "_KNN_EXACT_MAX_BROADCAST_ROWS", 2)
+    big = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(5)], schema
+    )
+    with pytest.raises(ValueError, match="ivf_topk|lsh_topk"):
+        similarity.knn_join_exact(big, "vec_id", "embedding")
