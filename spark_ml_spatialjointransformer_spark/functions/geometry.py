@@ -42,11 +42,15 @@ class Geometry:
     - polygon: parts = [rings, ...] where rings = [shell, hole, ...]
     """
 
-    __slots__ = ("kind", "parts")
+    # _edge_tab/_vert_tab: lazily-built numpy edge/vertex tables for the
+    # vectorized polygon×polygon kernels (see _edges_np/_vertices_np)
+    __slots__ = ("kind", "parts", "_edge_tab", "_vert_tab")
 
     def __init__(self, kind: str, parts):
         self.kind = kind
         self.parts = parts
+        self._edge_tab = None
+        self._vert_tab = None
 
     @property
     def dimension(self) -> int:
@@ -491,6 +495,167 @@ def point_in_polygon_np(px, py, g: Geometry):
         res[now & (res == 2)] = 1
     res[res == 2] = -1
     return res
+
+
+def _edges_np(g: Geometry):
+    """(x1, y1, x2, y2) float64 edge-table arrays over every ring of a
+    polygon (or every part of a linestring), cached on the Geometry —
+    the refine layer re-evaluates the same distinct WKT across batches."""
+    import numpy as np
+
+    tab = getattr(g, "_edge_tab", None)
+    if tab is None:
+        pts = list(_edges(g))
+        if pts:
+            a = np.array([p[0] for p in pts], dtype=np.float64)
+            b = np.array([p[1] for p in pts], dtype=np.float64)
+            tab = (a[:, 0], a[:, 1], b[:, 0], b[:, 1])
+        else:
+            z = np.empty(0, dtype=np.float64)
+            tab = (z, z, z, z)
+        g._edge_tab = tab
+    return tab
+
+
+def _any_edge_intersection_np(a: Geometry, b: Geometry, proper_only=False) -> bool:
+    """Vectorized twin of ``_any_edge_intersection``: all Ea×Eb segment
+    tests as one broadcast orient computation (chunked over a's edges to
+    bound the Ea×Eb temporaries).  Formulas and operand order mirror the
+    scalar ``_orient``/``_on_segment`` exactly, so the outcome is
+    bit-identical to the scalar loop."""
+    import numpy as np
+
+    ax1, ay1, ax2, ay2 = _edges_np(a)
+    bx1, by1, bx2, by2 = _edges_np(b)
+    na, nb = len(ax1), len(bx1)
+    if na == 0 or nb == 0:
+        return False
+    # keep each Ea-chunk × Eb temporary under ~1M cells
+    chunk = max(1, 1_000_000 // max(nb, 1))
+    bminx, bmaxx = np.minimum(bx1, bx2), np.maximum(bx1, bx2)
+    bminy, bmaxy = np.minimum(by1, by2), np.maximum(by1, by2)
+    for s in range(0, na, chunk):
+        e = min(s + chunk, na)
+        p1x, p1y = ax1[s:e, None], ay1[s:e, None]
+        p2x, p2y = ax2[s:e, None], ay2[s:e, None]
+        # d1 = orient(b1, b2, a1); d2 = orient(b1, b2, a2)
+        d1 = (bx2 - bx1) * (p1y - by1) - (by2 - by1) * (p1x - bx1)
+        d2 = (bx2 - bx1) * (p2y - by1) - (by2 - by1) * (p2x - bx1)
+        # d3 = orient(a1, a2, b1); d4 = orient(a1, a2, b2)
+        d3 = (p2x - p1x) * (by1 - p1y) - (p2y - p1y) * (bx1 - p1x)
+        d4 = (p2x - p1x) * (by2 - p1y) - (p2y - p1y) * (bx2 - p1x)
+        proper = (
+            ((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0)
+            & ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0)
+        )
+        if proper.any():
+            return True
+        if proper_only:
+            continue
+        aminx, amaxx = np.minimum(p1x, p2x), np.maximum(p1x, p2x)
+        aminy, amaxy = np.minimum(p1y, p2y), np.maximum(p1y, p2y)
+        touch = (
+            # a1 / a2 on segment b
+            ((d1 == 0) & (p1x >= bminx) & (p1x <= bmaxx)
+             & (p1y >= bminy) & (p1y <= bmaxy))
+            | ((d2 == 0) & (p2x >= bminx) & (p2x <= bmaxx)
+               & (p2y >= bminy) & (p2y <= bmaxy))
+            # b1 / b2 on segment a
+            | ((d3 == 0) & (bx1 >= aminx) & (bx1 <= amaxx)
+               & (by1 >= aminy) & (by1 <= amaxy))
+            | ((d4 == 0) & (bx2 >= aminx) & (bx2 <= amaxx)
+               & (by2 >= aminy) & (by2 <= amaxy))
+        )
+        if touch.any():
+            return True
+    return False
+
+
+def _vertices_np(g: Geometry):
+    """(px, py) float64 arrays of every vertex, cached on the Geometry."""
+    import numpy as np
+
+    v = getattr(g, "_vert_tab", None)
+    if v is None:
+        pts = g.coords_flat()
+        v = (
+            np.array([p[0] for p in pts], dtype=np.float64),
+            np.array([p[1] for p in pts], dtype=np.float64),
+        )
+        g._vert_tab = v
+    return v
+
+
+def _within_poly_np(a: Geometry, b: Geometry) -> bool:
+    """Vectorized twin of ``within`` for the polygon×polygon case only
+    (other kind combinations stay on the scalar path)."""
+    px, py = _vertices_np(a)
+    sides = point_in_polygon_np(px, py, b)
+    if (sides == -1).any():
+        return False
+    if _any_edge_intersection_np(a, b, proper_only=True):
+        return False
+    sx, sy = _interior_sample(a)
+    s = point_in_polygon(sx, sy, b)
+    return s >= 0 and (bool((sides == 1).any()) or s == 1)
+
+
+def polygon_predicate_np(op: str, a: Geometry, b: Geometry) -> bool:
+    """Vectorized DE-9IM predicate for an irregular polygon×polygon pair:
+    the edge-cross tests run as one Ea×Eb numpy broadcast and the vertex
+    containment tests as one ray-cast batch per polygon, replacing the
+    O(Ea·Eb) scalar Python loops.  Arithmetic mirrors the scalar kernels
+    operation-for-operation, so every outcome is identical — asserted
+    pairwise by the property suite (tests/test_properties.py).
+
+    Tiny pairs (edge product < ~4k cells) stay on the scalar kernels:
+    below that, numpy call overhead exceeds the loop cost (measured
+    crossover ~60×60 vertices — see SCALE.md)."""
+    if a.kind != "polygon" or b.kind != "polygon":
+        return bool(PREDICATE_FUNCS[op](a, b))
+    ea, eb = len(_edges_np(a)[0]), len(_edges_np(b)[0])
+    if ea * eb < 4000:
+        return bool(PREDICATE_FUNCS[op](a, b))
+    if op == "within":
+        return _within_poly_np(a, b)
+    if op == "contains":
+        return _within_poly_np(b, a)
+    if op == "intersects":
+        if _any_edge_intersection_np(a, b):
+            return True
+        x, y = b.coords_flat()[0]
+        if point_in_polygon(x, y, a) == 1:
+            return True
+        x, y = a.coords_flat()[0]
+        return point_in_polygon(x, y, b) == 1
+    if op == "overlaps":
+        ra, rb = axis_rect(a), axis_rect(b)
+        if ra is not None and rb is not None:
+            strict = (
+                ra[0] < rb[2] and rb[0] < ra[2] and ra[1] < rb[3] and rb[1] < ra[3]
+            )
+            a_in_b = (
+                ra[0] >= rb[0] and ra[2] <= rb[2] and ra[1] >= rb[1] and ra[3] <= rb[3]
+            )
+            b_in_a = (
+                rb[0] >= ra[0] and rb[2] <= ra[2] and rb[1] >= ra[1] and rb[3] <= ra[3]
+            )
+            return strict and not a_in_b and not b_in_a
+        if _within_poly_np(a, b) or _within_poly_np(b, a):
+            return False
+        apx, apy = _vertices_np(a)
+        bpx, bpy = _vertices_np(b)
+        a_in = point_in_polygon_np(apx, apy, b)
+        b_in = point_in_polygon_np(bpx, bpy, a)
+        interiors = (
+            _any_edge_intersection_np(a, b, proper_only=True)
+            or bool((a_in == 1).any())
+            or bool((b_in == 1).any())
+        )
+        if not interiors:
+            return False
+        return bool((a_in == -1).any()) and bool((b_in == -1).any())
+    raise ValueError(f"polygon_predicate_np: unsupported op {op!r}")
 
 
 PREDICATE_FUNCS = {

@@ -66,6 +66,7 @@ from spark_ml_spatialjointransformer_spark.functions.geometry import (
     parse_wkt,
     point_geom,
     point_in_polygon_np,
+    polygon_predicate_np,
     rect_predicate_np,
 )
 from spark_ml_spatialjointransformer_spark.plans.config import (
@@ -199,10 +200,13 @@ def _refine_udf(op: str, l_is_wkt: bool = True, r_is_wkt: bool = True):
         # the dominant real-world WKT shape) vectorize: every DE-9IM
         # predicate on closed positive-extent rects is interval arithmetic
         # (rect_predicate_np), detected ONCE per distinct WKT through the
-        # memo.  Irregular polygons fall back to one scalar predicate
-        # evaluation per DISTINCT (left, right) pair per batch (the
-        # broadcast side repeats heavily, and WKT×WKT joins often repeat
-        # whole pairs across candidate rows).
+        # memo.  Irregular polygon×polygon pairs evaluate once per DISTINCT
+        # (left, right) pair per batch (the broadcast side repeats heavily,
+        # and WKT×WKT joins often repeat whole pairs across candidate rows)
+        # through the numpy edge-table kernel (polygon_predicate_np): the
+        # Ea×Eb segment tests run as one broadcast orient computation and
+        # vertex containment as one ray-cast batch — identical outcomes to
+        # the scalar DE-9IM kernels, asserted by the property suite.
         rect_memo: dict[str, tuple | None] = {}
 
         def rect_of(w):
@@ -235,7 +239,11 @@ def _refine_udf(op: str, l_is_wkt: bool = True, r_is_wkt: bool = True):
                 if hit is None:
                     g1 = geom(w1, x1, y1)
                     g2 = geom(w2, x2, y2)
-                    hit = bool(g1 is not None and g2 is not None and fn(g1, g2))
+                    hit = bool(
+                        g1 is not None
+                        and g2 is not None
+                        and polygon_predicate_np(op, g1, g2)
+                    )
                     if len(pair_memo) > 200_000:
                         pair_memo.clear()
                     pair_memo[key] = hit

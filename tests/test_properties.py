@@ -241,3 +241,52 @@ def test_parse_wkt_never_crashes_on_garbage(s):
         for fn in PREDICATE_FUNCS.values():
             assert fn(g, p) in (True, False)
             assert fn(p, g) in (True, False)
+
+
+# --- vectorized irregular polygon×polygon kernel vs scalar DE-9IM ---------
+
+
+@st.composite
+def _poly_wkt(draw):
+    """A simple (non-self-intersecting) irregular polygon on the integer
+    grid: a star-convex ring around a center — random radii per direction
+    keep it concave-capable while guaranteeing a valid ring."""
+    import math
+
+    cx = draw(st.integers(min_value=-10, max_value=10))
+    cy = draw(st.integers(min_value=-10, max_value=10))
+    n = draw(st.integers(min_value=3, max_value=8))
+    radii = draw(
+        st.lists(
+            st.integers(min_value=1, max_value=9), min_size=n, max_size=n
+        )
+    )
+    pts = []
+    for i, r in enumerate(radii):
+        ang = 2.0 * math.pi * i / n
+        pts.append(
+            (cx + round(r * math.cos(ang), 1), cy + round(r * math.sin(ang), 1))
+        )
+    pts.append(pts[0])
+    body = ",".join(f"{x} {y}" for x, y in pts)
+    return f"POLYGON(({body}))"
+
+
+@given(a=_poly_wkt(), b=_poly_wkt())
+@settings(max_examples=300, deadline=None)
+def test_polygon_vector_kernel_matches_scalar(a, b):
+    """polygon_predicate_np (numpy edge-table / ray-cast batch) must agree
+    with the scalar DE-9IM kernels on every irregular polygon pair —
+    including shared vertices, edge touches, containment, and disjoint."""
+    from spark_ml_spatialjointransformer_spark.functions.geometry import (
+        PREDICATE_FUNCS,
+        parse_wkt,
+        polygon_predicate_np,
+    )
+
+    ga, gb = parse_wkt(a), parse_wkt(b)
+    assert ga is not None and gb is not None
+    for op, fn in PREDICATE_FUNCS.items():
+        want = bool(fn(ga, gb))
+        got = bool(polygon_predicate_np(op, ga, gb))
+        assert got == want, f"{op}: {a} vs {b}: fast={got} scalar={want}"
