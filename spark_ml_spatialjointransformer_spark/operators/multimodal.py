@@ -7,12 +7,14 @@ decode kernels are split in two layers:
 - the **Spark-side plumbing is real and tested**: schemas (binary + typed
   metadata struct), Arrow batch shapes, mapInPandas signatures, one-to-many
   frame explosion, partition-preserving execution;
-- the **codec layer is pluggable**: `resize_images` raises a clearly-marked
-  NotImplementedError unless PIL is importable; `extract_features` and
-  `sample_frames` use deterministic fakes (byte-hash-seeded LCG features,
-  fixed-stride byte chunks as "frames") so pipelines are testable
-  end-to-end without the codecs and swap to real decoders by replacing one
-  function.
+- the **codec layer** ships real pure-numpy decoders for the uncompressed
+  formats (PPM P6 and 24-bit BMP — `decode_image`/`encode_ppm`/`resize_nn`
+  need no external library), with Pillow as an optional escape hatch for
+  compressed formats through the same `decode_image` contract;
+  `extract_features` and `sample_frames` use deterministic fakes
+  (byte-hash-seeded LCG features, fixed-stride byte chunks as "frames") so
+  embedding/keyframe pipelines are testable end-to-end without model
+  weights or ffmpeg and swap to real kernels by replacing one function.
 
 At 100TB the pattern is: binaries stay in parquet/iceberg blobs, only
 metadata and features shuffle; every op below is mapInPandas over the
@@ -157,18 +159,219 @@ def sample_frames(
     return df.mapInPandas(run, schema=out_schema)
 
 
-def resize_images(
-    df: DataFrame, binary_col: str, width: int, height: int
-) -> DataFrame:
-    """Real image decode+resize — requires PIL, which this container does
-    not ship.  The Spark plumbing (mapInPandas over binary, binary out) is
-    the same as extract_features; only the kernel differs."""
+# ---------------------------------------------------------------------------
+# real codec layer: pure-numpy PPM (P6) and BMP (24-bit BI_RGB) — the two
+# uncompressed formats decodable without external libraries.  Pillow, when
+# importable, extends coverage to compressed formats through the same seam.
+# ---------------------------------------------------------------------------
+
+
+def _decode_ppm(data: bytes):
+    """Binary PPM (P6) → (H, W, 3) uint8 array, or None if malformed.
+    Parses the whitespace/comment-tolerant header per the netpbm spec."""
+    if not data.startswith(b"P6"):
+        return None
+    # header: magic, width, height, maxval — tokens separated by whitespace,
+    # '#' comments run to end of line; ONE whitespace byte after maxval,
+    # then raw RGB
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(data):
+        c = data[pos : pos + 1]
+        if c == b"#":
+            nl = data.find(b"\n", pos)
+            if nl == -1:
+                return None
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end : end + 1].isspace():
+                end += 1
+            tokens.append(data[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        return None
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "resize_images requires Pillow, which is not available in this "
-            "environment; plug in any codec via the extract_features-style "
-            "mapInPandas pattern"
-        ) from e
-    raise NotImplementedError("codec integration intentionally stubbed")  # pragma: no cover
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval != 255:
+        return None
+    pos += 1  # the single whitespace byte after maxval
+    need = w * h * 3
+    raw = data[pos : pos + need]
+    if len(raw) < need:
+        return None
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _decode_bmp(data: bytes):
+    """Uncompressed 24-bit BI_RGB BMP → (H, W, 3) uint8 RGB array, or None.
+    Handles 4-byte row padding and bottom-up (positive height) row order."""
+    if len(data) < 54 or not data.startswith(b"BM"):
+        return None
+    import struct
+
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        return None
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if w <= 0 or h_raw == 0 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    h = abs(h_raw)
+    row_bytes = (w * 3 + 3) & ~3
+    need = row_bytes * h
+    raw = data[off : off + need]
+    if len(raw) < need:
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, row_bytes)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if h_raw > 0:  # bottom-up storage
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def decode_image(data) -> "np.ndarray | None":
+    """bytes → (H, W, 3) uint8 RGB, or None if no codec matches.  Built-in:
+    PPM P6 and 24-bit BMP (pure numpy); Pillow, if importable, handles the
+    rest through the same return contract."""
+    if data is None:
+        return None
+    b = data if isinstance(data, bytes) else bytes(data)
+    img = _decode_ppm(b) if b[:2] == b"P6" else None
+    if img is None and b[:2] == b"BM":
+        img = _decode_bmp(b)
+    if img is None:
+        try:  # optional-dependency escape hatch for compressed formats
+            import io
+
+            import PIL.Image
+
+            img = np.asarray(PIL.Image.open(io.BytesIO(b)).convert("RGB"))
+        except Exception:
+            return None
+    return img
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6) bytes — the deterministic output
+    container (no compression, no encoder version drift)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def resize_nn(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize with the floor index map
+    ``src = (dst * src_dim) // dst_dim`` — pure integer arithmetic, so any
+    independent implementation (the m3 DuckDB oracle) reproduces the pixel
+    selection exactly."""
+    h0, w0 = img.shape[:2]
+    ys = (np.arange(height, dtype=np.int64) * h0) // height
+    xs = (np.arange(width, dtype=np.int64) * w0) // width
+    return img[ys][:, xs]
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str,
+    width: int,
+    height: int,
+    out_col: str = "resized",
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (PPM P6) per row via
+    mapInPandas.  Rows whose payload no codec recognizes get NULL (kept,
+    not dropped — the caller decides).  Scale shape: one Arrow pass over
+    the scan, partition-preserving, no shuffle."""
+    ensure_udf_portability()
+    fields = df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    out_schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[binary_col]:
+                img = decode_image(b)
+                out.append(
+                    encode_ppm(resize_nn(img, width, height))
+                    if img is not None
+                    else None
+                )
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_stats(
+    df: DataFrame, binary_col: str, prefix: str = "img_"
+) -> DataFrame:
+    """Decode each payload and emit typed stats columns: width, height, and
+    the integer sum of all RGB values (NULLs for undecodable payloads).
+    The pixel sum is the oracle-checkable scalar that proves the decode
+    actually read the pixels."""
+    ensure_udf_portability()
+    fields = df.schema.fields + [
+        T.StructField(f"{prefix}width", T.IntegerType()),
+        T.StructField(f"{prefix}height", T.IntegerType()),
+        T.StructField(f"{prefix}pix_sum", T.LongType()),
+    ]
+    out_schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for b in pdf[binary_col]:
+                img = decode_image(b)
+                if img is None:
+                    ws.append(None)
+                    hs.append(None)
+                    sums.append(None)
+                else:
+                    ws.append(img.shape[1])
+                    hs.append(img.shape[0])
+                    sums.append(int(img.astype(np.int64).sum()))
+            yield pdf.assign(
+                **{
+                    f"{prefix}width": pd.array(ws, dtype="Int32"),
+                    f"{prefix}height": pd.array(hs, dtype="Int32"),
+                    f"{prefix}pix_sum": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def synth_ppm_images(
+    df: DataFrame, id_col: str, width: int, height: int, out_col: str = "img"
+) -> DataFrame:
+    """Deterministic test-image synthesis: pixel (x, y) of row ``id`` is
+    R=(3x+5y+id)%256, G=(x+2y)%256, B=(id+x·y)%256, encoded as PPM P6 —
+    integer formulas a SQL oracle replays exactly (queries.py m3).  This is
+    the binary-column GENERATOR for codec tests, not a production op."""
+    ensure_udf_portability()
+    fields = df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    out_schema = T.StructType(fields)
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                img = np.stack(
+                    [
+                        (3 * xs + 5 * ys + i) % 256,
+                        (xs + 2 * ys) % 256,
+                        (i + xs * ys) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                imgs.append(encode_ppm(img))
+            yield pdf.assign(**{out_col: imgs})
+
+    return df.mapInPandas(run, schema=out_schema)

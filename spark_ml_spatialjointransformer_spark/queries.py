@@ -1267,6 +1267,54 @@ def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: m3 geometry: synthesize 16×12 PPMs, nearest-neighbor resize to 7×5.
+#: The oracle replays the integer pipeline from first principles: the
+#: floor index map src=(dst*src_dim)//dst_dim picks pixels of the synth
+#: pattern R=(3x+5y+id)%256 G=(x+2y)%256 B=(id+x·y)%256 — every term
+#: integer, so the resized pixel sum is engine-exact.
+_M3_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+xo AS (SELECT unnest(range(7)) AS x1), yo AS (SELECT unnest(range(5)) AS y1),
+m AS (SELECT doc_id, (x1 * 16) // 7 AS xs, (y1 * 12) // 5 AS ys
+      FROM d CROSS JOIN xo CROSS JOIN yo),
+p AS (SELECT doc_id,
+             (3 * xs + 5 * ys + doc_id) % 256
+             + (xs + 2 * ys) % 256
+             + (doc_id + xs * ys) % 256 AS v
+      FROM m)
+SELECT doc_id, 7 AS out_w, 5 AS out_h, CAST(sum(v) AS BIGINT) AS pix_sum
+FROM p GROUP BY doc_id
+"""
+
+
+@_register("m3_image_resize", _M3_ORACLE)
+def m3_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end: synthesize a deterministic 16×12 PPM
+    per document, decode it (pure-numpy P6 parser), nearest-neighbor
+    resize to 7×5 (odd targets exercise the floor index map), re-encode
+    as PPM, decode AGAIN, and emit width/height/pixel-sum stats — the
+    encode/decode round-trip plus resize arithmetic all checked against a
+    from-first-principles SQL replay.  Scale shape: two mapInPandas
+    passes over the scan, partition-preserving, no shuffle; binaries
+    never leave the executor."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        image_stats,
+        resize_images,
+        synth_ppm_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = synth_ppm_images(docs, "doc_id", width=16, height=12, out_col="img")
+    resized = resize_images(imgs, "img", width=7, height=5, out_col="small")
+    stats = image_stats(resized, "small", prefix="s_")
+    return stats.select(
+        "doc_id",
+        F.col("s_width").cast("int").alias("out_w"),
+        F.col("s_height").cast("int").alias("out_h"),
+        F.col("s_pix_sum").alias("pix_sum"),
+    )
+
+
 _V3_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM e),
@@ -2851,6 +2899,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "t21_shard_assign", "t22_heavy_hitters", "t23_decontaminate",
     "t24_fuzzy_match",
     "e8_json_props", "e9_json_stream", "v6_knn_join",
+    "m3_image_resize",
 ]
 
 QUERIES = {

@@ -65,9 +65,67 @@ class TestMultimodal:
         assert list(one.frame_idx)[:2] == [0, 2]  # stride respected
         assert all(len(f) <= 64 for f in one.frame)
 
-    def test_resize_raises_clear_stub_error(self, spark, binary_docs):
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            multimodal.resize_images(binary_docs, "content", 64, 64)
+    def test_ppm_roundtrip_and_resize(self):
+        import numpy as np
+
+        img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        back = multimodal.decode_image(multimodal.encode_ppm(img))
+        assert (back == img).all()
+        # comment + extra whitespace in the header must parse
+        hdr = b"P6\n# a comment\n 3  2\n255\n" + img.tobytes()
+        assert (multimodal.decode_image(hdr) == img).all()
+        # nearest-neighbor upscale: src = (dst * src_dim) // dst_dim
+        up = multimodal.resize_nn(img, 6, 2)
+        assert up.shape == (2, 6, 3)
+        assert (up[:, ::2] == img[:, (np.arange(6)[::2] * 3) // 6]).all()
+
+    def test_bmp_decode(self):
+        import struct
+
+        import numpy as np
+
+        # hand-built 2x2 24-bit BMP: rows bottom-up, BGR, 4-byte padded
+        px = {  # (x, y) -> RGB
+            (0, 0): (255, 0, 0), (1, 0): (0, 255, 0),
+            (0, 1): (0, 0, 255), (1, 1): (10, 20, 30),
+        }
+        rows = b""
+        for y in (1, 0):  # bottom-up
+            r = b""
+            for x in (0, 1):
+                rgb = px[(x, y)]
+                r += bytes((rgb[2], rgb[1], rgb[0]))  # BGR
+            rows += r + b"\x00\x00"  # pad 6 -> 8
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        img = multimodal.decode_image(hdr + info + rows)
+        assert img.shape == (2, 2, 3)
+        for (x, y), rgb in px.items():
+            assert tuple(img[y, x]) == rgb
+
+    def test_resize_images_real_codec(self, spark, binary_docs):
+        # text payloads are not decodable images -> NULL, never a crash
+        out = multimodal.resize_images(binary_docs, "content", 4, 4)
+        pdf = out.toPandas()
+        assert pdf["resized"].isna().all()
+        # synthesized PPMs decode, resize, and round-trip
+        ids = spark.range(5).select(F.col("id").alias("doc_id"))
+        imgs = multimodal.synth_ppm_images(ids, "doc_id", 8, 6, out_col="img")
+        small = multimodal.resize_images(imgs, "img", 4, 3, out_col="small")
+        stats = multimodal.image_stats(small, "small", prefix="s_").toPandas()
+        assert (stats["s_width"] == 4).all() and (stats["s_height"] == 3).all()
+        # independent replay of synth + floor-map resize for one row
+        import numpy as np
+
+        xs, ys = np.meshgrid((np.arange(4) * 8) // 4, (np.arange(3) * 6) // 3)
+        i = int(stats["doc_id"][0])
+        want = int(
+            ((3 * xs + 5 * ys + i) % 256).sum()
+            + ((xs + 2 * ys) % 256).sum()
+            + ((i + xs * ys) % 256).sum()
+        )
+        got = int(stats.loc[stats.doc_id == i, "s_pix_sum"].iloc[0])
+        assert got == want
 
 
 class TestStreaming:
