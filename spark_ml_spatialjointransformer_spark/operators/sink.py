@@ -5,7 +5,8 @@ sharding; this module is the WRITE path a pipeline actually runs: shard the
 corpus into a fixed number of files whose contents and internal order are a
 pure function of the data — independent of input partitioning, task
 scheduling, speculative retries, or cluster size — so a training job can
-resume, re-run, or diff exports byte-for-byte.
+resume, re-run, or diff exports row-for-row (part-file names carry a
+per-job UUID; determinism is of contents and order, not paths).
 
 Scale shape: ONE hash-partitioned shuffle into ``n_shards`` partitions
 (uniform by construction — the shard key is a high-quality content hash),
@@ -46,8 +47,11 @@ def sharded(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
 
 def write_sharded(df: DataFrame, path: str, id_col: str, n_shards: int) -> None:
     """Write ``df`` as ``n_shards`` deterministic parquet shards under
-    ``path`` (hive layout ``__shard=i/``, one file per shard; content +
-    order reproducible byte-for-byte across runs and input layouts)."""
+    ``path`` (hive layout ``__shard=i/``, one file per shard).  Shard
+    CONTENTS and row ORDER are reproducible across runs and input
+    layouts (what test_sink verifies); the part-file NAMES are not —
+    Spark embeds a per-job UUID — so byte-diff the read-back rows, not
+    the directory listing."""
     (
         sharded(df, id_col, n_shards)
         .write.mode("overwrite")

@@ -449,6 +449,57 @@ def j5_overlaps_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join(supp, nations, plan).select("s_suppkey", "nat_key")
 
 
+_J5_ORACLE = f"""
+WITH {_SUPP_RECT_CTE},
+{_NATION_RECT_CTE}
+SELECT sr.s_suppkey, n.n_nationkey AS nat_key
+FROM sr JOIN n
+  ON sr.x0 <= n.x1 AND sr.x1 >= n.x0 AND sr.y0 <= n.y1 AND sr.y1 >= n.y0
+ AND NOT (sr.x0 >= n.x0 AND sr.x1 <= n.x1 AND sr.y0 >= n.y0 AND sr.y1 <= n.y1)
+ AND NOT (n.x0 >= sr.x0 AND n.x1 <= sr.x1 AND n.y0 >= sr.y0 AND n.y1 <= sr.y1)
+"""
+
+
+@_register("j19_contains_partitioned", _PT_IN_RECT_ORACLE)
+def j19_contains_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The j3 contains join under strategy='partitioned': polygons explode
+    their covered grid cells, points contribute their single cell, both
+    sides shuffle — no broadcast.  Same oracle as j2/j3: hash equality
+    proves broadcast and partitioned strategies agree for `contains`.
+    broadcast_input=True keeps j3's predicate direction (the external
+    rects are the subject: rect CONTAINS point) — under the partitioned
+    strategy it only picks the left/right roles, nothing broadcasts."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    nations = nations_rect(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="contains",
+        external_side=_WKT,
+        input_side=_POINT,
+        data_columns=(("n_nationkey", "nat_key"),),
+        broadcast_input=True,
+        strategy="partitioned",
+    )
+    return spatial_join(cust, nations, plan).select("c_custkey", "nat_key")
+
+
+@_register("j20_overlaps_partitioned", _J5_ORACLE)
+def j20_overlaps_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The j5 overlaps join under strategy='partitioned': both WKT sides
+    explode covered grid cells with min-corner pair dedup.  Same oracle as
+    j5: hash equality proves the strategies agree for `overlaps`."""
+    supp = suppliers_rect(spark, sf_dir).select("s_suppkey", "wkt")
+    nations = nations_rect(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="overlaps",
+        external_side=_WKT,
+        input_side=_WKT,
+        data_columns=(("n_nationkey", "nat_key"),),
+        broadcast_input=False,
+        strategy="partitioned",
+    )
+    return spatial_join(supp, nations, plan).select("s_suppkey", "nat_key")
+
+
 @_register(
     "j8_theta_condition",
     f"""
@@ -2566,6 +2617,61 @@ def e9_json_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E10_ORACLE = f"""
+SELECT CAST({h60_sql("CAST(event_id AS VARCHAR)")} % 8 AS INTEGER) AS shard,
+       count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events
+GROUP BY 1
+"""
+
+
+@_register("e10_stream_ingest", _E10_ORACLE)
+def e10_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the deterministic shard layout, verified
+    through the filesystem: the events stream appends micro-batches to a
+    parquet directory partitioned by the content-stable shard key
+    (``h60(event_id) % 8`` — arrival batch can never move a row across
+    shards), then the written files are read BACK and aggregated per
+    shard.  The oracle recomputes shard membership from the raw table, so
+    hash equality proves the ingest wrote every row exactly once into the
+    correct shard.  Scale shape: foreachBatch reuses the batch sharded
+    writer (one sort-within-partition, no extra shuffle per micro-batch);
+    the readback aggregation is partition-pruned by the shard column."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from spark_ml_spatialjointransformer_spark.streaming.ingest import (
+        stream_to_sharded,
+    )
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        events_stream,
+    )
+
+    out_dir = (
+        tempfile.gettempdir()
+        + "/sjt_e10_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    q = stream_to_sharded(
+        events_stream(spark, f"{sf_dir}/events.parquet"), out_dir,
+        "event_id", 8,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.col("__shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
 _V6_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM e),
@@ -2899,7 +3005,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "t21_shard_assign", "t22_heavy_hitters", "t23_decontaminate",
     "t24_fuzzy_match",
     "e8_json_props", "e9_json_stream", "v6_knn_join",
-    "m3_image_resize",
+    "m3_image_resize", "j19_contains_partitioned", "j20_overlaps_partitioned",
+    "e10_stream_ingest",
 ]
 
 QUERIES = {
