@@ -25,6 +25,8 @@ DuckDB correctness gate (queries.py t6/t7 carry exact oracles).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -138,14 +140,24 @@ def _parallelize(df: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 64, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    n: int = 3,
+    with_hashes: bool = False,
 ) -> DataFrame:
     """(__id, __sig) per document — same values as ``minhash_signature_col``
     but computed as explode → 64 codegen'd min-aggregates, so the shingle
     pipeline runs ONCE per document instead of once per permutation (the
     per-column HOF formulation evaluates interpreted and ~60× slower).
     Partial (map-side) aggregation reduces each doc to k longs before the
-    shuffle; docs with no shingles disappear (they can never join)."""
+    shuffle; docs with no shingles disappear (they can never join).
+
+    ``with_hashes`` additionally carries the per-doc sorted shingle-hash
+    array (``__hs``) through the SAME aggregation — the exact-verify stage
+    (``neardup_pairs_lsh_verified``) then reuses this frame instead of
+    running the shingle pipeline a second and third time."""
     exploded = _parallelize(df).select(
         F.col(id_col).alias("__id"),
         F.explode(shingles_udf(n)(F.col(text_col))).alias("__s"),
@@ -154,19 +166,21 @@ def minhash_signatures(
         F.min((F.col("__h") * a + b) % MINHASH_PRIME).alias(f"__m{j}")
         for j, (a, b) in enumerate(minhash_coefficients(k))
     ] + [F.count(F.lit(1)).alias("__sz")]
-    return (
-        exploded.groupBy("__id")
-        .agg(*aggs)
-        .select(
-            "__id",
-            F.array(*[f"__m{j}" for j in range(k)]).alias("__sig"),
-            # distinct-shingle count rides the same agg for free: the LSH
-            # band join carries it so candidate pairs emerge with both
-            # sizes in hand (enables the Jaccard size-bound prefilter
-            # BEFORE any shingle-hash array ships)
-            "__sz",
-        )
-    )
+    if with_hashes:
+        # collect_list over the distinct-shingle rows + sort == the
+        # array_sort(transform(shingles, h60%P)) formulation the verify
+        # stage used to recompute from text
+        aggs.append(F.array_sort(F.collect_list("__h")).alias("__hs"))
+    cols = [
+        "__id",
+        F.array(*[f"__m{j}" for j in range(k)]).alias("__sig"),
+        # distinct-shingle count rides the same agg for free: the LSH
+        # band join carries it so candidate pairs emerge with both
+        # sizes in hand (enables the Jaccard size-bound prefilter
+        # BEFORE any shingle-hash array ships)
+        "__sz",
+    ] + (["__hs"] if with_hashes else [])
+    return exploded.groupBy("__id").agg(*aggs).select(*cols)
 
 
 def minhash_lsh_pairs(
@@ -178,6 +192,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     n: int = 3,
     with_sizes: bool = False,
+    sig: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -198,8 +213,12 @@ def minhash_lsh_pairs(
     # both sides read the materialized partitions.  Trade-off: lineage is
     # truncated, so losing an executor means recomputing the whole operator
     # (acceptable for a bounded dedup stage; same caveat as MLlib's
-    # approxSimilarityJoin caching recommendation).
-    sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint(eager=False)
+    # approxSimilarityJoin caching recommendation).  Callers that also need
+    # the per-doc hash arrays pass their own (already-checkpointed) frame.
+    if sig is None:
+        sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint(
+            eager=False
+        )
 
     band_structs = F.array(
         *[
@@ -468,8 +487,17 @@ def neardup_pairs_lsh_verified(
     Output: (id_a, id_b, jaccard_e6) with exact Jaccard ≥ threshold.
     """
     t_e6 = int(threshold * 1_000_000)
+    # ONE shingle pass for the whole operator: the signature aggregation
+    # also carries each doc's sorted hash array (__hs), and this single
+    # checkpointed frame feeds the band join AND both verify-stage sides
+    # (previously the shingle pipeline ran three times — once for
+    # signatures, once per verify side)
+    sig = minhash_signatures(
+        df, id_col, text_col, k, n, with_hashes=True
+    ).localCheckpoint(eager=False)
     cand = minhash_lsh_pairs(
-        df, id_col, text_col, k=k, bands=bands, threshold=0.0, n=n, with_sizes=True
+        df, id_col, text_col, k=k, bands=bands, threshold=0.0, n=n,
+        with_sizes=True, sig=sig,
     ).select("id_a", "id_b", "sz_a", "sz_b")
     # Jaccard size bound: J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so a
     # pair whose size ratio already falls below the (rounding-aware)
@@ -483,21 +511,8 @@ def neardup_pairs_lsh_verified(
             >= F.lit(2 * t_e6 - 1) * F.greatest("sz_a", "sz_b")
         )
     cand = cand.select("id_a", "id_b", "sz_a", "sz_b")
-    docs_sh = (
-        _parallelize(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.array_sort(
-                F.transform(
-                    shingles_udf(n)(F.col(text_col)),
-                    lambda s: h60_col(s) % MINHASH_PRIME,
-                )
-            ).alias("__hs"),
-        )
-        .where(F.size("__hs") > 0)
-    )
-    a = docs_sh.select(F.col("__id").alias("id_a"), F.col("__hs").alias("__hsa"))
-    b = docs_sh.select(F.col("__id").alias("id_b"), F.col("__hs").alias("__hsb"))
+    a = sig.select(F.col("__id").alias("id_a"), F.col("__hs").alias("__hsa"))
+    b = sig.select(F.col("__id").alias("id_b"), F.col("__hs").alias("__hsb"))
     inter = F.size(F.array_intersect("__hsa", "__hsb"))
     # denominator sizes are the ones carried from the signature agg — the
     # same distinct-shingle counts docs_sh's arrays have (h60 reduction is
@@ -569,7 +584,8 @@ def dedup_connected_components(
         .repartition(par)
         .localCheckpoint(eager=True)
     )
-    changed = 0
+    n_nodes = labels.count()  # one fast job over the checkpointed frame
+    changed = n_nodes
     for i in range(max_iters):
         nbr = (
             edges.join(labels, F.col("__a") == F.col("__v"))
@@ -580,7 +596,13 @@ def dedup_connected_components(
         half = labels.join(nbr, "__v", "left").select(
             "__v", "__lbl", F.least("__lbl", "__nbr").alias("__mid")
         )
-        if i >= 3:
+        # Engage pointer doubling once past the shallow-graph budget —
+        # UNLESS the previous round changed under 1% of nodes (the
+        # fixpoint tail, where the extra lut join costs more than the
+        # hop it saves).  The skip never risks the convergence guarantee:
+        # within 5 rounds of max_iters doubling re-engages regardless,
+        # restoring the O(log diameter) bound before the loud failure.
+        if i >= 3 and (changed * 100 >= n_nodes or i >= max_iters - 5):
             # not converged in the shallow-graph budget: engage pointer
             # doubling — also take the label OF my label (labels are node
             # ids, so the lookup table is the label frame itself); each
