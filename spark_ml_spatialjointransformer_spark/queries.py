@@ -2989,6 +2989,194 @@ def t24_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T25_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+ch AS (SELECT doc_id,
+              {h60_sql("array_to_string(ts[p * 10 + 1 : p * 10 + 10], ' ')")}
+                AS chunk_h60
+       FROM tok, unnest(range(len(ts) // 10)) t(p)),
+g AS (SELECT chunk_h60, count(*) AS n_docs, min(doc_id) AS keeper
+      FROM ch GROUP BY chunk_h60)
+SELECT chunk_h60, CAST(n_docs AS BIGINT) AS n_docs, keeper
+FROM g WHERE n_docs > 1
+"""
+
+
+@_register("t25_chunk_dedup", _T25_ORACLE)
+def t25_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity exact dedup (the Spark-shaped variant of
+    suffix-array substring dedup, Lee et al. 2022): each document splits
+    into non-overlapping 10-token chunks, and every chunk appearing in
+    more than one document surfaces with its occurrence count and keeper
+    (minimum doc_id).  Document-level dedup misses boilerplate shared
+    across otherwise-distinct pages; chunk granularity catches it.  Scale
+    shape: chunks hash to 60-bit keys BEFORE the shuffle (longs, never
+    the chunk text), one partially-aggregated groupBy — the same bucketed
+    contract as the fingerprint family."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("__ts"))
+        .withColumn("__nc", (F.size("__ts") / 10).cast("int"))
+        .where(F.col("__nc") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("p"),
+            "__ts",
+        )
+        .select(
+            "doc_id",
+            h60_col(
+                F.concat_ws(" ", F.slice("__ts", F.col("p") * 10 + 1, 10))
+            ).alias("chunk_h60"),
+        )
+    )
+    return (
+        d.groupBy("chunk_h60")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+#: lift = (c_sw · N) / (C_w · n_s): how over-represented word w is in
+#: source s vs the whole corpus.  Both products stay far below 2^53, so
+#: the double quotient is one correctly-rounded IEEE op — identical in
+#: both engines — and the (lift, word) ordering is deterministic.
+_T26_ORACLE = """
+WITH tok AS (SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS w
+             FROM documents),
+sw AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w),
+s AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY source),
+cw AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY w),
+tot AS (SELECT sum(c_sw) AS n FROM sw),
+lift AS (SELECT sw.source, sw.w,
+                CAST(sw.c_sw * tot.n AS DOUBLE)
+                / CAST(cw.c_w * s.n_s AS DOUBLE) AS lf
+         FROM sw JOIN s USING (source) JOIN cw USING (w) CROSS JOIN tot
+         WHERE sw.c_sw >= 5),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY lf DESC, w) AS rn
+      FROM lift)
+SELECT source, w AS token, CAST(rn AS INTEGER) AS rank,
+       CAST(floor(lf * 1000000e0 + 0.5e0) AS BIGINT) AS lift_e6
+FROM r WHERE rn <= 3
+"""
+
+
+@_register("t26_source_lift", _T26_ORACLE)
+def t26_source_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source by LIFT (relative over-
+    representation vs the whole corpus, min support 5) — the corpus-
+    diagnostics twin of t22's raw heavy hitters: a token can top a
+    source's counts while being globally common; lift surfaces what makes
+    the source DIFFERENT (domain drift, template contamination).  Scale
+    shape: one (source, word) partial-aggregated shuffle; the global
+    word-frequency dim joins back broadcast-style (Zipf: vocab ≪ corpus);
+    the top-3 window reuses the source partitioning."""
+    from pyspark.sql.window import Window
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    )
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    s = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    n = sw.agg(F.sum("c_sw").alias("n"))
+    lift = (
+        sw.where(F.col("c_sw") >= 5)
+        .join(s, "source")
+        .join(F.broadcast(cw), "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "lf",
+            (F.col("c_sw") * F.col("n")).cast("double")
+            / (F.col("c_w") * F.col("n_s")).cast("double"),
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.col("lf").desc(), "w")
+    return (
+        lift.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "source",
+            F.col("w").alias("token"),
+            "rank",
+            F.expr("CAST(floor(lf * 1000000e0 + 0.5e0) AS BIGINT)").alias(
+                "lift_e6"
+            ),
+        )
+    )
+
+
+_T27_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+tri AS (SELECT DISTINCT doc_id,
+               {h60_sql("array_to_string(ts[i : i + 2], ' ')")} AS g
+        FROM tok, unnest(range(1, len(ts) - 1)) t(i)),
+mn AS (SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY g),
+per AS (SELECT tri.doc_id, count(*) AS total,
+               sum(CASE WHEN mn.first_doc = tri.doc_id THEN 1 ELSE 0 END)
+                 AS novel
+        FROM tri JOIN mn USING (g) GROUP BY tri.doc_id)
+SELECT doc_id, CAST(total AS BIGINT) AS n_grams,
+       CAST((novel * 1000000) // total AS BIGINT) AS novel_e6
+FROM per
+"""
+
+
+@_register("t27_novelty", _T27_ORACLE)
+def t27_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    trigrams whose FIRST appearance (minimum doc_id over the corpus) is
+    this document — the contribution-scoring signal that ranks documents
+    by how much genuinely new content they add (near-zero novelty ⇒ the
+    doc is assembled from already-seen text; the streaming cousin of
+    dedup).  Scale shape: trigrams hash to 60-bit longs before ANY
+    shuffle; one global min-aggregation (map-side combined) plus one
+    hash-keyed join back — never a string shuffle, never all-pairs.
+    Non-negative counts make `div` and the oracle's `//` identical."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    tri = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("__ts"))
+        .where(F.size("__ts") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__ts") - 2)
+            ).alias("i"),
+            "__ts",
+        )
+        .select(
+            "doc_id",
+            h60_col(F.concat_ws(" ", F.slice("__ts", F.col("i"), 3))).alias("g"),
+        )
+        .distinct()
+    )
+    mn = tri.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        tri.join(mn, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("__novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.expr("CAST((__novel * 1000000) div n_grams AS BIGINT)").alias(
+                "novel_e6"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (added in round 4; CORRECTNESS_r04 reran exactly the round-3 50-query set)
@@ -3006,7 +3194,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "t24_fuzzy_match",
     "e8_json_props", "e9_json_stream", "v6_knn_join",
     "m3_image_resize", "j19_contains_partitioned", "j20_overlaps_partitioned",
-    "e10_stream_ingest",
+    "e10_stream_ingest", "t25_chunk_dedup", "t26_source_lift", "t27_novelty",
 ]
 
 QUERIES = {
