@@ -194,3 +194,30 @@ def test_quality_filter_is_scan_speed(spark):
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan
 
+
+def test_chunk_dedup_and_novelty_shuffle_hashed_longs(spark):
+    """t25/t27 scale contract: every exchange keys on the 60-bit chunk /
+    trigram hash or ids — the chunk and trigram STRINGS never leave the
+    scan stage (they are consumed by the hash expression in-place)."""
+    plan25 = plan_of(QUERIES["t25_chunk_dedup"].fn(spark, SF))
+    assert "hashpartitioning(chunk_h60" in plan25
+    assert "PythonUDF" not in plan25
+    plan27 = plan_of(QUERIES["t27_novelty"].fn(spark, SF))
+    assert "hashpartitioning(g#" in plan27
+    assert "PythonUDF" not in plan27
+
+
+def test_image_resize_pipeline_has_no_shuffle(spark):
+    """m3: synth -> decode -> resize -> re-encode -> stats is mapInPandas
+    chained over the scan — partition-preserving, zero exchanges."""
+    plan = plan_of(QUERIES["m3_image_resize"].fn(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_source_lift_broadcasts_vocab_dims(spark):
+    """t26: the global word-frequency and corpus-total dims join back as
+    broadcasts (Zipf: vocab aggregate is small); the only hash shuffles
+    key on (source, word) / source."""
+    plan = plan_of(QUERIES["t26_source_lift"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan
