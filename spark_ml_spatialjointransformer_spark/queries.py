@@ -2104,19 +2104,41 @@ SELECT CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
        CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
        coalesce(l_returnflag, '') AS returnflag,
        coalesce(l_linestatus, '') AS linestatus,
-       CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_e2,
-       CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_price_e2,
+       CAST(sum(CAST(floor(l_quantity * 100e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+         AS sum_qty_e2,
+       CAST(sum(CAST(floor(l_extendedprice * 100e0 + 0.5e0) AS BIGINT))
+            AS BIGINT) AS sum_price_e2,
        count(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
+#: per-row scaled-int sums (not floor(sum(..))): cent-valued doubles sum
+#: order-dependently, and rollup partials make the order engine-specific —
+#: same rule as _A1_SQL / _SUM_VALUE_E4
 QUERIES["a2_rollup_pricing"] = QueryDef(_sql_query(("lineitem",), _A2_SQL), _A2_SQL)
+
+
+_A5_SQL = """
+SELECT CAST(grouping(lang) AS INTEGER) AS g_lang,
+       CAST(grouping(source) AS INTEGER) AS g_src,
+       coalesce(lang, '') AS lang,
+       coalesce(source, '') AS source,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+"""
+
+#: full CUBE (all four grouping sets) over the corpus dimensions — the
+#: multi-dimensional reporting twin of a2's ROLLUP; integer aggregates
+#: only, identical SQL text in both engines.
+QUERIES["a5_cube_corpus"] = QueryDef(_sql_query(("documents",), _A5_SQL), _A5_SQL)
 
 _A3_SQL = """
 SELECT n_name,
-       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
-         AS revenue_e2,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100e0 + 0.5e0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2,
        count(*) AS n_items
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -3195,6 +3217,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "e8_json_props", "e9_json_stream", "v6_knn_join",
     "m3_image_resize", "j19_contains_partitioned", "j20_overlaps_partitioned",
     "e10_stream_ingest", "t25_chunk_dedup", "t26_source_lift", "t27_novelty",
+    "a5_cube_corpus",
 ]
 
 QUERIES = {
