@@ -3199,6 +3199,200 @@ def t27_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The documents table is synthetic word-soup with no real PII, so the
+#: query plants deterministic PII (an email + a phone, derived from doc_id
+#: by the same integer arithmetic in both engines) before scrubbing — the
+#: scrub then provably matches something, and the h60 of the cleaned text
+#: pins byte-identical redaction across engines.
+_T28_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_T28_PHONE_RE = "\\d{3}-\\d{4}"
+
+_T28_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS t
+  FROM documents),
+scrub AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_T28_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(t, '{_T28_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(t, '{_T28_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_T28_PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM aug)
+SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_phones AS INTEGER) AS n_phones,
+       CAST(len(clean) AS BIGINT) AS clean_len,
+       {h60_sql("clean")} AS clean_h60
+FROM scrub
+"""
+
+
+@_register("t28_pii_scrub", _T28_ORACLE)
+def t28_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and replace email/phone patterns, emit the
+    cleaned length and a 60-bit hash of the cleaned text (so the oracle
+    verifies the redacted BYTES, not just the counts).  Both regex
+    dialects here are the common Java-regex ∩ RE2 subset — char classes,
+    bounded repetition — so Spark and DuckDB scrub identically.  Scale
+    shape: pure per-row narrow map, no shuffle at all; regexp_replace and
+    md5 run inside whole-stage codegen at I/O speed, the shape any
+    corpus-hygiene pass needs at 100 TB."""
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(aug, _T28_EMAIL_RE, "<EMAIL>"),
+        _T28_PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", aug.alias("__t"), clean.alias("__clean"))
+        .select(
+            "doc_id",
+            F.regexp_count(F.col("__t"), F.lit(_T28_EMAIL_RE))
+            .cast("int")
+            .alias("n_emails"),
+            F.regexp_count(F.col("__t"), F.lit(_T28_PHONE_RE))
+            .cast("int")
+            .alias("n_phones"),
+            F.length("__clean").cast("bigint").alias("clean_len"),
+            h60_col(F.col("__clean")).alias("clean_h60"),
+        )
+    )
+
+
+_T29_ORACLE = """
+WITH tok AS (SELECT string_split(trim(text), ' ') AS ts FROM documents),
+pr AS (SELECT array_to_string(ts[i : i + 1], ' ') AS pair
+       FROM tok, unnest(range(1, len(ts))) t(i)
+       WHERE len(ts) >= 2),
+c AS (SELECT pair, count(*) AS cnt FROM pr GROUP BY pair),
+r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair) AS rn FROM c)
+SELECT pair, CAST(cnt AS BIGINT) AS cnt, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= 20
+"""
+
+
+@_register("t29_bpe_pairs", _T29_ORACLE)
+def t29_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent token pairs by corpus frequency — one merge round
+    of BPE tokenizer training (the counting step IS the algorithm; the
+    merge just rewrites and recounts).  Scale shape: pair counting is
+    map-side combined, so the shuffle carries one row per DISTINCT pair
+    (Zipf: vocab² bound, corpus-size independent), and the final top-k
+    window runs over that already-aggregated vocab table — never over
+    corpus rows.  Ties break on the pair string, deterministically in
+    both engines (ASCII tokens, binary collation)."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.col("text")), " ")
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .select(toks.alias("__ts"))
+        .where(F.size("__ts") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("__ts") - 1)).alias("i"),
+            "__ts",
+        )
+        .select(F.concat_ws(" ", F.slice("__ts", F.col("i"), 2)).alias("pair"))
+    )
+    c = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), "pair")
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+        .select("pair", "cnt", "rank")
+    )
+
+
+#: Both "snapshots" derive from orders by integer filters, so the diff is
+#: fully deterministic: old = keys not divisible by 97, new = keys not
+#: divisible by 89, and every key divisible by 13 gets +500 cents in new.
+#: Prices scale to integer cents ONCE per row before any arithmetic.
+_D6_ORACLE = """
+WITH base AS (SELECT o_orderkey, o_orderpriority,
+                     CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT) AS cents
+              FROM orders),
+old AS (SELECT * FROM base WHERE o_orderkey % 97 <> 0),
+new AS (SELECT o_orderkey, o_orderpriority,
+               cents + CASE WHEN o_orderkey % 13 = 0 THEN 500 ELSE 0 END AS cents
+        FROM base WHERE o_orderkey % 89 <> 0),
+diff AS (
+  SELECT coalesce(old.o_orderpriority, new.o_orderpriority) AS priority,
+         CASE WHEN old.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'removed'
+              WHEN old.cents <> new.cents THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         coalesce(new.cents, 0) - coalesce(old.cents, 0) AS delta
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+SELECT priority, change_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(delta) AS BIGINT) AS delta_cents
+FROM diff GROUP BY priority, change_type
+"""
+
+
+@_register("d6_snapshot_diff", _D6_ORACLE)
+def d6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: full-outer-join two table versions on the
+    primary key and classify every row added / removed / changed /
+    unchanged, with the net value delta per priority class — the audit
+    that precedes any incremental pipeline run.  Scale shape: one
+    key-partitioned shuffle (sort-merge full outer join on the primary
+    key — both snapshots co-partition, so at 100 TB this is the same
+    one-pass merge a storage-level diff would do), then a tiny map-side
+    combined aggregate.  Prices become integer cents before the diff, so
+    `changed` is exact, never a double comparison."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    old = base.where(F.col("o_orderkey") % 97 != 0).alias("old")
+    new = (
+        base.where(F.col("o_orderkey") % 89 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (
+                F.col("cents")
+                + F.when(F.col("o_orderkey") % 13 == 0, 500).otherwise(0)
+            ).alias("cents"),
+        )
+        .alias("new")
+    )
+    diff = old.join(
+        new, F.col("old.o_orderkey") == F.col("new.o_orderkey"), "full_outer"
+    ).select(
+        F.coalesce("old.o_orderpriority", "new.o_orderpriority").alias(
+            "priority"
+        ),
+        F.when(F.col("old.o_orderkey").isNull(), "added")
+        .when(F.col("new.o_orderkey").isNull(), "removed")
+        .when(F.col("old.cents") != F.col("new.cents"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (
+            F.coalesce("new.cents", F.lit(0)) - F.coalesce("old.cents", F.lit(0))
+        ).alias("delta"),
+    )
+    return diff.groupBy("priority", "change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("delta").cast("bigint").alias("delta_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (added in round 4; CORRECTNESS_r04 reran exactly the round-3 50-query set)
@@ -3217,7 +3411,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "e8_json_props", "e9_json_stream", "v6_knn_join",
     "m3_image_resize", "j19_contains_partitioned", "j20_overlaps_partitioned",
     "e10_stream_ingest", "t25_chunk_dedup", "t26_source_lift", "t27_novelty",
-    "a5_cube_corpus",
+    "a5_cube_corpus", "t28_pii_scrub", "t29_bpe_pairs", "d6_snapshot_diff",
 ]
 
 QUERIES = {
