@@ -221,3 +221,31 @@ def test_source_lift_broadcasts_vocab_dims(spark):
     plan = plan_of(QUERIES["t26_source_lift"].fn(spark, SF))
     assert "BroadcastExchange" in plan
     assert "PythonUDF" not in plan
+
+
+def test_pii_scrub_is_scan_speed(spark):
+    """t28: redaction is a pure per-row codegen map — no shuffle, no
+    Python anywhere (regexp_replace + md5 are JVM expressions)."""
+    plan = plan_of(QUERIES["t28_pii_scrub"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_bpe_pairs_shuffles_only_distinct_pairs(spark):
+    """t29: the pair count is map-side combined (partial_count before the
+    exchange), so the shuffle carries one row per distinct pair; the
+    top-k window runs after a single-partition exchange of the already-
+    aggregated vocab table — never over corpus rows."""
+    plan = plan_of(QUERIES["t29_bpe_pairs"].fn(spark, SF))
+    assert "partial_count" in plan
+    assert "hashpartitioning(pair" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_snapshot_diff_is_one_key_shuffle_merge(spark):
+    """d6: both snapshots co-partition on the primary key into ONE
+    sort-merge full outer join; the final aggregate is map-side combined."""
+    plan = plan_of(QUERIES["d6_snapshot_diff"].fn(spark, SF))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "partial_count" in plan
+    assert "PythonUDF" not in plan
