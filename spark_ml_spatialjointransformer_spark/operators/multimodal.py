@@ -375,3 +375,129 @@ def synth_ppm_images(
             yield pdf.assign(**{out_col: imgs})
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# real codec layer, audio: RIFF/WAVE PCM16 — encoder + chunk-walking decoder
+# in pure struct/numpy, the audio twin of the PPM/BMP image codecs above.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono 16-bit PCM WAV (RIFF) encoder.  ``samples`` is any integer
+    array; values are truncated to little-endian int16."""
+    import struct
+
+    pcm = samples.astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+
+
+def decode_wav(data):
+    """RIFF/WAVE PCM16 bytes → ``(samples int16 (n, channels), sample_rate)``
+    or None if malformed/unsupported.  Walks the RIFF chunk list (so extra
+    chunks — LIST, fact, cue — are skipped, with word alignment), accepts
+    any channel count, requires audio format 1 (PCM) at 16 bits."""
+    import struct
+
+    if data is None:
+        return None
+    b = data if isinstance(data, bytes) else bytes(data)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or pcm is None:
+        return None
+    audio_fmt, channels, sr, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or bits != 16 or channels < 1:
+        return None
+    n = len(pcm) // (2 * channels)
+    arr = np.frombuffer(pcm[: n * 2 * channels], dtype="<i2").reshape(n, channels)
+    return arr, sr
+
+
+def audio_stats(
+    df: DataFrame, binary_col: str, prefix: str = ""
+) -> DataFrame:
+    """Decode WAV payloads and emit integer waveform stats (sample rate,
+    sample count, peak |amplitude|, Σ|amplitude|, Σ amplitude² energy) via
+    mapInPandas — partition-preserving, binaries never shuffle.  Undecodable
+    payloads yield null stats (poison rows must not kill the 100 TB job)."""
+    ensure_udf_portability()
+    fields = df.schema.fields + [
+        T.StructField(f"{prefix}sample_rate", T.IntegerType()),
+        T.StructField(f"{prefix}n_samples", T.IntegerType()),
+        T.StructField(f"{prefix}peak", T.LongType()),
+        T.StructField(f"{prefix}sum_abs", T.LongType()),
+        T.StructField(f"{prefix}energy", T.LongType()),
+    ]
+    out_schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs, ns, peaks, sums, energies = [], [], [], [], []
+            for b in pdf[binary_col]:
+                dec = decode_wav(b)
+                if dec is None:
+                    srs.append(None), ns.append(None), peaks.append(None)
+                    sums.append(None), energies.append(None)
+                    continue
+                arr, sr = dec
+                a = arr.astype(np.int64)
+                srs.append(sr)
+                ns.append(arr.shape[0])
+                peaks.append(int(np.abs(a).max()) if a.size else 0)
+                sums.append(int(np.abs(a).sum()))
+                energies.append(int((a * a).sum()))
+            yield pdf.assign(
+                **{
+                    f"{prefix}sample_rate": pd.array(srs, dtype="Int32"),
+                    f"{prefix}n_samples": pd.array(ns, dtype="Int32"),
+                    f"{prefix}peak": pd.array(peaks, dtype="Int64"),
+                    f"{prefix}sum_abs": pd.array(sums, dtype="Int64"),
+                    f"{prefix}energy": pd.array(energies, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def synth_wav(
+    df: DataFrame,
+    id_col: str,
+    n_samples: int = 256,
+    sample_rate: int = 16000,
+    out_col: str = "wav",
+) -> DataFrame:
+    """Deterministic test-waveform synthesis: sample t of row ``id`` is
+    ``((id·7919 + t·2654435761) mod 65536) − 32768`` — pure integer, so a
+    SQL oracle replays the decoded waveform exactly (queries.py m4).  The
+    binary-column GENERATOR for audio codec tests, not a production op."""
+    ensure_udf_portability()
+    fields = df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    out_schema = T.StructType(fields)
+    t = np.arange(n_samples, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = []
+            for i in pdf[id_col]:
+                samples = (int(i) * 7919 + t * 2654435761) % 65536 - 32768
+                wavs.append(encode_wav(samples, sample_rate))
+            yield pdf.assign(**{out_col: wavs})
+
+    return df.mapInPandas(run, schema=out_schema)

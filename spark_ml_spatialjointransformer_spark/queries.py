@@ -3393,6 +3393,53 @@ def d6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: m4 waveform: sample t of doc ``id`` is ((id·7919 + t·M) mod 65536) −
+#: 32768 with M = 2654435761 (Knuth's 2^32 golden-ratio constant; odd, so
+#: t·M cycles all residues mod 65536).  Every term is integer BIGINT
+#: arithmetic, so the decoded-waveform stats are engine-exact.
+_M4_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+t AS (SELECT unnest(range(256)) AS t),
+s AS (SELECT doc_id,
+             ((doc_id * 7919 + t * 2654435761) % 65536) - 32768 AS v
+      FROM d CROSS JOIN t)
+SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(256 AS INTEGER) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(sum(v * v) AS BIGINT) AS energy
+FROM s GROUP BY doc_id
+"""
+
+
+@_register("m4_audio_stats", _M4_ORACLE)
+def m4_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end: synthesize a deterministic 256-sample
+    PCM16 waveform per document, encode it as a RIFF/WAVE file, decode it
+    back (chunk-walking pure-struct parser — the audio twin of m3's image
+    round-trip), and emit integer waveform stats (peak, Σ|a|, Σa²
+    energy) checked against a from-first-principles SQL replay of the
+    synth formula.  Scale shape: two chained mapInPandas passes over the
+    scan, partition-preserving, zero shuffle; audio bytes never leave the
+    executor — only the 5-column integer stats row continues downstream."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        audio_stats,
+        synth_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = synth_wav(docs, "doc_id", n_samples=256, sample_rate=16000)
+    stats = audio_stats(wavs, "wav", prefix="a_")
+    return stats.select(
+        "doc_id",
+        F.col("a_sample_rate").alias("sample_rate"),
+        F.col("a_n_samples").alias("n_samples"),
+        F.col("a_peak").alias("peak"),
+        F.col("a_sum_abs").alias("sum_abs"),
+        F.col("a_energy").alias("energy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (added in round 4; CORRECTNESS_r04 reran exactly the round-3 50-query set)
@@ -3412,6 +3459,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "m3_image_resize", "j19_contains_partitioned", "j20_overlaps_partitioned",
     "e10_stream_ingest", "t25_chunk_dedup", "t26_source_lift", "t27_novelty",
     "a5_cube_corpus", "t28_pii_scrub", "t29_bpe_pairs", "d6_snapshot_diff",
+    "m4_audio_stats",
 ]
 
 QUERIES = {

@@ -127,6 +127,55 @@ class TestMultimodal:
         got = int(stats.loc[stats.doc_id == i, "s_pix_sum"].iloc[0])
         assert got == want
 
+    def test_wav_codec_roundtrip(self):
+        import struct
+
+        import numpy as np
+
+        s = (np.arange(100) * 31 % 65536 - 32768).astype(np.int64)
+        b = multimodal.encode_wav(s, 8000)
+        arr, sr = multimodal.decode_wav(b)
+        assert sr == 8000 and arr.shape == (100, 1)
+        assert (arr[:, 0] == s.astype(np.int16)).all()
+        # chunk-walk tolerance: a LIST chunk (odd size -> word alignment)
+        # between fmt and data must be skipped, not break the parse
+        extra = b[:12] + b"LIST" + struct.pack("<I", 5) + b"abcde\x00" + b[12:]
+        arr2, _ = multimodal.decode_wav(extra)
+        assert (arr2 == arr).all()
+        # stereo interleave: (n, 2) channel shape
+        stereo_pcm = np.arange(12, dtype="<i2").tobytes()
+        st = (
+            b"RIFF" + struct.pack("<I", 36 + len(stereo_pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+            + b"data" + struct.pack("<I", len(stereo_pcm)) + stereo_pcm
+        )
+        arr3, _ = multimodal.decode_wav(st)
+        assert arr3.shape == (6, 2) and tuple(arr3[1]) == (2, 3)
+        # malformed inputs degrade to None, never raise
+        assert multimodal.decode_wav(b[:20]) is None
+        assert multimodal.decode_wav(b"not audio") is None
+        assert multimodal.decode_wav(None) is None
+
+    def test_audio_stats_nulls_on_poison(self, spark, binary_docs):
+        # text payloads are not WAVs -> null stats, never a crash
+        out = multimodal.audio_stats(binary_docs, "content", prefix="a_")
+        pdf = out.toPandas()
+        assert pdf["a_n_samples"].isna().all()
+        # synthesized WAVs decode; stats match an independent numpy replay
+        ids = spark.range(4).select(F.col("id").alias("doc_id"))
+        wavs = multimodal.synth_wav(ids, "doc_id", n_samples=64, sample_rate=8000)
+        stats = multimodal.audio_stats(wavs, "wav", prefix="a_").toPandas()
+        assert (stats["a_sample_rate"] == 8000).all()
+        assert (stats["a_n_samples"] == 64).all()
+        import numpy as np
+
+        t = np.arange(64, dtype=np.int64)
+        for _, row in stats.iterrows():
+            v = (int(row.doc_id) * 7919 + t * 2654435761) % 65536 - 32768
+            assert int(row.a_peak) == int(np.abs(v).max())
+            assert int(row.a_sum_abs) == int(np.abs(v).sum())
+            assert int(row.a_energy) == int((v * v).sum())
+
 
 class TestStreaming:
     def test_hourly_stream_matches_batch(self, spark):

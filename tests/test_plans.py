@@ -249,3 +249,11 @@ def test_snapshot_diff_is_one_key_shuffle_merge(spark):
     assert "SortMergeJoin" in plan and "FullOuter" in plan
     assert "partial_count" in plan
     assert "PythonUDF" not in plan
+
+
+def test_audio_stats_pipeline_has_no_shuffle(spark):
+    """m4: synth -> WAV encode -> decode -> stats is chained mapInPandas
+    over the scan — partition-preserving, zero exchanges; audio bytes
+    never leave the executor."""
+    plan = plan_of(QUERIES["m4_audio_stats"].fn(spark, SF))
+    assert "Exchange" not in plan
