@@ -3393,6 +3393,37 @@ def d6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A6_ORACLE = f"""
+SELECT event_type, count(*) AS n, {_SUM_VALUE_E4} AS sum_value_e4
+FROM events GROUP BY event_type
+"""
+
+
+@_register("a6_skew_salted_agg", _A6_ORACLE)
+def a6_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED aggregation on a deliberately skew-prone key
+    (event_type has a handful of values, so at 100 TB a single reducer
+    would own each type's entire volume): stage 1 aggregates on
+    (event_type, salt) spreading each hot key over 64 reducers, stage 2
+    re-aggregates the 64 partials per type.  Because every value scales
+    to a BIGINT before ANY sum, the two-stage integer total is exactly
+    the one-stage total — the oracle is the plain unsalted GROUP BY.
+    This is the engine's documented skew recipe (the alternative, AQE
+    skew-join splitting, only covers joins — salting covers aggregation)."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        (F.col("event_id") % 64).alias("__salt"),
+        F.expr("CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)").alias("__v"),
+    )
+    partial = ev.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__v").alias("__s")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("__n").alias("n"),
+        F.sum("__s").cast("bigint").alias("sum_value_e4"),
+    )
+
+
 #: m4 waveform: sample t of doc ``id`` is ((id·7919 + t·M) mod 65536) −
 #: 32768 with M = 2654435761 (Knuth's 2^32 golden-ratio constant; odd, so
 #: t·M cycles all residues mod 65536).  Every term is integer BIGINT
@@ -3459,7 +3490,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "m3_image_resize", "j19_contains_partitioned", "j20_overlaps_partitioned",
     "e10_stream_ingest", "t25_chunk_dedup", "t26_source_lift", "t27_novelty",
     "a5_cube_corpus", "t28_pii_scrub", "t29_bpe_pairs", "d6_snapshot_diff",
-    "m4_audio_stats",
+    "m4_audio_stats", "a6_skew_salted_agg",
 ]
 
 QUERIES = {

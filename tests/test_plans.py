@@ -257,3 +257,13 @@ def test_audio_stats_pipeline_has_no_shuffle(spark):
     never leave the executor."""
     plan = plan_of(QUERIES["m4_audio_stats"].fn(spark, SF))
     assert "Exchange" not in plan
+
+
+def test_salted_agg_spreads_hot_keys_then_reaggregates(spark):
+    """a6: the first exchange keys on (event_type, salt) — each hot key
+    spread over 64 reducers — and only the second, tiny exchange keys on
+    event_type alone.  Both stages map-side combine."""
+    plan = plan_of(QUERIES["a6_skew_salted_agg"].fn(spark, SF))
+    assert "hashpartitioning(event_type" in plan and "__salt" in plan
+    assert "partial_count" in plan
+    assert "PythonUDF" not in plan
