@@ -1,0 +1,78 @@
+"""Bucketed-table joins: the storage-layout half of the 100 TB join story.
+
+At scale, the fact×fact joins (orders×lineitem-shaped) should not shuffle
+at query time at all: both tables are written bucketed+sorted on the join
+key, so a sort-merge join reads co-located buckets directly.  These tests
+pin that the engine's write path produces tables Spark's planner actually
+exploits — zero Exchange when both sides bucket, one Exchange (the
+unbucketed side only) for bucketed×unbucketed.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("a")
+    )
+    right = spark.range(0, 1000, 2).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("b")
+    )
+    for name, df in (("bkt_left", left), ("bkt_right", right)):
+        (
+            df.write.bucketBy(8, "k")
+            .sortBy("k")
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    try:
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        j.write.format("noop").mode("overwrite").save()
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides read pre-bucketed
+        assert j.count() == 500
+        # values survive the bucketed scan
+        row = j.where(F.col("k") == 10).first()
+        assert (row.a, row.b) == (30, 70)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_bucketed_vs_plain_shuffles_only_plain_side(spark, tmp_path, no_broadcast):
+    big = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1).alias("a"))
+    (
+        big.write.bucketBy(8, "k")
+        .sortBy("k")
+        .option("path", str(tmp_path / "bkt_big"))
+        .mode("overwrite")
+        .saveAsTable("bkt_big")
+    )
+    try:
+        plain = spark.range(0, 1000, 4).select(
+            F.col("id").alias("k"), F.lit(2).alias("b")
+        )
+        j = spark.table("bkt_big").join(plain, "k")
+        plan = _plan(j)
+        # exactly one shuffle: the plain side repartitions INTO the
+        # bucketed side's layout; the bucketed scan itself never moves
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert j.count() == 250
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_big")
