@@ -3393,6 +3393,61 @@ def d6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _j21_oracle() -> str:
+    from spark_ml_spatialjointransformer_spark.functions.zorder import (
+        quant16_sql,
+        zorder_sql,
+    )
+
+    qx = quant16_sql("lon", -180.0, 360.0)
+    qy = quant16_sql("lat", -90.0, 180.0)
+    return f"""
+WITH c AS (SELECT c_custkey, {CUST_LON_SQL} AS lon, {CUST_LAT_SQL} AS lat
+           FROM customer),
+q AS (SELECT c_custkey, {qx} AS qx, {qy} AS qy FROM c),
+z AS (SELECT c_custkey, {zorder_sql("qx", "qy")} AS zkey FROM q)
+SELECT zkey >> 24 AS tile, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(zkey) AS BIGINT) AS z_min, CAST(max(zkey) AS BIGINT) AS z_max
+FROM z GROUP BY tile
+"""
+
+
+@_register("j21_zorder_tiles", _j21_oracle())
+def j21_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key + per-tile layout profile — the
+    data-LAYOUT half of spatial performance: sorting a 100 TB point table
+    by this key before writing clusters spatially-near rows into the same
+    parquet row groups, so min/max stats prune range scans to the query
+    window (the OPTIMIZE ZORDER BY technique, as plain engine-agnostic
+    integer expressions).  The key itself is pure BIGINT shift/mask
+    interleaving after one bit-exact float quantize, verified here by tile
+    aggregates (count + z-range per 256-tile bucket) against a DuckDB
+    replay of the identical expression text.  Scale shape: per-row codegen
+    map + one map-side-combined aggregate over ≤256 groups; the write-path
+    use is `df.repartitionByRange/sortWithinPartitions(zkey)` — one range
+    shuffle, amortized forever after by pruned reads."""
+    from spark_ml_spatialjointransformer_spark.functions.zorder import (
+        quant16_sql,
+        zorder_sql,
+    )
+
+    return (
+        customers_geo(spark, sf_dir)
+        .select(
+            "c_custkey",
+            F.expr(quant16_sql("lon", -180.0, 360.0)).alias("qx"),
+            F.expr(quant16_sql("lat", -90.0, 180.0)).alias("qy"),
+        )
+        .select("c_custkey", F.expr(zorder_sql("qx", "qy")).alias("zkey"))
+        .groupBy(F.expr("zkey >> 24").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zkey").cast("bigint").alias("z_min"),
+            F.max("zkey").cast("bigint").alias("z_max"),
+        )
+    )
+
+
 _A6_ORACLE = f"""
 SELECT event_type, count(*) AS n, {_SUM_VALUE_E4} AS sum_value_e4
 FROM events GROUP BY event_type
@@ -3490,7 +3545,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "m3_image_resize", "j19_contains_partitioned", "j20_overlaps_partitioned",
     "e10_stream_ingest", "t25_chunk_dedup", "t26_source_lift", "t27_novelty",
     "a5_cube_corpus", "t28_pii_scrub", "t29_bpe_pairs", "d6_snapshot_diff",
-    "m4_audio_stats", "a6_skew_salted_agg",
+    "m4_audio_stats", "a6_skew_salted_agg", "j21_zorder_tiles",
 ]
 
 QUERIES = {

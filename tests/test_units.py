@@ -346,3 +346,54 @@ def test_parallelism_guard_is_stats_only_and_conf_gated(spark):
         assert off is small
     finally:
         spark.conf.set("spark.sjt.parallelismGuard", "true")
+
+
+class TestZorder:
+    def test_python_reference_goldens(self):
+        from spark_ml_spatialjointransformer_spark.functions.zorder import (
+            spread16_py,
+            zorder_py,
+        )
+
+        # bit-interleave goldens: x at even positions, y at odd
+        assert spread16_py(0) == 0
+        assert spread16_py(0b1111) == 0b01010101
+        assert spread16_py(0xFFFF) == 0x55555555
+        assert zorder_py(0, 0) == 0
+        assert zorder_py(1, 0) == 1
+        assert zorder_py(0, 1) == 2
+        assert zorder_py(0xFFFF, 0xFFFF) == 0xFFFFFFFF
+        # interleave x=0b011, y=0b101 -> y2 x2 y1 x1 y0 x0 = 0b100111
+        assert zorder_py(3, 5) == 0b100111
+
+    def test_sql_matches_python_in_both_engines(self, spark):
+        import duckdb
+
+        from spark_ml_spatialjointransformer_spark.functions.zorder import (
+            quant16_py,
+            quant16_sql,
+            zorder_py,
+            zorder_sql,
+        )
+
+        pts = [(-180.0, -90.0), (179.9, 89.9), (0.0, 0.0), (-43.4, -5.2),
+               (141.2, 78.6)]
+        want = [
+            zorder_py(quant16_py(x, -180.0, 360.0), quant16_py(y, -90.0, 180.0))
+            for x, y in pts
+        ]
+        qx = quant16_sql("lon", -180.0, 360.0)
+        qy = quant16_sql("lat", -90.0, 180.0)
+        sql = f"SELECT {zorder_sql(qx, qy)} AS z FROM pts ORDER BY rid"
+        sdf = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)], "rid long, lon double, lat double"
+        )
+        sdf.createOrReplaceTempView("pts")
+        got_spark = [r.z for r in spark.sql(sql).collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts AS SELECT * FROM (VALUES "
+                    + ", ".join(f"({i}, {x}, {y})" for i, (x, y) in enumerate(pts))
+                    + ") t(rid, lon, lat)")
+        got_duck = [r[0] for r in con.execute(sql).fetchall()]
+        assert got_spark == want == got_duck
+        spark.catalog.dropTempView("pts")
