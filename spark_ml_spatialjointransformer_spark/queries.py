@@ -3393,6 +3393,85 @@ def d6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: KMV parameters: k minimum 60-bit hashes; the estimate divides in the
+#: 53-bit domain ((k−1)·2^53 ≈ 1.1e18 stays inside BIGINT, while
+#: (k−1)·2^60 would overflow).
+_KMV_K = 128
+
+_T30_ORACLE = f"""
+WITH tok AS (SELECT source, string_split(trim(text), ' ') AS ts FROM documents),
+tri AS (SELECT DISTINCT source,
+               {h60_sql("array_to_string(ts[i : i + 2], ' ')")} AS g
+        FROM tok, unnest(range(1, len(ts) - 1)) t(i)),
+ex AS (SELECT source, count(*) AS n_exact FROM tri GROUP BY source),
+rk AS (SELECT source, g, row_number() OVER (PARTITION BY source ORDER BY g)
+                AS rn
+       FROM tri),
+kth AS (SELECT source, g >> 7 AS hk53 FROM rk WHERE rn = {_KMV_K}),
+est AS (SELECT source,
+               ({_KMV_K} - 1) * 9007199254740992 // hk53 AS est_kmv
+        FROM kth)
+SELECT ex.source, CAST(ex.n_exact AS BIGINT) AS n_exact,
+       CAST(est.est_kmv AS BIGINT) AS est_kmv,
+       CAST(abs(est.est_kmv - ex.n_exact) * 10000 // ex.n_exact AS BIGINT)
+         AS err_e4
+FROM ex JOIN est USING (source)
+"""
+
+
+@_register("t30_kmv_distinct", _T30_ORACLE)
+def t30_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SKETCH: per-source trigram cardinality estimated by
+    KMV (k-minimum-values — est = (k−1)·2^53 / kth-smallest 53-bit hash),
+    emitted alongside the exact count and the relative error, so the
+    oracle verifies the sketch math AND the fixture documents its
+    accuracy.  Unlike HLL (whose register estimate needs engine-specific
+    float log/pow), KMV is pure integer arithmetic end-to-end — the
+    sketch family that stays oracle-exact.  Scale shape: trigrams hash to
+    longs before the distinct shuffle (strings never move); KMV state is
+    k longs per group and merges by keeping the k smallest — at cluster
+    scale a partial top-k aggregator; here the per-source rank window
+    runs over already-distinct hashes.  Non-negative everything makes
+    `div` and `//` identical."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.col("text")), " ")
+    tri = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", toks.alias("__ts"))
+        .where(F.size("__ts") >= 3)
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(1), F.size("__ts") - 2)).alias("i"),
+            "__ts",
+        )
+        .select(
+            "source",
+            h60_col(F.concat_ws(" ", F.slice("__ts", F.col("i"), 3))).alias("g"),
+        )
+        .distinct()
+    )
+    ex = tri.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.partitionBy("source").orderBy("g")
+    kth = (
+        tri.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == _KMV_K)
+        .select("source", F.expr("g >> 7").alias("hk53"))
+    )
+    est = kth.select(
+        "source",
+        F.expr(f"({_KMV_K} - 1) * 9007199254740992 div hk53").alias("est_kmv"),
+    )
+    return ex.join(est, "source").select(
+        "source",
+        "n_exact",
+        "est_kmv",
+        F.expr("CAST(abs(est_kmv - n_exact) * 10000 div n_exact AS BIGINT)").alias(
+            "err_e4"
+        ),
+    )
+
+
 def _j21_oracle() -> str:
     from spark_ml_spatialjointransformer_spark.functions.zorder import (
         quant16_sql,
@@ -3546,6 +3625,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "e10_stream_ingest", "t25_chunk_dedup", "t26_source_lift", "t27_novelty",
     "a5_cube_corpus", "t28_pii_scrub", "t29_bpe_pairs", "d6_snapshot_diff",
     "m4_audio_stats", "a6_skew_salted_agg", "j21_zorder_tiles",
+    "t30_kmv_distinct",
 ]
 
 QUERIES = {
