@@ -20,6 +20,10 @@ SENSITIVE = [
     "v6_knn_join",             # per-partition blocked matmul + broadcast
     "t9_dedup_keeper",         # LSH self-join + verify + keeper
     "a4_length_percentiles",   # rank selection windows
+    "t29_bpe_pairs",           # global top-k window over aggregated vocab
+    "t30_kmv_distinct",        # per-group rank window picks the kth hash
+    "d6_snapshot_diff",        # full-outer merge + re-aggregation
+    "a6_skew_salted_agg",      # two-stage salted re-aggregation
 ]
 
 
