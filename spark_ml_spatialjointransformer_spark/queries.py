@@ -3472,6 +3472,63 @@ def t30_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stream twin of t30: the sketch's final state is trigger-order
+#: independent, so the batch replay is the oracle.  n_seen counts every
+#: trigram OCCURRENCE (the stream processes rows, not distincts).
+_E11_ORACLE = f"""
+WITH tok AS (SELECT source, string_split(trim(text), ' ') AS ts FROM documents),
+occ AS (SELECT source, sum(CASE WHEN len(ts) >= 3 THEN len(ts) - 2 ELSE 0 END)
+               AS n_seen
+        FROM tok GROUP BY source),
+tri AS (SELECT DISTINCT source,
+               {h60_sql("array_to_string(ts[i : i + 2], ' ')")} AS g
+        FROM tok, unnest(range(1, len(ts) - 1)) t(i)),
+rk AS (SELECT source, g, row_number() OVER (PARTITION BY source ORDER BY g)
+                AS rn
+       FROM tri),
+kth AS (SELECT source, g >> 7 AS hk53 FROM rk WHERE rn = {_KMV_K}),
+est AS (SELECT source,
+               ({_KMV_K} - 1) * 9007199254740992 // hk53 AS est_kmv
+        FROM kth)
+SELECT occ.source, CAST(occ.n_seen AS BIGINT) AS n_seen,
+       CAST(est.est_kmv AS BIGINT) AS est_kmv
+FROM occ JOIN est USING (source)
+"""
+
+
+@_register("e11_kmv_stream", _E11_ORACLE)
+def e11_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming COUNT(DISTINCT) via a stateful KMV sketch
+    (applyInPandasWithState): per-source distinct-trigram estimate whose
+    state is k longs per group regardless of stream length — the bounded-
+    state property exact streaming distinct lacks.  The KMV union is
+    order- and trigger-boundary-independent, so the final emission equals
+    the batch sketch (t30) exactly, and the batch SQL replay is the
+    oracle.  Scale shape: trigrams hash to longs before the keyed
+    shuffle; the state store holds k longs + one counter per source."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        kmv_distinct_stream,
+        run_to_memory,
+    )
+
+    name = "q_e11_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = run_to_memory(
+        kmv_distinct_stream(spark, sf_dir), name, output_mode="update"
+    )
+    # update mode re-emits a source every trigger; n_seen is monotone, so
+    # the final emission is the max-n_seen row per source
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("n_seen").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("source", "n_seen", "est_kmv")
+    )
+
+
 def _j21_oracle() -> str:
     from spark_ml_spatialjointransformer_spark.functions.zorder import (
         quant16_sql,
@@ -3625,7 +3682,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "e10_stream_ingest", "t25_chunk_dedup", "t26_source_lift", "t27_novelty",
     "a5_cube_corpus", "t28_pii_scrub", "t29_bpe_pairs", "d6_snapshot_diff",
     "m4_audio_stats", "a6_skew_salted_agg", "j21_zorder_tiles",
-    "t30_kmv_distinct",
+    "t30_kmv_distinct", "e11_kmv_stream",
 ]
 
 QUERIES = {

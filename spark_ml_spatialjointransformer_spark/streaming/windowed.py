@@ -312,3 +312,86 @@ def run_to_memory(
     finally:
         q.stop()
     return sdf.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+# ---------------------------------------------------------------------------
+# streaming KMV distinct-count sketch: bounded state (k longs per group)
+# ---------------------------------------------------------------------------
+
+#: must match queries._KMV_K so the stream's final state equals batch t30
+KMV_K = 128
+_KMV_STATE_SCHEMA = "ks ARRAY<LONG>, n_seen LONG"
+_KMV_OUT_SCHEMA = "source STRING, n_seen LONG, est_kmv LONG"
+
+
+def _update_kmv_state(
+    key: Tuple[str],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful KMV kernel: state is the k smallest DISTINCT 60-bit hashes
+    seen so far (plus a monotone processed-row counter).  The merge —
+    k-smallest of (state ∪ batch) — is the standard KMV union, so the
+    final state is independent of trigger boundaries and arrival order,
+    and equals the batch sketch exactly.  State is k longs per group no
+    matter how much data streams through: the bounded-state property that
+    makes sketches the 100 TB answer to streaming COUNT(DISTINCT)."""
+    if state.exists:
+        ks, n_seen = list(state.get[0]), int(state.get[1])
+    else:
+        ks, n_seen = [], 0
+    s = set(ks)
+    for pdf in batches:
+        vals = pdf["g"].to_numpy(dtype="int64")
+        n_seen += len(vals)
+        s.update(int(v) for v in vals)
+        if len(s) > 4 * KMV_K:  # keep the working set bounded per batch
+            s = set(sorted(s)[:KMV_K])
+    ks = sorted(s)[:KMV_K]
+    state.update((ks, n_seen))
+    if len(ks) >= KMV_K:
+        est = (KMV_K - 1) * (1 << 53) // (ks[KMV_K - 1] >> 7)
+    else:
+        est = len(ks)  # fewer than k distinct seen: the sketch IS exact
+    yield pd.DataFrame(
+        {"source": [key[0]], "n_seen": [n_seen], "est_kmv": [est]}
+    )
+
+
+def kmv_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-trigram estimate per source via a stateful KMV
+    sketch (applyInPandasWithState).  Trigrams hash to 60-bit longs BEFORE
+    the keyed shuffle (strings never enter the state store), and each
+    group's state is k longs — a streaming COUNT(DISTINCT) whose memory
+    is constant in stream length."""
+    from spark_ml_spatialjointransformer_spark.functions.hashing import h60_col
+
+    ensure_udf_portability()
+    d = _as_stream_dir(f"{sf_dir}/documents.parquet")
+    batch_schema = spark.read.parquet(d).schema
+    docs = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    toks = F.split(F.trim(F.col("text")), " ")
+    tri = (
+        docs.select("source", toks.alias("__ts"))
+        .where(F.size("__ts") >= 3)
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(1), F.size("__ts") - 2)).alias("i"),
+            "__ts",
+        )
+        .select(
+            "source",
+            h60_col(F.concat_ws(" ", F.slice("__ts", F.col("i"), 3))).alias("g"),
+        )
+    )
+    return tri.groupBy("source").applyInPandasWithState(
+        _update_kmv_state,
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

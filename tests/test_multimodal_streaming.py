@@ -283,3 +283,36 @@ class TestStreamSourceEncodingAdaptivity:
         assert len(outs["us"]) == 8
         # absolute epoch check: first window is 2024-01-01T00:00:00Z
         assert outs["us"][0][0] == 1704067200
+
+
+class TestStreamingKMV:
+    def test_multi_trigger_merge_equals_batch_sketch(self, spark, tmp_path):
+        """Split documents over 3 part files so maxFilesPerTrigger=1 forces
+        THREE triggers: the KMV state must merge across triggers to the
+        same k-smallest set the batch sketch (t30) computes in one pass."""
+        from spark_ml_spatialjointransformer_spark.queries import QUERIES
+
+        src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        sf_dir = str(tmp_path)
+        src.repartition(3).write.parquet(f"{sf_dir}/documents.parquet")
+
+        stream = QUERIES["e11_kmv_stream"].fn(spark, sf_dir)
+        got = {(r.source, r.est_kmv) for r in stream.collect()}
+        batch = QUERIES["t30_kmv_distinct"].fn(spark, sf_dir)
+        want = {(r.source, r.est_kmv) for r in batch.collect()}
+        assert got == want and len(got) > 0
+        # and the stream really saw every occurrence across all triggers
+        n_seen = {r.source: r.n_seen for r in stream.collect()}
+        occ = {
+            r.source: r.occ
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr(
+                "source",
+                "CASE WHEN size(split(trim(text), ' ')) >= 3"
+                " THEN size(split(trim(text), ' ')) - 2 ELSE 0 END AS k",
+            )
+            .groupBy("source")
+            .agg(F.sum("k").alias("occ"))
+            .collect()
+        }
+        assert n_seen == occ
