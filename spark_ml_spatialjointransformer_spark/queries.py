@@ -3289,10 +3289,12 @@ def t29_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of BPE tokenizer training (the counting step IS the algorithm; the
     merge just rewrites and recounts).  Scale shape: pair counting is
     map-side combined, so the shuffle carries one row per DISTINCT pair
-    (Zipf: vocab² bound, corpus-size independent), and the final top-k
-    window runs over that already-aggregated vocab table — never over
-    corpus rows.  Ties break on the pair string, deterministically in
-    both engines (ASCII tokens, binary collation)."""
+    (Zipf: vocab² bound, corpus-size independent), and the top-20 is
+    ORDER BY + LIMIT — Spark's TakeOrderedAndProject, a per-partition
+    top-k merged at the driver, so even a billion-pair vocab never
+    funnels through one rank-window reducer.  Ties break on the pair
+    string, deterministically in both engines (ASCII tokens, binary
+    collation)."""
     from pyspark.sql.window import Window
 
     toks = F.split(F.trim(F.col("text")), " ")
@@ -3307,11 +3309,11 @@ def t29_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat_ws(" ", F.slice("__ts", F.col("i"), 2)).alias("pair"))
     )
     c = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    top = c.orderBy(F.col("cnt").desc(), "pair").limit(20)
+    # rank assignment runs over exactly 20 rows — the window is trivial
     w = Window.orderBy(F.col("cnt").desc(), "pair")
-    return (
-        c.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 20)
-        .select("pair", "cnt", "rank")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "pair", "cnt", "rank"
     )
 
 

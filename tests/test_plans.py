@@ -239,6 +239,7 @@ def test_bpe_pairs_shuffles_only_distinct_pairs(spark):
     plan = plan_of(QUERIES["t29_bpe_pairs"].fn(spark, SF))
     assert "partial_count" in plan
     assert "hashpartitioning(pair" in plan
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no rank window
     assert "PythonUDF" not in plan
 
 
