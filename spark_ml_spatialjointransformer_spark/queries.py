@@ -3474,6 +3474,72 @@ def t30_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: p4 replays m3's synth+floor-map resize at 12×8 → 6×4, gates on the
+#: decoded feature, then re-derives t21's shard/position math — the full
+#: multimodal curation chain in one from-first-principles SQL replay.
+_P4_ORACLE = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 1),
+xo AS (SELECT unnest(range(6)) AS x1), yo AS (SELECT unnest(range(4)) AS y1),
+m AS (SELECT doc_id, (x1 * 12) // 6 AS xs, (y1 * 8) // 4 AS ys
+      FROM d CROSS JOIN xo CROSS JOIN yo),
+p AS (SELECT doc_id,
+             (3 * xs + 5 * ys + doc_id) % 256
+             + (xs + 2 * ys) % 256
+             + (doc_id + xs * ys) % 256 AS v
+      FROM m),
+f AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS pix_sum
+      FROM p GROUP BY doc_id),
+k AS (SELECT doc_id, pix_sum FROM f WHERE pix_sum % 5 <> 0),
+h AS (SELECT doc_id, pix_sum, {h60_sql("CAST(doc_id AS VARCHAR)")} AS hh
+      FROM k)
+SELECT doc_id, pix_sum, CAST(hh % 16 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id)
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
+@_register("p4_multimodal_pipeline", _P4_ORACLE)
+def p4_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MULTIMODAL curation pipeline as one chained plan:
+    metadata filter → image synth → REAL codec decode+resize (12×8 →
+    6×4) → feature extraction (pixel sum) → deterministic quality gate →
+    content-stable shard assignment with reproducible intra-shard
+    position.  The image stages are the m3 machinery, the shard stage is
+    the t21 machinery — composed here to prove the pieces chain without
+    materialization barriers.  Scale shape: the whole decode/resize/
+    feature prefix is chained mapInPandas over the scan (zero shuffle,
+    binaries never move); the ONLY shuffle is the final 16-way shard
+    partition of (doc_id, pix_sum, hash) longs."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        image_stats,
+        resize_images,
+        synth_ppm_images,
+    )
+    from pyspark.sql.window import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 != 1)
+    )
+    imgs = synth_ppm_images(docs, "doc_id", width=12, height=8, out_col="img")
+    small = resize_images(imgs, "img", width=6, height=4, out_col="small")
+    feats = image_stats(small, "small", prefix="s_").select(
+        "doc_id", F.col("s_pix_sum").alias("pix_sum")
+    )
+    kept = feats.where(F.col("pix_sum") % 5 != 0).withColumn(
+        "hh", h60_col(F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy(F.col("hh") % 16).orderBy("hh", "doc_id")
+    return kept.select(
+        "doc_id",
+        "pix_sum",
+        (F.col("hh") % 16).cast("int").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
 #: stream twin of t30: the sketch's final state is trigger-order
 #: independent, so the batch replay is the oracle.  n_seen counts every
 #: trigram OCCURRENCE (the stream processes rows, not distincts).
@@ -3684,7 +3750,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "e10_stream_ingest", "t25_chunk_dedup", "t26_source_lift", "t27_novelty",
     "a5_cube_corpus", "t28_pii_scrub", "t29_bpe_pairs", "d6_snapshot_diff",
     "m4_audio_stats", "a6_skew_salted_agg", "j21_zorder_tiles",
-    "t30_kmv_distinct", "e11_kmv_stream",
+    "t30_kmv_distinct", "e11_kmv_stream", "p4_multimodal_pipeline",
 ]
 
 QUERIES = {

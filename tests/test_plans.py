@@ -268,3 +268,10 @@ def test_salted_agg_spreads_hot_keys_then_reaggregates(spark):
     assert "hashpartitioning(event_type" in plan and "__salt" in plan
     assert "partial_count" in plan
     assert "PythonUDF" not in plan
+
+
+def test_multimodal_pipeline_single_shard_shuffle(spark):
+    """p4: the decode/resize/feature prefix is chained mapInPandas over
+    the scan; the ONLY exchange is the final 16-way shard partition."""
+    plan = plan_of(QUERIES["p4_multimodal_pipeline"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
