@@ -290,3 +290,63 @@ def test_polygon_vector_kernel_matches_scalar(a, b):
         want = bool(fn(ga, gb))
         got = bool(polygon_predicate_np(op, ga, gb))
         assert got == want, f"{op}: {a} vs {b}: fast={got} scalar={want}"
+
+
+# ---------------------------------------------------------------------------
+# WAV codec properties (pure Python kernels — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=500
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_roundtrip_any_samples(samples, sr):
+    import numpy as np
+
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    arr = np.array(samples, dtype=np.int64)
+    dec = decode_wav(encode_wav(arr, sr))
+    assert dec is not None
+    back, got_sr = dec
+    assert got_sr == sr
+    assert back.shape == (len(samples), 1)
+    assert (back[:, 0] == arr.astype(np.int16)).all()
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_wav_decode_total_on_garbage(data):
+    """decode_wav never raises — malformed bytes degrade to None (the
+    poison-row contract the mapInPandas kernel relies on)."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    out = decode_wav(data)
+    assert out is None or out[0].ndim == 2
+
+
+@given(st.binary(min_size=1, max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_wav_decode_total_on_truncated_real_file(prefix):
+    """Truncations/corruptions of a REAL wav (header-plausible bytes) also
+    never raise."""
+    import numpy as np
+
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    good = encode_wav(np.arange(50, dtype=np.int64), 8000)
+    mutated = prefix + good[len(prefix):]
+    out = decode_wav(mutated)
+    assert out is None or out[0].ndim == 2
