@@ -24,11 +24,17 @@ from spark_ml_spatialjointransformer_spark.functions.hashing import h60_col
 
 
 def stream_to_sharded(
-    sdf: DataFrame, path: str, id_col: str, n_shards: int
+    sdf: DataFrame, path: str, id_col: str, n_shards: int,
+    checkpoint: str | None = None,
 ):
     """Start a streaming query appending ``sdf`` to ``path`` in the
     deterministic shard layout; returns the StreamingQuery (caller drives
-    and stops it)."""
+    and stops it).
+
+    With ``checkpoint`` set, source offsets persist across restarts: a
+    stopped query restarted with the same checkpoint resumes from the
+    first unprocessed micro-batch — already-delivered files are never
+    re-ingested (tests/test_sink.py pins this resume contract)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         hh = h60_col(F.col(id_col).cast("string"))
@@ -40,4 +46,7 @@ def stream_to_sharded(
             .parquet(path)
         )
 
-    return sdf.writeStream.foreachBatch(write_batch).start()
+    w = sdf.writeStream.foreachBatch(write_batch)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

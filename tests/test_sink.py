@@ -87,3 +87,53 @@ def test_stream_to_sharded_ingests_exactly_once(spark, tmp_path):
     ).count()
     assert mismatch == 0
     assert len(glob.glob(out + "/__shard=*")) == 4
+
+
+def test_stream_resume_from_checkpoint_never_reingests(spark, tmp_path):
+    """Operational contract at scale: a stopped ingest restarted with the
+    same checkpoint resumes from the first unprocessed file — rows already
+    delivered are NEVER re-ingested, new files are picked up, and an idle
+    restart changes nothing."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_spatialjointransformer_spark.streaming.ingest import (
+        stream_to_sharded,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    base = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "user_id")
+        .limit(200)
+    )
+    schema = base.schema
+    file1 = base.where(F.col("event_id") % 2 == 0)
+    file2 = base.where(F.col("event_id") % 2 == 1)
+    file1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_to_sharded(stream, out, "event_id", 4, checkpoint=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # phase 1: only file1
+    n1 = spark.read.parquet(out).count()
+    assert n1 == file1.count()
+
+    file2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # phase 2: restart -> must ingest ONLY the new file
+    got = spark.read.parquet(out)
+    assert got.count() == base.count()
+    assert got.select("event_id").distinct().count() == base.count()
+
+    run_once()  # phase 3: idle restart -> exactly nothing happens
+    assert spark.read.parquet(out).count() == base.count()
