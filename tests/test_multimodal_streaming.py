@@ -316,3 +316,68 @@ class TestStreamingKMV:
             .collect()
         }
         assert n_seen == occ
+
+
+class TestWatermarkSemantics:
+    """Watermark contract, demonstrated with controlled file-per-trigger
+    arrival: a late row inside the watermark still aggregates; a row later
+    than the watermark is DROPPED from finalized state (append mode) —
+    the bounded-state guarantee that lets windowed aggregation run
+    forever at 100 TB."""
+
+    def test_late_within_watermark_counted_beyond_dropped(self, spark, tmp_path):
+        import pandas as pd
+
+        src = str(tmp_path / "events")
+        schema = "event_id LONG, ts TIMESTAMP, value DOUBLE"
+
+        def write_file(rows, name):
+            pdf = pd.DataFrame(
+                rows, columns=["event_id", "ts", "value"]
+            ).astype({"ts": "datetime64[us]"})
+            spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        t0 = pd.Timestamp("2024-01-01 00:10:00")
+        h = pd.Timedelta
+        # file 1: two events in hour 0, then an event in hour 3 that
+        # advances the watermark to 3:10 - 0:30 = 2:40 -> hour-0 and
+        # hour-1 windows finalize
+        write_file(
+            [(1, t0, 1.0), (2, t0 + h("5 min"), 1.0), (3, t0 + h("3 hours"), 1.0)],
+            "f1",
+        )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp("w.start").alias("h"), "n")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_wm")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: watermark advances to 2:40
+            # file 2 arrives AFTER the watermark moved: one late row still
+            # inside it (hour-2 window end 3:00 > 2:40 -> counted), one too
+            # late for hour 0 (window end 1:00 < 2:40 -> dropped)
+            write_file(
+                [(4, t0 + h("2 hours"), 1.0), (5, t0 + h("1 min"), 1.0)],
+                "f2",
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.h: r.n for r in spark.sql("SELECT * FROM t_wm").collect()}
+        base = 1704067200  # 2024-01-01T00:00:00Z
+        # hour 0 finalized with ONLY the two on-time rows: event 5 arrived
+        # beyond the watermark and was dropped; hour-2/hour-3 windows are
+        # not finalized yet in append mode (watermark still 2:40)
+        assert got == {base: 2}
