@@ -1,0 +1,88 @@
+"""Quickstart: the engine's main surfaces in one runnable script.
+
+    python examples/quickstart.py [sf_dir]
+
+Walks through (1) the BroadcastSpatialJoin ML Transformer — the
+reference-compatible API — then the beyond-reference pipeline operators:
+(2) MinHash-LSH near-dup detection, (3) ANN over embeddings, and (4) a
+deterministic sharded export.  Uses the driver testdata tables.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from spark_ml_spatialjointransformer_spark import BroadcastSpatialJoin
+from spark_ml_spatialjointransformer_spark.operators.dedup import (
+    dedup_assign_keeper,
+    minhash_lsh_pairs,
+)
+from spark_ml_spatialjointransformer_spark.operators.similarity import lsh_topk
+from spark_ml_spatialjointransformer_spark.operators.sink import write_sharded
+from spark_ml_spatialjointransformer_spark.sources.tables import (
+    customers_geo,
+    suppliers_geo,
+)
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("sjt-quickstart")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # -- 1. the ML Transformer (reference-compatible params) -------------
+    suppliers_geo(spark, sf_dir).createOrReplaceTempView("suppliers")
+    nearest = BroadcastSpatialJoin(
+        dataset="suppliers",
+        dataColumns="s_suppkey as nearest_supp, s_name",
+        datasetPoint="lon, lat",
+        inputPoint="lon, lat",
+        predicate="nearest",
+        broadcast="dataset",
+        filter="s_acctbal > 0",
+        distanceColumnAlias="dist_m",
+        tieBreak="s_suppkey",
+    )
+    joined = nearest.transform(customers_geo(spark, sf_dir))
+    print("1. nearest supplier per customer:")
+    joined.select("c_custkey", "nearest_supp", "dist_m").show(3)
+
+    # -- 2. near-duplicate detection (MinHash + LSH) ---------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=64, bands=16,
+                              threshold=0.2)
+    keepers = dedup_assign_keeper(
+        pairs, docs.select("doc_id"), "doc_id"
+    ).where("is_dup")
+    print("2. near-duplicate docs (LSH):", keepers.count())
+
+    # -- 3. approximate nearest neighbors over embeddings ----------------
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 500 == 0)
+    topk = lsh_topk(emb, queries, "vec_id", "embedding", "vec_id",
+                    "embedding", dim=64, k=5)
+    print("3. ANN top-5 for one query vector:")
+    topk.show(5)
+
+    # -- 4. deterministic sharded export ---------------------------------
+    out = "/tmp/sjt_quickstart_export"
+    write_sharded(joined.select("c_custkey", "nearest_supp"), out,
+                  "c_custkey", n_shards=4)
+    n = spark.read.parquet(out).count()
+    print(f"4. sharded export: {n} rows under {out}/__shard=*/")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
