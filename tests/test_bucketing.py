@@ -76,3 +76,44 @@ def test_bucketed_vs_plain_shuffles_only_plain_side(spark, tmp_path, no_broadcas
         assert j.count() == 250
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_big")
+
+
+def test_aqe_splits_skewed_join_partition(spark, no_broadcast):
+    """The engine leans on AQE for join-side skew (salting covers
+    aggregation — a6): with one hot key owning ~all rows, AQE must mark
+    the sort-merge join skew-handled and split the oversized partition.
+    Thresholds are scaled down so local data exhibits 'skew'; on a
+    cluster the defaults (256 MB) apply."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    from pyspark.sql import functions as F
+
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        # 200k rows on ONE key vs uniform right side
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 99, 7).otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        j.collect()  # execute THIS dataset so its adaptive plan finalizes
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
