@@ -117,3 +117,65 @@ def test_aqe_splits_skewed_join_partition(spark, no_broadcast):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shard_layout_partition_pruning(spark, tmp_path):
+    """Reading one shard from the partitioned export touches ONE partition
+    directory: the shard predicate lands in PartitionFilters (pruned at
+    planning), not PushedFilters (evaluated per row group)."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_spatialjointransformer_spark.operators.sink import (
+        write_sharded,
+    )
+
+    src = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    out = str(tmp_path / "sharded")
+    write_sharded(src, out, "k", n_shards=8)
+    rd = spark.read.parquet(out).where(F.col("__shard") == 3)
+    plan = _plan(rd)
+    assert "PartitionFilters: [isnotnull(__shard" in plan
+    assert "(__shard" in plan.split("PartitionFilters")[1][:80]
+    got = rd.count()
+    total = spark.read.parquet(out).count()
+    assert 0 < got < total == 1000
+
+
+def test_zorder_sorted_write_pushes_range_filter(spark, tmp_path):
+    """The j21 write path: points sorted by the Morton key, read back with
+    a zkey range predicate — the range filter reaches the parquet scan as
+    PushedFilters, where the sorted layout's tight row-group min/max
+    stats make it selective (the stats themselves are invisible in the
+    plan string; the pushdown is the assertable half)."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_spatialjointransformer_spark.functions.zorder import (
+        quant16_sql,
+        zorder_sql,
+    )
+
+    pts = spark.range(0, 5000).select(
+        ((F.col("id") * 9973 % 3600) / 10.0 - 180.0).alias("lon"),
+        ((F.col("id") * 7919 % 1700) / 10.0 - 85.0).alias("lat"),
+    )
+    qx = quant16_sql("lon", -180.0, 360.0)
+    qy = quant16_sql("lat", -90.0, 180.0)
+    keyed = pts.selectExpr("lon", "lat", f"{qx} AS qx", f"{qy} AS qy").selectExpr(
+        "lon", "lat", f"{zorder_sql('qx', 'qy')} AS zkey"
+    )
+    out = str(tmp_path / "zsorted")
+    keyed.repartitionByRange(4, "zkey").sortWithinPartitions(
+        "zkey"
+    ).write.parquet(out)
+
+    lo, hi = 1 << 28, 1 << 29
+    rd = spark.read.parquet(out).where(
+        (F.col("zkey") >= lo) & (F.col("zkey") < hi)
+    )
+    plan = _plan(rd)
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThanOrEqual(zkey" in pushed and "LessThan(zkey" in pushed
+    # the filter is genuinely selective on this layout
+    assert 0 < rd.count() < 5000
