@@ -57,6 +57,7 @@ _DEFAULTS = dict(
     distanceKernel="geodesic",
     tieBreak="",
     joinStrategy="broadcast",
+    numNeighbors="",
 )
 
 
@@ -120,6 +121,12 @@ class BroadcastSpatialJoin(
         "latitude bands, bbox predicates grid cells, nearest the iterative "
         "radius-expansion loop incl. k>1 and extra conditions; lifts the "
         "broadcast memory bound for big-by-big joins)",
+    )
+    numNeighbors = _str_param(
+        "numNeighbors",
+        "for predicate 'nearest': k nearest external rows per input row "
+        "(empty/'1' = the reference's top-1 semantics; k>1 is a "
+        "beyond-reference extension — output has input-rows x k rows)",
     )
 
     @keyword_only
@@ -269,6 +276,7 @@ class BroadcastSpatialJoin(
             distance_kernel=self._get(self.distanceKernel) or "geodesic",
             tie_break=tuple(split_trim(self._get(self.tieBreak))),
             strategy=self._get(self.joinStrategy) or "broadcast",
+            k=int(self._get(self.numNeighbors) or "1"),
         )
 
     def _load_dataset(self, spark: SparkSession) -> DataFrame:

@@ -747,3 +747,64 @@ def test_withindist_high_latitude_pairs(spark):
     )
     out = collect_sorted(t.transform(inp))
     assert [(r[0], r[3]) for r in out] == [("i1", "d8"), ("i2", "d8")]
+
+
+def test_transformer_num_neighbors_k3(spark):
+    """numNeighbors exposes the kNN extension through the ML API: k=3
+    yields exactly 3 rows per input row, matching the operator-level
+    knn path (j16), and save/load round-trips the param."""
+    import tempfile
+
+    from spark_ml_spatialjointransformer_spark.sources.tables import (
+        customers_geo,
+        suppliers_geo,
+    )
+    from spark_ml_spatialjointransformer_spark.transformer import (
+        BroadcastSpatialJoin,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    suppliers_geo(spark, sf).createOrReplaceTempView("t_knn_suppliers")
+    t = BroadcastSpatialJoin(
+        dataset="t_knn_suppliers",
+        dataColumns="s_suppkey as supp_key",
+        datasetPoint="lon, lat",
+        inputPoint="lon, lat",
+        predicate="nearest",
+        broadcast="dataset",
+        distanceColumnAlias="dist_m",
+        tieBreak="s_suppkey",
+        numNeighbors="3",
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    cust = customers_geo(spark, sf)
+    out = t.transform(cust)
+    n_cust = cust.count()
+    assert out.count() == 3 * n_cust
+    per = out.groupBy("c_custkey").count().select("count").distinct().collect()
+    assert [r["count"] for r in per] == [3]
+    # distances are the 3 smallest: every kept distance <= the per-customer max
+    # of the k=1 result joined against the same data is trivially true; pin
+    # instead that k=1 equals the default transformer output
+    t1 = t.copy()
+    t1.setParams(numNeighbors="")
+    base = {r.c_custkey: r.supp_key for r in t1.transform(cust).collect()}
+    best = {
+        r.c_custkey: r.supp_key
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c_custkey").orderBy("dist_m", "supp_key")
+            ),
+        )
+        .where("rn = 1")
+        .collect()
+    }
+    assert best == base
+    # persistence round-trip keeps the extension param
+    with tempfile.TemporaryDirectory() as d:
+        t.save(d + "/m")
+        loaded = BroadcastSpatialJoin.load(d + "/m")
+        assert loaded.getOrDefault(loaded.numNeighbors) == "3"
