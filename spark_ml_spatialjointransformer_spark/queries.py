@@ -3474,6 +3474,47 @@ def t30_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_F2_ORACLE = f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d FROM c CROSS JOIN s),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
+      FROM p)
+SELECT c_custkey, s_suppkey AS supp_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM r WHERE rn <= 3
+"""
+
+
+@_register("f2_transformer_knn_partitioned", _F2_ORACLE)
+def f2_transformer_knn_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL extension surface through the ML Transformer API in one
+    query: strategy='partitioned' (big×big grid kNN, no broadcast) AND
+    numNeighbors=3 (top-k), driven entirely by string params — proving a
+    reference user reaches the beyond-reference scale paths without
+    leaving the Transformer interface.  Oracle: brute-force 3-nearest
+    (same as j16, which runs the broadcast fast path on the identical
+    data — so the two strategies are ALSO pinned equal to each other)."""
+    from spark_ml_spatialjointransformer_spark.transformer import (
+        BroadcastSpatialJoin,
+    )
+
+    suppliers_geo(spark, sf_dir).createOrReplaceTempView("sjt_f2_suppliers")
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    t = BroadcastSpatialJoin(
+        dataset="sjt_f2_suppliers",
+        dataColumns="s_suppkey as supp_key",
+        datasetPoint="lon, lat",
+        inputPoint="lon, lat",
+        predicate="nearest",
+        broadcast="dataset",
+        distanceColumnAlias="dist_m",
+        distanceKernel="haversine",
+        tieBreak="s_suppkey",
+        joinStrategy="partitioned",
+        numNeighbors="3",
+    )
+    return t.transform(cust).select("c_custkey", "supp_key", "dist_m")
+
+
 #: p4 replays m3's synth+floor-map resize at 12×8 → 6×4, gates on the
 #: decoded feature, then re-derives t21's shard/position math — the full
 #: multimodal curation chain in one from-first-principles SQL replay.
@@ -3751,6 +3792,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "a5_cube_corpus", "t28_pii_scrub", "t29_bpe_pairs", "d6_snapshot_diff",
     "m4_audio_stats", "a6_skew_salted_agg", "j21_zorder_tiles",
     "t30_kmv_distinct", "e11_kmv_stream", "p4_multimodal_pipeline",
+    "f2_transformer_knn_partitioned",
 ]
 
 QUERIES = {
