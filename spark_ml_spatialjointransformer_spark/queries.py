@@ -3474,6 +3474,42 @@ def t30_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_J22_ORACLE = f"""
+WITH {_GEO_CTE},
+{_NATION_RECT_CTE}
+SELECT c.c_custkey, n.n_nationkey AS nat_key
+FROM c LEFT JOIN n
+  ON c.lon > n.x0 AND c.lon < n.x1 AND c.lat > n.y0 AND c.lat < n.y1
+"""
+
+
+@_register("j22_within_left_outer", _J22_ORACLE)
+def j22_within_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER spatial join — beyond the reference, which is inner-only
+    by contract (README.md:148): every input row survives, unmatched ones
+    with a null external key.  Composed from the engine's inner core plus
+    one broadcast LEFT ANTI join on the matched input ids — the general
+    recipe for outer-ing ANY of the six predicates without touching the
+    join kernels.  Scale shape: the anti join broadcasts only the DISTINCT
+    matched-id set (bounded by the inner result), the input scans once per
+    leg, and both legs stay shuffle-free under the broadcast strategy."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    nations = nations_rect(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="within",
+        external_side=_WKT,
+        input_side=_POINT,
+        data_columns=(("n_nationkey", "nat_key"),),
+        broadcast_input=False,
+    )
+    inner = spatial_join(cust, nations, plan).select("c_custkey", "nat_key")
+    matched = inner.select("c_custkey").distinct()
+    unmatched = cust.join(F.broadcast(matched), "c_custkey", "left_anti").select(
+        "c_custkey", F.lit(None).cast("long").alias("nat_key")
+    )
+    return inner.unionByName(unmatched)
+
+
 _F2_ORACLE = f"""
 WITH {_GEO_CTE},
 p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d FROM c CROSS JOIN s),
@@ -3792,7 +3828,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "a5_cube_corpus", "t28_pii_scrub", "t29_bpe_pairs", "d6_snapshot_diff",
     "m4_audio_stats", "a6_skew_salted_agg", "j21_zorder_tiles",
     "t30_kmv_distinct", "e11_kmv_stream", "p4_multimodal_pipeline",
-    "f2_transformer_knn_partitioned",
+    "f2_transformer_knn_partitioned", "j22_within_left_outer",
 ]
 
 QUERIES = {
