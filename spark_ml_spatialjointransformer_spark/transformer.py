@@ -257,6 +257,16 @@ class BroadcastSpatialJoin(
         except ValueError:
             num_partitions = None
 
+        raw_k = self._get(self.numNeighbors) or "1"
+        try:
+            k = int(raw_k)
+        except ValueError:
+            raise ValueError(
+                f"numNeighbors must be a positive integer, got {raw_k!r}"
+            ) from None
+        if k < 1:
+            raise ValueError(f"numNeighbors must be >= 1, got {k}")
+
         return SpatialJoinPlan(
             predicate=self._get(self.predicate),
             external_side=SideConfig(
@@ -276,7 +286,7 @@ class BroadcastSpatialJoin(
             distance_kernel=self._get(self.distanceKernel) or "geodesic",
             tie_break=tuple(split_trim(self._get(self.tieBreak))),
             strategy=self._get(self.joinStrategy) or "broadcast",
-            k=int(self._get(self.numNeighbors) or "1"),
+            k=k,
         )
 
     def _load_dataset(self, spark: SparkSession) -> DataFrame:

@@ -397,3 +397,27 @@ class TestZorder:
         got_duck = [r[0] for r in con.execute(sql).fetchall()]
         assert got_spark == want == got_duck
         spark.catalog.dropTempView("pts")
+
+
+class TestNumNeighborsValidation:
+    def _t(self, **kw):
+        from spark_ml_spatialjointransformer_spark.transformer import (
+            BroadcastSpatialJoin,
+        )
+
+        return BroadcastSpatialJoin(
+            dataset="x", dataColumns="a", datasetPoint="lon, lat",
+            inputPoint="lon, lat", **kw,
+        )
+
+    def test_garbage_raises_clear_error(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="numNeighbors.*'abc'"):
+            self._t(numNeighbors="abc")._make_plan()
+        with pytest.raises(ValueError, match="numNeighbors must be >= 1"):
+            self._t(numNeighbors="0")._make_plan()
+
+    def test_default_and_explicit(self):
+        assert self._t()._make_plan().k == 1
+        assert self._t(numNeighbors="5")._make_plan().k == 5
