@@ -3464,7 +3464,8 @@ def t30_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr(f"({_KMV_K} - 1) * 9007199254740992 div hk53").alias("est_kmv"),
     )
-    return ex.join(est, "source").select(
+    # est is one row per group — broadcast it instead of shuffling ex
+    return ex.join(F.broadcast(est), "source").select(
         "source",
         "n_exact",
         "est_kmv",
