@@ -3808,6 +3808,319 @@ def m4_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("e12_session_stream", _E4_ORACLE)
+def e12_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME gap-based sessionization as e4 executed as a Structured
+    Streaming plan (native ``session_window`` state with cross-micro-batch
+    session MERGING — an event arriving in a later trigger can bridge two
+    previously-separate sessions) — checked against the identical batch
+    lag+cumsum oracle, proving stream/batch parity of the session-window
+    operator the way e2 proves it for tumbling windows."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        run_to_memory,
+        session_window_counts_stream,
+    )
+
+    name = "q_e12_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return run_to_memory(
+        session_window_counts_stream(spark, f"{sf_dir}/events.parquet"),
+        name,
+        output_mode="complete",
+    )
+
+
+_D7_ORACLE = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                  CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS v_e4
+           FROM events
+           WHERE ts >= TIMESTAMP '1970-01-01 00:00:00'),
+day AS (SELECT user_id, d AS day_idx, sum(v_e4) AS day_e4
+        FROM e GROUP BY user_id, d),
+b AS (SELECT user_id, min(day_idx) AS d0, max(day_idx) AS d1
+      FROM day GROUP BY user_id),
+g AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day_idx FROM b),
+j AS (SELECT g.user_id, g.day_idx, day.day_e4
+      FROM g LEFT JOIN day USING (user_id, day_idx))
+SELECT user_id, day_idx,
+       last_value(day_e4 IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY day_idx
+               ROWS UNBOUNDED PRECEDING) AS filled_e4,
+       day_e4 IS NULL AS is_gap
+FROM j
+"""
+
+
+@_register("d7_gap_fill", _D7_ORACLE)
+def d7_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with last-observation-carried-forward: densify each
+    user's daily value series over their own active span (d4's grid) and
+    forward-fill silent days from the last observed day — the LOCF
+    interpolation every sensor/metrics/feature pipeline needs (d4
+    zero-fills counts; d7 carries VALUES).  Values scale per-row to BIGINT
+    before any aggregation, so the carried value is integer-exact in both
+    engines.  Scale shape: day-sums and spans shuffle on user keys with
+    map-side combine; the forward-fill window runs inside the same
+    user-hash partitioning (no extra exchange), and the grid explode
+    generates only each user's own days — never a global calendar cross
+    join."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_events(spark, sf_dir)
+        .where(F.expr("ts >= TIMESTAMP '1970-01-01 00:00:00'"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("d"),
+            F.expr("CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)").alias("v_e4"),
+        )
+    )
+    day = ev.groupBy("user_id", F.col("d").alias("day_idx")).agg(
+        F.sum("v_e4").alias("day_e4")
+    )
+    bounds = day.groupBy("user_id").agg(
+        F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day_idx")
+    )
+    j = grid.join(day, ["user_id", "day_idx"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "day_idx",
+        F.last("day_e4", ignorenulls=True).over(w).alias("filled_e4"),
+        F.col("day_e4").isNull().alias("is_gap"),
+    )
+
+
+_D8_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+m AS (SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM o),
+r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM m),
+g AS (SELECT user_id, event_type, run,
+             min(epoch_us(ts)) AS valid_from_us,
+             count(*) AS n_rows
+      FROM r GROUP BY user_id, event_type, run)
+SELECT user_id, event_type, valid_from_us,
+       COALESCE(lead(valid_from_us)
+                  OVER (PARTITION BY user_id ORDER BY run), -1) AS valid_to_us,
+       n_rows,
+       (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run)) IS NULL
+         AS is_current
+FROM g
+"""
+
+
+@_register("d8_scd2", _D8_ORACLE)
+def d8_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: collapse each user's
+    event-type history into validity intervals ``[valid_from, valid_to)``
+    — one row per run of consecutive equal states, the open (current) run
+    marked — the change-history table every warehouse dimension load
+    produces.  Interval bounds are integer epoch microseconds (no
+    division, exact in both engines); window order is pinned by
+    ``(ts, event_id)`` so same-timestamp events collapse identically.
+    Scale shape: one user-hash exchange feeds lag, cumulative run ids,
+    the run aggregation, AND the lead over runs (all four reuse the same
+    partitioning — Catalyst plans a single exchange); state per user is
+    its run list, never all-pairs."""
+    from pyspark.sql.window import Window
+
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        load_events(spark, sf_dir)
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w_ev))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "run",
+            F.sum("chg").over(w_ev.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "event_type", "run")
+        .agg(
+            F.min(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias(
+                "valid_from_us"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run")
+    nxt = F.lead("valid_from_us").over(w_run)
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.coalesce(nxt, F.lit(-1)).cast("bigint").alias("valid_to_us"),
+        "n_rows",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+_A7_ORACLE = """
+SELECT n.n_name,
+       CAST(sum(CASE WHEN o.o_orderstatus = 'O'
+                     THEN CAST(floor(o.o_totalprice * 100e0 + 0.5e0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS open_e2,
+       CAST(sum(CASE WHEN o.o_orderstatus = 'F'
+                     THEN CAST(floor(o.o_totalprice * 100e0 + 0.5e0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS finished_e2,
+       CAST(sum(CASE WHEN o.o_orderstatus = 'P'
+                     THEN CAST(floor(o.o_totalprice * 100e0 + 0.5e0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS pending_e2,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@_register("a7_pivot_status", _A7_ORACLE)
+def a7_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide reshape): per-nation revenue split into one column
+    per order status via Spark's native ``pivot`` with an EXPLICIT value
+    list — the explicit list is the scale contract (no extra pass to
+    discover pivot values, and the output schema is static no matter what
+    the data contains).  The oracle states the same reshape as portable
+    conditional aggregation.  Per-row scale to BIGINT cents before the
+    sum keeps every cell integer-exact.  Scale shape: both dims
+    (customer→nation map) broadcast; one orders-side hash aggregation —
+    pivot adds zero shuffles over a plain groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.expr("CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)")
+    wide = (
+        orders.select("o_custkey", "o_orderstatus", cents.alias("cents"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return wide.select(
+        "n_name",
+        F.coalesce(F.col("O_s"), F.lit(0)).cast("bigint").alias("open_e2"),
+        F.coalesce(F.col("F_s"), F.lit(0)).cast("bigint").alias("finished_e2"),
+        F.coalesce(F.col("P_s"), F.lit(0)).cast("bigint").alias("pending_e2"),
+        (
+            F.coalesce(F.col("O_n"), F.lit(0))
+            + F.coalesce(F.col("F_n"), F.lit(0))
+            + F.coalesce(F.col("P_n"), F.lit(0))
+        ).cast("bigint").alias("n_orders"),
+    )
+
+
+#: v7 sub-vector layout: 64-dim embeddings split into 4 contiguous
+#: sub-vectors of 16 — the multi-vector ("late interaction") document
+#: representation; components quantize to int64 at 1e5 so every dot
+#: product and max is integer-exact across engines.
+_V7_ORACLE = """
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  unnest(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings),
+z AS (SELECT vec_id, (i - 1) // 16 AS s, (i - 1) % 16 AS j,
+             CAST(floor(v * 100000e0 + 0.5e0) AS BIGINT) AS q
+      FROM e),
+qq AS (SELECT * FROM z WHERE vec_id % 100 = 0),
+d AS (SELECT qq.vec_id AS qid, c.vec_id AS cid, qq.s AS qa, c.s AS cb,
+             sum(qq.q * c.q) AS dot
+      FROM qq JOIN z c ON qq.j = c.j AND c.vec_id <> qq.vec_id
+      GROUP BY 1, 2, 3, 4),
+m AS (SELECT qid, cid, qa, max(dot) AS mx FROM d GROUP BY 1, 2, 3),
+s AS (SELECT qid, cid, sum(mx) AS maxsim FROM m GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY maxsim DESC, cid) AS rn
+      FROM s)
+SELECT qid AS q_vec_id, cid AS neighbor_id, CAST(maxsim AS BIGINT) AS maxsim
+FROM r WHERE rn <= 5
+"""
+
+
+@_register("v7_maxsim_topk", _V7_ORACLE)
+def v7_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT-style MaxSim):
+    each embedding is a BAG of 4 sub-vectors; the query–document score is
+    Σ over query sub-vectors of the max dot product against any document
+    sub-vector, and the top-5 documents per query win.  Components
+    quantize to int64 before any arithmetic, so scores are integer-exact.
+    Scale shape: the query set broadcasts (queries ≪ corpus by
+    construction, like v1); all 16 sub-vector dot products and the
+    max/sum reduction run JVM-side per corpus row (zip_with + aggregate +
+    greatest — no Python, no explode of the corpus); only (q, doc, score)
+    triples reach the tiny top-k window."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(floor(x * 100000e0 + 0.5e0) AS BIGINT))"
+        ).alias("qz"),
+    )
+    subs = emb.select(
+        "vec_id",
+        *[F.slice("qz", a * 16 + 1, 16).alias(f"s{a}") for a in range(4)],
+    )
+    q = subs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        *[F.col(f"s{a}").alias(f"t{a}") for a in range(4)],
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    score = None
+    for a in range(4):
+        mx = F.greatest(
+            *[idot(F.col(f"t{a}"), F.col(f"s{b}")) for b in range(4)]
+        )
+        score = mx if score is None else score + mx
+    sims = (
+        subs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", score.alias("maxsim"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("maxsim").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("maxsim").cast("bigint").alias("maxsim"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (added in round 4; CORRECTNESS_r04 reran exactly the round-3 50-query set)
@@ -3830,6 +4143,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "m4_audio_stats", "a6_skew_salted_agg", "j21_zorder_tiles",
     "t30_kmv_distinct", "e11_kmv_stream", "p4_multimodal_pipeline",
     "f2_transformer_knn_partitioned", "j22_within_left_outer",
+    "e12_session_stream", "d7_gap_fill", "d8_scd2", "a7_pivot_status",
+    "v7_maxsim_topk",
 ]
 
 QUERIES = {

@@ -395,3 +395,37 @@ def kmv_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_window_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) as a STREAMING
+    plan via Spark's native ``session_window`` — the incremental twin of
+    batch e4.  The session-window state store keeps one open session per
+    (user, session) and MERGES adjacent sessions when a new event bridges
+    two previously-separate windows across micro-batches, which is exactly
+    the semantics the batch lag+cumsum formulation computes in one pass.
+
+    Scale shape: state shards by user_id; in production this runs in
+    update/append mode with a watermark so closed sessions evict
+    (state = open sessions only, not all history).  This harness drives
+    the finite file stream in complete mode so the final state equals the
+    batch answer and the e4 oracle must match bit-for-bit — per-row values
+    scale to BIGINT before the sum, so incremental state merges cannot
+    reorder an FP summation."""
+    return (
+        events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("sum_value_e4"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value_e4",
+        )
+    )

@@ -24,6 +24,9 @@ SENSITIVE = [
     "t30_kmv_distinct",        # per-group rank window picks the kth hash
     "d6_snapshot_diff",        # full-outer merge + re-aggregation
     "a6_skew_salted_agg",      # two-stage salted re-aggregation
+    "d7_gap_fill",             # LOCF forward-fill window over a built grid
+    "d8_scd2",                 # lag + cumulative run ids + lead over runs
+    "v7_maxsim_topk",          # top-k window over broadcast-join scores
 ]
 
 
