@@ -429,3 +429,70 @@ def session_window_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_e4",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters: per-language top-3 tokens from stateful counts
+# ---------------------------------------------------------------------------
+
+_HH_STATE_SCHEMA = "toks ARRAY<STRING>, cnts ARRAY<LONG>, n_seen LONG"
+_HH_OUT_SCHEMA = "lang STRING, token STRING, cnt LONG, rank INT, n_seen LONG"
+
+
+def _update_hh_state(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        toks, cnts, n_seen = state.get
+        counts = dict(zip(toks, cnts))
+    else:
+        counts, n_seen = {}, 0
+    for pdf in pdfs:
+        vc = pdf["w"].value_counts()  # vectorized; loop is vocab-sized
+        n_seen += int(vc.sum())
+        for tok, c in vc.items():
+            counts[tok] = counts.get(tok, 0) + int(c)
+    state.update((list(counts.keys()), list(counts.values()), n_seen))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    yield pd.DataFrame(
+        {
+            "lang": [key[0]] * len(top),
+            "token": [t for t, _ in top],
+            "cnt": [c for _, c in top],
+            "rank": list(range(1, len(top) + 1)),
+            "n_seen": [n_seen] * len(top),
+        }
+    )
+
+
+def heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-language heavy hitters (top-3 tokens, ties by token)
+    via a stateful token-count map per language — the incremental twin of
+    batch t22.  Each trigger re-emits the group's current top-3 with a
+    monotone ``n_seen`` cursor so the caller keeps the final snapshot.
+
+    State here is the EXACT per-language vocabulary map (vocab-bound, not
+    corpus-bound — same bound as t22's aggregation).  At 100 TB the exact
+    map becomes a space-saving/Misra-Gries summary with a fixed capacity:
+    identical plan shape, bounded error, the standard streaming top-k
+    trade; the fixture-scale exact map is what makes the batch oracle
+    checkable."""
+    ensure_udf_portability()
+    d = _as_stream_dir(f"{sf_dir}/documents.parquet")
+    batch_schema = spark.read.parquet(d).schema
+    docs = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    tok = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    )
+    return tok.groupBy("lang").applyInPandasWithState(
+        _update_hh_state,
+        outputStructType=_HH_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

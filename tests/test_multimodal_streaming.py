@@ -381,3 +381,23 @@ class TestWatermarkSemantics:
         # beyond the watermark and was dropped; hour-2/hour-3 windows are
         # not finalized yet in append mode (watermark still 2:40)
         assert got == {base: 2}
+
+
+class TestStreamingHeavyHitters:
+    def test_multi_trigger_counts_equal_batch_topk(self, spark, tmp_path):
+        """Split documents over 3 part files so maxFilesPerTrigger=1 forces
+        THREE triggers: the per-language count map must accumulate across
+        triggers to the same top-3 the batch rank window (t22) computes in
+        one pass — and only the FINAL emission (max n_seen cursor) may
+        survive the snapshot filter."""
+        from spark_ml_spatialjointransformer_spark.queries import QUERIES
+
+        src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        sf_dir = str(tmp_path)
+        src.repartition(3).write.parquet(f"{sf_dir}/documents.parquet")
+
+        stream = QUERIES["e13_heavy_hitters_stream"].fn(spark, sf_dir)
+        got = sorted((r.lang, r.token, r.cnt, r.rank) for r in stream.collect())
+        batch = QUERIES["t22_heavy_hitters"].fn(spark, sf_dir)
+        want = sorted((r.lang, r.token, r.cnt, r.rank) for r in batch.collect())
+        assert got == want and len(got) > 0

@@ -421,3 +421,54 @@ class TestNumNeighborsValidation:
     def test_default_and_explicit(self):
         assert self._t()._make_plan().k == 1
         assert self._t(numNeighbors="5")._make_plan().k == 5
+
+
+class TestBloom:
+    def test_no_false_negatives_and_low_fp(self):
+        """Every inserted key must pass membership (Bloom guarantee);
+        disjoint keys must mostly fail (~1% at this load factor)."""
+        import numpy as np
+
+        from spark_ml_spatialjointransformer_spark.operators.bloom import (
+            M_BITS,
+            N_PROBES,
+            _h1_h2,
+            build_bitmap,
+        )
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 1 << 60, size=20_000, dtype=np.int64)
+        other = rng.integers(0, 1 << 60, size=20_000, dtype=np.int64)
+        other = np.setdiff1d(other, keys)
+        bm = build_bitmap(keys)
+
+        def member(h):
+            h1, h2 = _h1_h2(h, M_BITS)
+            ok = np.ones(len(h), dtype=bool)
+            for i in range(N_PROBES):
+                p = (h1 + i * h2) % M_BITS
+                ok &= ((bm[p >> 3] >> (p & 7)) & 1).astype(bool)
+            return ok
+
+        assert member(keys).all()  # no false negatives, ever
+        fp = member(other).mean()
+        assert fp < 0.05, f"false-positive rate {fp:.3f} out of spec"
+
+    def test_empty_build_rejects_everything(self):
+        import numpy as np
+
+        from spark_ml_spatialjointransformer_spark.operators.bloom import (
+            M_BITS,
+            N_PROBES,
+            _h1_h2,
+            build_bitmap,
+        )
+
+        bm = build_bitmap([])
+        h = np.arange(100, dtype=np.int64)
+        h1, h2 = _h1_h2(h, M_BITS)
+        ok = np.ones(len(h), dtype=bool)
+        for i in range(N_PROBES):
+            p = (h1 + i * h2) % M_BITS
+            ok &= ((bm[p >> 3] >> (p & 7)) & 1).astype(bool)
+        assert not ok.any()
