@@ -1,0 +1,68 @@
+"""Graph analytics over edge lists (beyond the transitive closure in
+``dedup.py``): link-analysis ranking via integer-exact PageRank.
+
+The join-aggregate PageRank is the canonical distributed formulation:
+each iteration is one (edges ⋈ ranks) hash join keyed on the source id
+plus one destination-keyed aggregation — both shuffles key on node ids
+only, state is O(nodes + edges), and the iteration count is fixed and
+small.  All arithmetic is non-negative int64 (rank scaled by 1e6,
+truncating division for both the contribution split and the damping
+factor), so the result is bit-identical between Spark and a DuckDB
+replay of the same recurrence — `div` (truncate) and `//` (floor) agree
+on the non-negative domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_int(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    iters: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer PageRank over the UNDIRECTED graph given as unique pairs.
+
+    Recurrence (all int64, non-negative):
+        r0(v)   = scale
+        c_i(u)  = r_i(u) div deg(u)
+        r_i+1(v)= 0.15·scale + (85 · Σ_{u→v} c_i(u)) div 100
+
+    Every node of an undirected pair list has deg ≥ 1 and receives at
+    least one contribution, so each iteration covers every node.  Fixed
+    ``iters`` (not convergence-tested) keeps the plan shape static and
+    the oracle replayable as an unrolled CTE chain.
+
+    Scale shape: per iteration one src-keyed hash join + one dst-keyed
+    aggregation with map-side combine — node-id shuffles only.  Lineage
+    is truncated per round (localCheckpoint, as the t11 closure loop
+    does) so the iterated plan doesn't grow.
+
+    Output: (id, pr_e6) — one row per node.
+    """
+    teleport = (15 * scale) // 100
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    e = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+    # edges with their source degree attached; reused every iteration
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    ranks = deg.select("src", F.lit(scale).cast("long").alias("__r"))
+    for _ in range(iters):
+        contrib = ed.join(ranks, "src").select(
+            F.col("dst").alias("src"),  # next iteration keys on the receiver
+            F.expr("__r div __d").alias("__c"),
+        )
+        ranks = contrib.groupBy("src").agg(
+            F.expr(f"CAST({teleport} + (85 * sum(__c)) div 100 AS BIGINT)").alias(
+                "__r"
+            )
+        ).localCheckpoint(eager=False)
+    return ranks.select(F.col("src").alias("id"), F.col("__r").alias("pr_e6"))

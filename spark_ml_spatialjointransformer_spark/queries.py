@@ -4165,6 +4165,60 @@ def t31_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g1_oracle() -> str:
+    """Unrolled 5-iteration integer PageRank over the v2 near-dup pair
+    graph: the pair set is v2's oracle verbatim (nested subquery), and
+    each iteration is one CTE of the join-aggregate recurrence.  `//`
+    (floor) here equals Spark's `div` (truncate) because every term is
+    non-negative."""
+    iter_ctes, prev = [], "r0"
+    for i in range(1, 6):
+        iter_ctes.append(
+            f"""r{i} AS (
+  SELECT e.dst AS id,
+         CAST(150000 + (85 * sum({prev}.r // deg.d)) // 100 AS BIGINT) AS r
+  FROM e JOIN {prev} ON {prev}.id = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iter_ctes)
+    return f"""
+WITH pairs AS ({_v2_oracle()}),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+{chain}
+SELECT id AS vec_id, r AS pr_e6 FROM r5
+"""
+
+
+@_register("g1_pagerank", _g1_oracle())
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis ranking: 5 iterations of integer-exact PageRank over
+    the v2 near-duplicate pair graph — which duplicate-cluster members
+    are most central (the canonical-pick / influence signal transitive
+    closure alone can't give).  All arithmetic is non-negative int64
+    (rank ×1e6, truncating division), so Spark's iterated join-aggregate
+    and the oracle's unrolled CTE chain agree bit-for-bit.  Scale shape:
+    per iteration one node-keyed hash join + one map-combined
+    aggregation; lineage truncated per round like the t11 closure loop
+    (see ``operators/graph.py``)."""
+    from spark_ml_spatialjointransformer_spark.operators.graph import pagerank_int
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    )
+    return pagerank_int(pairs, "id_a", "id_b", iters=5).select(
+        F.col("id").alias("vec_id"), "pr_e6"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (added in round 4; CORRECTNESS_r04 reran exactly the round-3 50-query set)
@@ -4189,6 +4243,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "f2_transformer_knn_partitioned", "j22_within_left_outer",
     "e12_session_stream", "d7_gap_fill", "d8_scd2", "a7_pivot_status",
     "v7_maxsim_topk", "e13_heavy_hitters_stream", "t31_bloom_decontaminate",
+    "g1_pagerank",
 ]
 
 QUERIES = {
