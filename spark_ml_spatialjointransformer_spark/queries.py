@@ -4219,6 +4219,72 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A8_ORACLE = """
+WITH l AS (
+  SELECT l_partkey,
+         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER) AS ym,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100e0 + 0.5e0)
+              AS BIGINT) AS c
+  FROM lineitem
+),
+g AS (
+  SELECT ym,
+         CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN l.c ELSE 0 END) AS BIGINT)
+           AS promo_e2,
+         CAST(sum(l.c) AS BIGINT) AS total_e2
+  FROM l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY ym
+)
+SELECT ym, promo_e2, total_e2,
+       CAST((promo_e2 * 1000000) // total_e2 AS BIGINT) AS share_ppm
+FROM g
+"""
+
+
+@_register("a8_promo_revenue", _A8_ORACLE)
+def a8_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share per ship month: lineitem joins
+    the part dimension and the PROMO fraction of discounted revenue rolls
+    up monthly — the classic fact×dim conditional-share aggregate.
+    Revenue scales per-row to BIGINT cents (the a1 IEEE op sequence) and
+    the share is an integer ppm division on non-negative sums, so every
+    column is engine-exact.  Scale shape: the part dim broadcasts (it is
+    the small side by construction); one fact-side hash aggregation on
+    the derived month key with map-side combine — no fact shuffle before
+    the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)"
+        ).alias("ym"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100e0 + 0.5e0)"
+            " AS BIGINT)"
+        ).alias("c"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("__promo")
+    )
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("ym")
+        .agg(
+            F.sum(F.when(F.col("__promo"), F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("promo_e2"),
+            F.sum("c").cast("bigint").alias("total_e2"),
+        )
+    )
+    return g.select(
+        "ym",
+        "promo_e2",
+        "total_e2",
+        F.expr("CAST((promo_e2 * 1000000) div total_e2 AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (added in round 4; CORRECTNESS_r04 reran exactly the round-3 50-query set)
@@ -4243,7 +4309,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "f2_transformer_knn_partitioned", "j22_within_left_outer",
     "e12_session_stream", "d7_gap_fill", "d8_scd2", "a7_pivot_status",
     "v7_maxsim_topk", "e13_heavy_hitters_stream", "t31_bloom_decontaminate",
-    "g1_pagerank",
+    "g1_pagerank", "a8_promo_revenue",
 ]
 
 QUERIES = {
