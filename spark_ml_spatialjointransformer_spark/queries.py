@@ -4285,6 +4285,72 @@ def a8_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: MERGE fixture, deterministic by integer filters (d6's convention):
+#: base = keys not divisible by 97; changeset = keys divisible by 11
+#: (price +777 cents), of which keys also divisible by 13 are DELETE
+#: tombstones; changeset keys outside the base are inserts.
+_D9_ORACLE = """
+WITH src AS (SELECT o_orderkey,
+                    CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT) AS cents
+             FROM orders),
+base AS (SELECT * FROM src WHERE o_orderkey % 97 <> 0),
+chg AS (SELECT o_orderkey, cents + 777 AS cents,
+               (o_orderkey % 13 = 0) AS del
+        FROM src WHERE o_orderkey % 11 = 0),
+m AS (
+  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+         coalesce(c.cents, b.cents) AS cents,
+         CASE WHEN c.o_orderkey IS NULL THEN 'kept'
+              WHEN b.o_orderkey IS NULL THEN 'inserted'
+              ELSE 'updated' END AS origin,
+         coalesce(c.del, FALSE) AS del
+  FROM base b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey)
+SELECT o_orderkey, cents, origin FROM m WHERE NOT del
+"""
+
+
+@_register("d9_merge_upsert", _D9_ORACLE)
+def d9_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg CDC-apply shape) as one
+    relational pass: a changeset of upserts + delete tombstones applies to
+    a base snapshot via a single key-keyed FULL OUTER join — update wins
+    over base, changeset-only keys insert, tombstones drop the row — and
+    the post-merge table comes back row-for-row (d6 reports what CHANGED
+    between snapshots; d9 produces the merged STATE).  Prices scale to
+    integer cents once per row.  Scale shape: one hash-partitioned
+    full-outer join on the key (both sides shuffle once on o_orderkey;
+    with bucketed base tables the base-side shuffle disappears — see
+    tests/test_bucketing.py)."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    base = src.where(F.col("o_orderkey") % 97 != 0)
+    chg = src.where(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        (F.col("cents") + 777).alias("cents"),
+        (F.col("o_orderkey") % 13 == 0).alias("del"),
+    )
+    b = base.select(
+        F.col("o_orderkey").alias("b_key"), F.col("cents").alias("b_cents")
+    )
+    c = chg.select(
+        F.col("o_orderkey").alias("c_key"), F.col("cents").alias("c_cents"), "del"
+    )
+    m = b.join(c, F.col("b_key") == F.col("c_key"), "full_outer").select(
+        F.coalesce("b_key", "c_key").alias("o_orderkey"),
+        F.coalesce("c_cents", "b_cents").alias("cents"),
+        F.when(F.col("c_key").isNull(), F.lit("kept"))
+        .when(F.col("b_key").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("origin"),
+        F.coalesce("del", F.lit(False)).alias("__del"),
+    )
+    return m.where(~F.col("__del")).select("o_orderkey", "cents", "origin")
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (added in round 4; CORRECTNESS_r04 reran exactly the round-3 50-query set)
@@ -4309,7 +4375,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "f2_transformer_knn_partitioned", "j22_within_left_outer",
     "e12_session_stream", "d7_gap_fill", "d8_scd2", "a7_pivot_status",
     "v7_maxsim_topk", "e13_heavy_hitters_stream", "t31_bloom_decontaminate",
-    "g1_pagerank", "a8_promo_revenue",
+    "g1_pagerank", "a8_promo_revenue", "d9_merge_upsert",
 ]
 
 QUERIES = {
