@@ -4351,6 +4351,55 @@ def d9_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.where(~F.col("__del")).select("o_orderkey", "cents", "origin")
 
 
+@_register("e14_asof_stream", _D1_ORACLE)
+def e14_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME point-in-time join as d1 executed as a STREAMING
+    enrichment: events arrive on the stream and each picks the user's
+    most recent order at event time from a broadcast dimension of per-key
+    sorted arrays (vectorized searchsorted per micro-batch — stateless,
+    zero shuffle, append mode).  Checked against d1's DuckDB native ASOF
+    LEFT JOIN oracle: three algorithmically different implementations
+    (union-merge window plan, searchsorted broadcast probe, merge join)
+    must agree row-for-row.  See ``streaming/windowed.py:
+    asof_enrich_stream`` for the scale contract."""
+    import hashlib
+
+    from pyspark.sql.window import Window
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        asof_enrich_stream,
+        events_stream,
+        run_to_memory,
+    )
+
+    w = Window.partitionBy("user_id", "o_ts").orderBy(F.col("o_orderkey").desc())
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.expr(_O_TS_SPARK).alias("o_ts"),
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("total_e2"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.expr("unix_micros(CAST(o_ts AS TIMESTAMP))").alias("ts_us"),
+            "o_orderkey",
+            "total_e2",
+        )
+    )
+    dim_rows = [tuple(r) for r in od.collect()]
+    name = "q_e14_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    enriched = asof_enrich_stream(
+        events_stream(spark, f"{sf_dir}/events.parquet"), dim_rows
+    )
+    return run_to_memory(enriched, name, output_mode="append")
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (added in round 4; CORRECTNESS_r04 reran exactly the round-3 50-query set)
@@ -4375,7 +4424,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "f2_transformer_knn_partitioned", "j22_within_left_outer",
     "e12_session_stream", "d7_gap_fill", "d8_scd2", "a7_pivot_status",
     "v7_maxsim_topk", "e13_heavy_hitters_stream", "t31_bloom_decontaminate",
-    "g1_pagerank", "a8_promo_revenue", "d9_merge_upsert",
+    "g1_pagerank", "a8_promo_revenue", "d9_merge_upsert", "e14_asof_stream",
 ]
 
 QUERIES = {

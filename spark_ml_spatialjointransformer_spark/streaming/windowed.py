@@ -496,3 +496,73 @@ def heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def asof_enrich_stream(
+    events: DataFrame,
+    dim_rows,
+    out_schema: str = (
+        "event_id LONG, user_id LONG, order_key LONG, total_e2 LONG"
+    ),
+) -> DataFrame:
+    """Streaming point-in-time enrichment: each streamed event picks the
+    dimension row with the greatest timestamp ≤ its own (per key) — the
+    as-of lookup every online feature store performs at serving time.
+
+    ``dim_rows`` is the already-deduplicated dimension as driver rows
+    ``(user_id, ts_us, order_key, total_e2)``; it broadcasts as per-key
+    sorted numpy arrays and every micro-batch resolves its events with a
+    vectorized ``searchsorted`` per key — STATELESS (no state store at
+    all: the dimension is static, so no watermark, no eviction, append
+    mode), zero shuffle, partition-preserving.  The same memory contract
+    as every broadcast dimension in this engine; a dimension too big to
+    broadcast falls back to the batch union-merge as-of
+    (operators/temporal.py) over micro-batch snapshots."""
+    import numpy as np
+
+    spark = events.sparkSession
+    by_user: dict = {}
+    for uid, ts_us, okey, tot in dim_rows:
+        by_user.setdefault(uid, []).append((ts_us, okey, tot))
+    packed = {}
+    for uid, rows in by_user.items():
+        rows.sort()
+        a = np.array(rows, dtype=np.int64)
+        packed[uid] = (
+            a[:, 0].copy(), a[:, 1].copy(), a[:, 2].copy()
+        )  # ts sorted, order keys, totals
+    bc = spark.sparkContext.broadcast(packed)
+
+    def gen(batches):
+        import numpy as np  # executor-side body
+
+        dim = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[["event_id", "user_id"]].copy()
+            okey = np.full(len(pdf), np.nan)
+            tot = np.full(len(pdf), np.nan)
+            ts = pdf["ts_us"].to_numpy(dtype=np.int64)
+            uid = pdf["user_id"].to_numpy(dtype=np.int64)
+            for u in np.unique(uid):
+                d = dim.get(int(u))
+                if d is None:
+                    continue
+                dts, dk, dt = d
+                mask = uid == u
+                idx = np.searchsorted(dts, ts[mask], side="right") - 1
+                hit = idx >= 0
+                rows = np.nonzero(mask)[0][hit]
+                okey[rows] = dk[idx[hit]]
+                tot[rows] = dt[idx[hit]]
+            out["order_key"] = okey
+            out["total_e2"] = tot
+            yield out
+
+    ev = events.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+    )
+    return ev.mapInPandas(gen, out_schema)
