@@ -1,0 +1,182 @@
+"""Hand-built-fixture tests for the r5-late operators: edge cases the
+parquet oracles only hit by luck — ties, gaps, missing keys, batch
+boundaries, and a reference recurrence for PageRank."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+class TestMaxSim:
+    def test_matches_numpy_brute_force_across_small_batches(self, spark):
+        """Force many Arrow batches (maxRecordsPerBatch=7) and check the
+        distributed local-top-k + global window equals a single-matrix
+        numpy MaxSim — batch-boundary bugs in the local top-k would show
+        here."""
+        from spark_ml_spatialjointransformer_spark.operators.similarity import (
+            maxsim_topk,
+        )
+
+        rng = np.random.default_rng(11)
+        n, dim, nsub, k = 60, 16, 4, 3
+        vecs = rng.uniform(-1, 1, size=(n, dim)).astype(np.float32)
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(map(list, vecs))}
+        )
+        df = spark.createDataFrame(pdf)
+        q = df.filter(F.col("vec_id") % 20 == 0)
+
+        prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        try:
+            got = sorted(
+                tuple(r)
+                for r in maxsim_topk(
+                    df, q, "vec_id", "embedding", "vec_id", "embedding",
+                    k=k, n_sub=nsub,
+                ).collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+        # numpy reference on the same quantization
+        Z = np.floor(vecs.astype(np.float64) * 100000.0 + 0.5).astype(np.int64)
+        Zs = Z.reshape(n, nsub, dim // nsub)
+        want = []
+        for qi in range(0, n, 20):
+            scores = np.zeros(n, dtype=np.int64)
+            for qa in range(nsub):
+                dots = np.stack(
+                    [Zs[:, cb, :] @ Zs[qi, qa, :] for cb in range(nsub)]
+                )
+                scores += dots.max(axis=0)
+            order = sorted(
+                (i for i in range(n) if i != qi),
+                key=lambda i: (-scores[i], i),
+            )[:k]
+            want.extend((qi, i, int(scores[i])) for i in order)
+        assert got == sorted(want)
+
+
+class TestSCD2Ties:
+    def test_same_timestamp_ties_pin_by_event_id(self, spark):
+        """Two state changes at the SAME timestamp must collapse in
+        event_id order (the documented tiebreak), giving one zero-length
+        interval, not a nondeterministic merge."""
+        from spark_ml_spatialjointransformer_spark.queries import d8_scd2
+
+        rows = [
+            (1, "a", "2024-01-01 00:00:00", 10),
+            (1, "b", "2024-01-01 00:00:00", 11),  # same ts, later id
+            (1, "b", "2024-01-01 01:00:00", 12),
+            (1, "a", "2024-01-01 02:00:00", 13),
+        ]
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts", "event_id"])
+        df = spark.createDataFrame(pdf).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        import tempfile, os
+
+        d = tempfile.mkdtemp()
+        df.select("event_id", "ts", "user_id", "event_type").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        out = sorted(
+            (r.event_type, r.valid_from_us, r.valid_to_us, r.n_rows, r.is_current)
+            for r in d8_scd2(spark, d).collect()
+        )
+        t0 = 1704067200_000000
+        h = 3600_000000
+        assert out == [
+            ("a", t0, t0, 1, False),          # zero-length run, id 10
+            ("a", t0 + 2 * h, -1, 1, True),   # current run
+            ("b", t0, t0 + 2 * h, 2, False),  # ids 11+12 merged
+        ]
+
+
+class TestGapFill:
+    def test_forward_fill_carries_last_observed_value(self, spark):
+        from spark_ml_spatialjointransformer_spark.queries import d7_gap_fill
+
+        rows = [
+            (1, "2024-01-01 05:00:00", 1.0),
+            (1, "2024-01-04 05:00:00", 2.5),  # 2-day gap before this
+        ]
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        df = (
+            spark.createDataFrame(pdf)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("event_id", F.lit(1))
+            .withColumn("event_type", F.lit("x"))
+            .withColumn("props", F.lit("{}"))
+        )
+        import tempfile, os
+
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = sorted(
+            (r.day_idx, r.filled_e4, r.is_gap) for r in d7_gap_fill(spark, d).collect()
+        )
+        d0 = out[0][0]
+        assert out == [
+            (d0, 10000, False),
+            (d0 + 1, 10000, True),   # carried forward
+            (d0 + 2, 10000, True),   # still carried
+            (d0 + 3, 25000, False),
+        ]
+
+
+class TestAsofEnrich:
+    def test_event_before_first_dim_row_gets_nulls(self, spark):
+        """Batch-mode probe of the streaming enrichment kernel (mapInPandas
+        is source-agnostic): an event before the user's first order and a
+        user absent from the dimension both yield NULL enrichment."""
+        from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+            asof_enrich_stream,
+        )
+
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_id": [1, 2, 3],
+                    "user_id": [7, 7, 9],  # user 9 has no dim rows
+                    "ts": pd.to_datetime(
+                        ["2024-01-01", "2024-03-01", "2024-03-01"]
+                    ),
+                }
+            )
+        )
+        feb1 = 1706745600_000000
+        dim = [(7, feb1, 100, 5000)]
+        out = {r.event_id: (r.order_key, r.total_e2)
+               for r in asof_enrich_stream(ev, dim).collect()}
+        assert out == {1: (None, None), 2: (100, 5000), 3: (None, None)}
+
+
+class TestPageRank:
+    def test_matches_reference_recurrence_on_known_graph(self, spark):
+        """Triangle {1,2,3} plus pendant 4–1: iterate the integer
+        recurrence in plain Python and demand bit-equality."""
+        from spark_ml_spatialjointransformer_spark.operators.graph import (
+            pagerank_int,
+        )
+
+        pairs = [(1, 2), (2, 3), (1, 3), (1, 4)]
+        df = spark.createDataFrame(pairs, "a long, b long")
+        got = {r.id: r.pr_e6 for r in pagerank_int(df, "a", "b", iters=5).collect()}
+
+        edges = pairs + [(b, a) for a, b in pairs]
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        r = {v: 1_000_000 for v in deg}
+        for _ in range(5):
+            s = {v: 0 for v in deg}
+            for u, v in edges:
+                s[v] += r[u] // deg[u]
+            r = {v: 150_000 + (85 * s[v]) // 100 for v in deg}
+        assert got == r
+        # pendant-adjacent hub outranks the symmetric pair
+        assert got[1] > got[2] == got[3] > got[4]
