@@ -734,3 +734,132 @@ def maxsim_topk(
         .where(F.col("__rn") <= k)
         .select("q_vec_id", "neighbor_id", "maxsim")
     )
+
+
+#: PQ geometry: 64-dim → 4 sub-spaces × 16 dims, 16 codewords each — a
+#: 4-byte code per vector (16× compression over float32, 128× over the
+#: int64-quantized exact form).  Codewords come from the same closed-form
+#: integer LCG family as the SRP planes (srp_planes) so the DuckDB oracle
+#: replays them exactly; production would k-means-train them (O(sample),
+#: driver-side, like ivf_topk's centroids) — the assignment/ADC machinery
+#: is identical either way.
+PQ_N_SUB = 4
+PQ_N_CENTROIDS = 16
+PQ_CB_SCALE = 12500  # lifts ±8 codeword ints to the ±1e5 embedding scale
+
+
+def pq_codebook(n_sub: int = PQ_N_SUB, n_centroids: int = PQ_N_CENTROIDS,
+                sub_dim: int = 16):
+    """Closed-form integer codebook tensor [n_sub, n_centroids, sub_dim]."""
+    import numpy as np
+
+    a = np.arange(n_sub)[:, None, None]
+    c = np.arange(n_centroids)[None, :, None]
+    j = np.arange(sub_dim)[None, None, :]
+    return (
+        ((a * 73856093 + c * 19349663 + j * 83492791 + 7) % 2039) % 17 - 8
+    ).astype(np.int64) * PQ_CB_SCALE
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    emb_col: str,
+    q_id_col: str,
+    q_emb_col: str,
+    k: int = 10,
+    scale: float = 100000.0,
+) -> DataFrame:
+    """Product-quantization retrieval with asymmetric distance computation
+    (ADC): every corpus vector compresses to one codeword index per
+    sub-space (4 bytes here); each query precomputes a [n_sub × n_codes]
+    integer lookup table of dot products against the codebook, and a
+    corpus vector's score is just ``Σ_a LUT[a][code_a]`` — table lookups,
+    no per-pair arithmetic over raw vectors.  Top-k per query, ties by
+    neighbor id.  All integer (quantized embeddings × integer codewords),
+    so the DuckDB oracle reproduces scores bit-for-bit.
+
+    Scale shape: ONE scan of the corpus (mapInPandas): quantize → assign
+    codes (argmin over n_codes integer distances, first-minimum tie rule
+    = lowest index in numpy and SQL alike) → LUT-score → local top-k per
+    batch; a tiny window finishes globally.  At 100 TB the codes
+    materialize once as a 4-byte column (the 16×-compressed corpus the
+    whole point of PQ) and subsequent queries scan codes only; broadcast
+    is the LUT — n_sub·n_codes ints per query."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    out_schema = "q_vec_id long, neighbor_id long, adc_score long"
+    rows = queries.select(q_id_col, q_emb_col).collect()
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    cb = pq_codebook()
+    n_sub, n_codes, sub_dim = cb.shape
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qraw = np.array(
+        [np.asarray(r[1], dtype=np.float64) for r in rows], dtype=np.float64
+    )
+    Qz = np.floor(qraw * scale + 0.5).astype(np.int64)
+    Qs = Qz.reshape(len(qids), n_sub, sub_dim)
+    # LUT[q, a, c] = dot(query sub-vector a, codeword (a, c))
+    lut = np.einsum("qad,acd->qac", Qs, cb)
+    bc = spark.sparkContext.broadcast((qids, lut, cb))
+
+    def gen(batches):
+        import numpy as np  # executor-side body
+
+        bqids, blut, bcb = bc.value
+        ns, nc, sd = bcb.shape
+        int_min = np.iinfo(np.int64).min
+        for pdf_b in batches:
+            if len(pdf_b) == 0:
+                continue
+            bids = pdf_b.iloc[:, 0].to_numpy(dtype=np.int64)
+            braw = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf_b.iloc[:, 1]],
+                dtype=np.float64,
+            )
+            Bz = (
+                np.floor(braw * scale + 0.5).astype(np.int64)
+                .reshape(len(bids), ns, sd)
+            )
+            # codes[n, a]: argmin_c ||sub - codeword||² (first min = lowest c)
+            d2 = ((Bz[:, :, None, :] - bcb[None, :, :, :]) ** 2).sum(axis=-1)
+            codes = d2.argmin(axis=2)
+            # scores[n, q] = Σ_a LUT[q, a, codes[n, a]] — all-advanced
+            # indexing so the gather broadcasts to [n, q, a]
+            gathered = blut[
+                np.arange(blut.shape[0])[None, :, None],
+                np.arange(ns)[None, None, :],
+                codes[:, None, :],
+            ]
+            scores = gathered.sum(axis=-1)
+            scores[bids[:, None] == bqids[None, :]] = int_min
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(bqids)):
+                col = scores[:, qi]
+                vidx = np.nonzero(col > int_min)[0]
+                if len(vidx) == 0:
+                    continue
+                kk = min(k, len(vidx))
+                order = np.lexsort((bids[vidx], -col[vidx]))
+                top = vidx[order[:kk]]
+                out_q.extend([bqids[qi]] * len(top))
+                out_c.extend(bids[top].tolist())
+                out_s.extend(col[top].tolist())
+            yield pd.DataFrame(
+                {"q_vec_id": out_q, "neighbor_id": out_c, "adc_score": out_s}
+            )
+
+    local = df.select(id_col, emb_col).mapInPandas(gen, out_schema)
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("q_vec_id", "neighbor_id", "adc_score")
+    )

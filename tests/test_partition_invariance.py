@@ -28,6 +28,7 @@ SENSITIVE = [
     "d8_scd2",                 # lag + cumulative run ids + lead over runs
     "v7_maxsim_topk",          # top-k window over broadcast-join scores
     "g1_pagerank",             # iterated join-aggregate with checkpoints
+    "v8_pq_adc_topk",          # batch-local top-k + global window
 ]
 
 
