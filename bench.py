@@ -77,30 +77,47 @@ def main() -> None:
     # proved too few to damp it (r3's record showed phantom 2-3x
     # regressions that vanished on re-run with identical code).  But a
     # fixed best-of-3 over a growing registry risks outliving the driver's
-    # window — so every query gets two reps, and queries keep earning a
-    # third while the extra-rep wall-clock budget lasts (slowest-first
-    # order would bias the budget; registry order is arbitrary-but-fixed).
+    # window — so every query gets two reps, then the extra-rep wall-clock
+    # budget goes to the queries whose two readings DISAGREE most (largest
+    # max/min ratio): they are exactly the ones a load spike hit, and a
+    # third reading is the tiebreaker.  Registry order would spend the
+    # budget on whatever happens to register first; spread order spends it
+    # where it buys stability.
     extra_budget = float(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SEC", "90"))
     extra_spent = 0.0
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     failed: list[str] = []
     for name, qd in QUERIES.items():
         try:
-            best = None
-            for rep in range(3):
-                if rep == 2 and extra_spent >= extra_budget:
-                    break
+            rr = []
+            for _ in range(2):
                 clear_session_state(spark)  # outside the timed region
                 t0 = time.perf_counter()
                 run(qd.fn(spark, sf_dir))
-                dt = time.perf_counter() - t0
-                if rep == 2:
-                    extra_spent += dt
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                rr.append(time.perf_counter() - t0)
+            reps[name] = rr
+            timings[name] = round(min(rr), 3)
         except Exception as e:  # one broken query must not void the record
             failed.append(name)
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+
+    def spread(name: str) -> float:
+        rr = reps[name]
+        return max(rr) / max(min(rr), 1e-9)
+
+    for name in sorted(reps, key=spread, reverse=True):
+        if extra_spent >= extra_budget or spread(name) < 1.2:
+            break  # stable readings don't need a tiebreaker
+        try:
+            clear_session_state(spark)
+            t0 = time.perf_counter()
+            run(QUERIES[name].fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            extra_spent += dt
+            timings[name] = round(min(timings[name], dt), 3)
+        except Exception as e:
+            print(f"bench: {name} rep3 FAILED: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
