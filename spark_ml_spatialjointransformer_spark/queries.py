@@ -4468,10 +4468,11 @@ def v8_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
-# (added in round 4; CORRECTNESS_r04 reran exactly the round-3 50-query set)
-# are surfaced FIRST in the registry so a truncating or time-budgeted driver
-# checks them before the long-green rest.  Everything else keeps its original
-# relative order.
+# (everything added since round 3 — CORRECTNESS_r04 reran exactly the
+# round-3 50-query set, so later additions keep joining this list) are
+# surfaced FIRST in the registry so a truncating or time-budgeted driver
+# checks them before the long-green rest.  Everything else keeps its
+# original relative order.
 # ---------------------------------------------------------------------------
 _DRIVER_UNCHECKED_FIRST = [
     "a2_rollup_pricing", "a3_regional_revenue", "a4_length_percentiles",
