@@ -4466,6 +4466,135 @@ def v8_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D10_ORACLE = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS w
+           FROM events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00'),
+c AS (SELECT user_id, min(w) AS cw FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, c.cw, e.w - c.cw AS k
+      FROM e JOIN c USING (user_id)),
+s AS (SELECT cw, count(*) AS cohort_n FROM c GROUP BY cw),
+r AS (SELECT cw, k, count(*) AS n_active FROM a
+      WHERE k BETWEEN 0 AND 3 GROUP BY cw, k)
+SELECT r.cw AS cohort_week, CAST(r.k AS INTEGER) AS week_k,
+       r.n_active, s.cohort_n,
+       CAST((r.n_active * 1000000) // s.cohort_n AS BIGINT) AS retention_ppm
+FROM r JOIN s USING (cw)
+"""
+
+
+@_register("d10_retention_cohorts", _D10_ORACLE)
+def d10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users cohorted by first-activity week, and for
+    offsets k = 0..3 the ppm of each cohort still active in week
+    cohort+k — the engagement-curve shape behind every retention
+    dashboard and data-freshness weighting.  Week indices are integer
+    microsecond division (ts ≥ epoch keeps truncate/floor identical);
+    the ppm is a non-negative integer division.  Scale shape: all three
+    aggregations key on user or cohort-week hashes with map-side
+    combine; the distinct-activity dedup happens BEFORE the count, so
+    only (user, cohort, k) triples — not raw events — reach the final
+    aggregation."""
+    ev = (
+        load_events(spark, sf_dir)
+        .where(F.expr("ts >= TIMESTAMP '1970-01-01 00:00:00'"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000").alias(
+                "w"
+            ),
+        )
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("w").alias("cw"))
+    active = (
+        ev.join(cohort, "user_id")
+        .select("user_id", "cw", (F.col("w") - F.col("cw")).alias("k"))
+        .distinct()
+    )
+    size = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_n"))
+    ret = (
+        active.where(F.col("k").between(0, 3))
+        .groupBy("cw", "k")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return ret.join(size, "cw").select(
+        F.col("cw").alias("cohort_week"),
+        F.col("k").cast("int").alias("week_k"),
+        "n_active",
+        "cohort_n",
+        F.expr("CAST((n_active * 1000000) div cohort_n AS BIGINT)").alias(
+            "retention_ppm"
+        ),
+    )
+
+
+_A9_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l.l_quantity * 100e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+         AS sum_qty_e2,
+       CAST(sum(CAST(floor(o.o_totalprice * 100e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+         AS sum_price_e2
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@_register("a9_bucketed_join", _A9_ORACLE)
+def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-layout half of the 100 TB join story as a LIVE query:
+    orders and lineitem are first WRITTEN bucketed+sorted on the join key
+    (16 buckets — the recurring-fact-table layout a nightly pipeline
+    maintains), then the fact×fact join reads co-located buckets with
+    ZERO exchange on either side (plan pinned in
+    tests/test_bucketing.py; here the VALUES are pinned against a plain
+    join oracle, proving the bucketed write/read round-trip loses
+    nothing).  Only the 5-group priority aggregation shuffles.  At scale
+    this turns every recurring orders×lineitem-shaped join from two
+    full-data shuffles into none."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    specs = [
+        (
+            f"sjt_bkt_o_{tag}",
+            "o_orderkey",
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.expr(
+                    "CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)"
+                ).alias("price_e2"),
+            ),
+        ),
+        (
+            f"sjt_bkt_l_{tag}",
+            "l_orderkey",
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey",
+                F.expr(
+                    "CAST(floor(l_quantity * 100e0 + 0.5e0) AS BIGINT)"
+                ).alias("qty_e2"),
+            ),
+        ),
+    ]
+    for name, key, df in specs:
+        (
+            df.write.bucketBy(16, key)
+            .sortBy(key)
+            .option("path", f"/tmp/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table(f"sjt_bkt_o_{tag}")
+    li = spark.table(f"sjt_bkt_l_{tag}")
+    j = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("qty_e2").cast("bigint").alias("sum_qty_e2"),
+        F.sum("price_e2").cast("bigint").alias("sum_price_e2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (everything added since round 3 — CORRECTNESS_r04 reran exactly the
@@ -4492,7 +4621,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "e12_session_stream", "d7_gap_fill", "d8_scd2", "a7_pivot_status",
     "v7_maxsim_topk", "e13_heavy_hitters_stream", "t31_bloom_decontaminate",
     "g1_pagerank", "a8_promo_revenue", "d9_merge_upsert", "e14_asof_stream",
-    "v8_pq_adc_topk",
+    "v8_pq_adc_topk", "d10_retention_cohorts", "a9_bucketed_join",
 ]
 
 QUERIES = {
