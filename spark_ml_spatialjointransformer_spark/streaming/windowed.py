@@ -498,12 +498,19 @@ def heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: asof_enrich_stream ships (4 int64s per dim row) to every executor; at
+#: 5M rows that is ~160 MiB of broadcast — the practical ceiling before
+#: the batch union-merge as-of over micro-batch snapshots takes over.
+ASOF_MAX_DIM_ROWS = 5_000_000
+
+
 def asof_enrich_stream(
     events: DataFrame,
     dim_rows,
     out_schema: str = (
         "event_id LONG, user_id LONG, order_key LONG, total_e2 LONG"
     ),
+    max_dim_rows: int = ASOF_MAX_DIM_ROWS,
 ) -> DataFrame:
     """Streaming point-in-time enrichment: each streamed event picks the
     dimension row with the greatest timestamp ≤ its own (per key) — the
@@ -520,6 +527,14 @@ def asof_enrich_stream(
     (operators/temporal.py) over micro-batch snapshots."""
     import numpy as np
 
+    if len(dim_rows) > max_dim_rows:
+        raise ValueError(
+            f"asof_enrich_stream: dimension has {len(dim_rows)} rows, above "
+            f"the broadcast bound of {max_dim_rows}. A dimension this large "
+            "should not broadcast — run the batch union-merge as-of "
+            "(operators/temporal.py:asof_join) over micro-batch snapshots "
+            "instead."
+        )
     spark = events.sparkSession
     by_user: dict = {}
     for uid, ts_us, okey, tot in dim_rows:

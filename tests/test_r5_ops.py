@@ -180,3 +180,20 @@ class TestPageRank:
         assert got == r
         # pendant-adjacent hub outranks the symmetric pair
         assert got[1] > got[2] == got[3] > got[4]
+
+
+class TestAsofGuard:
+    def test_oversized_dimension_raises_with_routing_hint(self, spark):
+        from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+            asof_enrich_stream,
+        )
+
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                {"event_id": [1], "user_id": [1],
+                 "ts": pd.to_datetime(["2024-01-01"])}
+            )
+        )
+        dim = [(1, 0, 1, 1), (2, 0, 2, 2), (3, 0, 3, 3)]
+        with pytest.raises(ValueError, match="asof_join"):
+            asof_enrich_stream(ev, dim, max_dim_rows=2)
