@@ -19,9 +19,6 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
-
 #: default geometry: 2^20 bits / 7 probes ≈ 1% FP at ~100k distinct keys
 M_BITS = 1 << 20
 N_PROBES = 7
@@ -76,7 +73,4 @@ def bloom_member_col(
             ok &= ((bm[p >> 3] >> (p & 7)) & 1).astype(bool)
         return pd.Series(ok)
 
-    def apply(c: Column) -> Column:
-        return member(c)
-
-    return apply
+    return member

@@ -52,12 +52,18 @@ def pagerank_int(
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
     )
+    # checkpoint the expanded edge list ONCE — it is the subtree every
+    # branch below re-reads (degree, the initial ranks, and the join in
+    # every iteration), and without the barrier the potentially expensive
+    # `pairs` lineage (e.g. an LSH self-join) would compile into — and
+    # execute in — each of those branches
     e = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
-    # edges with their source degree attached; reused every iteration
-    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    # edges with their source degree attached; identical deg exchanges
+    # across iterations collapse via ReusedExchange in the single plan
+    ed = e.join(deg, "src")
     ranks = deg.select("src", F.lit(scale).cast("long").alias("__r"))
     for _ in range(iters):
         contrib = ed.join(ranks, "src").select(

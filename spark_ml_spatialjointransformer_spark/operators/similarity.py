@@ -802,6 +802,11 @@ def pq_adc_topk(
     qraw = np.array(
         [np.asarray(r[1], dtype=np.float64) for r in rows], dtype=np.float64
     )
+    if qraw.shape[1] != n_sub * sub_dim:
+        raise ValueError(
+            f"pq_adc_topk: embedding dim {qraw.shape[1]} does not match the "
+            f"codebook geometry {n_sub}×{sub_dim}"
+        )
     Qz = np.floor(qraw * scale + 0.5).astype(np.int64)
     Qs = Qz.reshape(len(qids), n_sub, sub_dim)
     # LUT[q, a, c] = dot(query sub-vector a, codeword (a, c))

@@ -2179,6 +2179,26 @@ GROUP BY g.doc_id
 """
 
 
+def _doc_grams4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, __gh) — each document's DISTINCT word 4-grams as h60 ints.
+    The ONE definition of the gram convention shared by t15 (and through
+    it t23) and t31 — a window/tokenizer change here changes all three
+    together, which their mutual 'identical result' contracts require."""
+    tk = F.split(F.trim(F.col("text")), " ")
+    grams4 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__tk")) - 4),
+            lambda i: h60_col(F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, 4))),
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tk.alias("__tk"))
+        .where(F.size("__tk") >= 4)
+        .select("doc_id", F.explode(grams4).alias("__gh"))
+    )
+
+
 @_register("t15_contamination", _T15_ORACLE)
 def t15_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: flag corpus documents sharing any
@@ -2189,19 +2209,7 @@ def t15_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc distinct grams via array_distinct BEFORE the explode, and the
     count aggregates map-side.  Output: (doc_id, n_shared) for
     contaminated non-benchmark docs only."""
-    tk = F.split(F.trim(F.col("text")), " ")
-    grams4 = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("__tk")) - 4),
-            lambda i: h60_col(F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, 4))),
-        )
-    )
-    g = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", tk.alias("__tk"))
-        .where(F.size("__tk") >= 4)
-        .select("doc_id", F.explode(grams4).alias("__gh"))
-    )
+    g = _doc_grams4(spark, sf_dir)
     bench = g.where(F.col("doc_id") % 23 == 0).select("__gh").distinct()
     return (
         g.where(F.col("doc_id") % 23 != 0)
@@ -4131,24 +4139,20 @@ def t31_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_member_col,
     )
 
-    tk = F.split(F.trim(F.col("text")), " ")
-    grams4 = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("__tk")) - 4),
-            lambda i: h60_col(F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, 4))),
-        )
-    )
-    docs = load_table(spark, sf_dir, "documents")
-    g = (
-        docs.select("doc_id", tk.alias("__tk"))
-        .where(F.size("__tk") >= 4)
-        .select("doc_id", F.explode(grams4).alias("__gh"))
-    )
-    bench = g.where(F.col("doc_id") % 23 == 0).select("__gh").distinct()
+    g = _doc_grams4(spark, sf_dir)  # t15's gram convention, one definition
     # build side = held-out grams: small by contract (t15's broadcast
-    # bound); the bitmap build collects exactly that set
-    hashes = [r[0] for r in bench.collect()]
+    # bound); the ONE collect feeds both the bitmap build and the exact
+    # confirm side (re-deriving the bench DataFrame would re-run its scan
+    # and explode a second time)
+    hashes = [
+        r[0]
+        for r in g.where(F.col("doc_id") % 23 == 0)
+        .select("__gh")
+        .distinct()
+        .collect()
+    ]
     member = bloom_member_col(spark, hashes)
+    bench = spark.createDataFrame([(h,) for h in hashes], "__gh long")
     cand = (
         g.where(F.col("doc_id") % 23 != 0)
         .where(member(F.col("__gh")))  # bloom prune: no shuffle yet
@@ -4159,7 +4163,8 @@ def t31_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        docs.where(F.col("doc_id") % 23 != 0)
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 23 != 0)
         .join(bad, "doc_id", "left_anti")
         .select("doc_id", "lang")
     )
@@ -4202,8 +4207,8 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank ×1e6, truncating division), so Spark's iterated join-aggregate
     and the oracle's unrolled CTE chain agree bit-for-bit.  Scale shape:
     per iteration one node-keyed hash join + one map-combined
-    aggregation; lineage truncated per round like the t11 closure loop
-    (see ``operators/graph.py``)."""
+    aggregation; the edge list checkpoints once and the fixed-depth rank
+    lineage stays lazy (see ``operators/graph.py``)."""
     from spark_ml_spatialjointransformer_spark.operators.graph import pagerank_int
     from spark_ml_spatialjointransformer_spark.operators.similarity import (
         lsh_neardup_pairs,

@@ -556,8 +556,11 @@ def asof_enrich_stream(
             if len(pdf) == 0:
                 continue
             out = pdf[["event_id", "user_id"]].copy()
-            okey = np.full(len(pdf), np.nan)
-            tot = np.full(len(pdf), np.nan)
+            # nullable Int64, NOT NaN-filled float64: int64 keys above 2^53
+            # would silently round through a double
+            okey = np.zeros(len(pdf), dtype=np.int64)
+            tot = np.zeros(len(pdf), dtype=np.int64)
+            found = np.zeros(len(pdf), dtype=bool)
             ts = pdf["ts_us"].to_numpy(dtype=np.int64)
             uid = pdf["user_id"].to_numpy(dtype=np.int64)
             for u in np.unique(uid):
@@ -571,8 +574,10 @@ def asof_enrich_stream(
                 rows = np.nonzero(mask)[0][hit]
                 okey[rows] = dk[idx[hit]]
                 tot[rows] = dt[idx[hit]]
-            out["order_key"] = okey
-            out["total_e2"] = tot
+                found[rows] = True
+            miss = ~found
+            out["order_key"] = pd.arrays.IntegerArray(okey, mask=miss.copy())
+            out["total_e2"] = pd.arrays.IntegerArray(tot, mask=miss.copy())
             yield out
 
     ev = events.select(

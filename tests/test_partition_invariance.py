@@ -27,7 +27,7 @@ SENSITIVE = [
     "d7_gap_fill",             # LOCF forward-fill window over a built grid
     "d8_scd2",                 # lag + cumulative run ids + lead over runs
     "v7_maxsim_topk",          # top-k window over broadcast-join scores
-    "g1_pagerank",             # iterated join-aggregate with checkpoints
+    "g1_pagerank",             # iterated join-aggregate recurrence
     "v8_pq_adc_topk",          # batch-local top-k + global window
 ]
 

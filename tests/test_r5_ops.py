@@ -61,7 +61,7 @@ class TestMaxSim:
 
 
 class TestSCD2Ties:
-    def test_same_timestamp_ties_pin_by_event_id(self, spark):
+    def test_same_timestamp_ties_pin_by_event_id(self, spark, tmp_path):
         """Two state changes at the SAME timestamp must collapse in
         event_id order (the documented tiebreak), giving one zero-length
         interval, not a nondeterministic merge."""
@@ -77,12 +77,10 @@ class TestSCD2Ties:
         df = spark.createDataFrame(pdf).withColumn(
             "ts", F.col("ts").cast("timestamp")
         )
-        import tempfile, os
-
-        d = tempfile.mkdtemp()
+        d = str(tmp_path)
         df.select("event_id", "ts", "user_id", "event_type").write.mode(
             "overwrite"
-        ).parquet(os.path.join(d, "events.parquet"))
+        ).parquet(f"{d}/events.parquet")
         out = sorted(
             (r.event_type, r.valid_from_us, r.valid_to_us, r.n_rows, r.is_current)
             for r in d8_scd2(spark, d).collect()
@@ -97,7 +95,7 @@ class TestSCD2Ties:
 
 
 class TestGapFill:
-    def test_forward_fill_carries_last_observed_value(self, spark):
+    def test_forward_fill_carries_last_observed_value(self, spark, tmp_path):
         from spark_ml_spatialjointransformer_spark.queries import d7_gap_fill
 
         rows = [
@@ -112,10 +110,8 @@ class TestGapFill:
             .withColumn("event_type", F.lit("x"))
             .withColumn("props", F.lit("{}"))
         )
-        import tempfile, os
-
-        d = tempfile.mkdtemp()
-        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        d = str(tmp_path)
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
         out = sorted(
             (r.day_idx, r.filled_e4, r.is_gap) for r in d7_gap_fill(spark, d).collect()
         )
