@@ -193,3 +193,94 @@ class TestAsofGuard:
         dim = [(1, 0, 1, 1), (2, 0, 2, 2), (3, 0, 3, 3)]
         with pytest.raises(ValueError, match="asof_join"):
             asof_enrich_stream(ev, dim, max_dim_rows=2)
+
+
+class TestPageRankProperty:
+    def test_random_graphs_match_reference(self, spark):
+        """Randomized cross-check: several random pair graphs, each checked
+        bit-for-bit against the plain-Python recurrence (the generalized
+        form of the known-graph test)."""
+        from spark_ml_spatialjointransformer_spark.operators.graph import (
+            pagerank_int,
+        )
+
+        rng = np.random.default_rng(23)
+        for trial in range(3):
+            n = int(rng.integers(5, 30))
+            # cap by the graph's maximum distinct pair count, or the
+            # rejection loop below can never terminate for small n
+            m = min(int(rng.integers(4, 60)), n * (n - 1) // 2)
+            pairs = set()
+            while len(pairs) < m:
+                a, b = rng.integers(0, n, size=2)
+                if a != b:
+                    pairs.add((int(min(a, b)), int(max(a, b))))
+            pairs = sorted(pairs)
+            df = spark.createDataFrame(pairs, "a long, b long")
+            got = {
+                r.id: r.pr_e6 for r in pagerank_int(df, "a", "b", iters=4).collect()
+            }
+
+            edges = list(pairs) + [(b, a) for a, b in pairs]
+            deg = {}
+            for s, _ in edges:
+                deg[s] = deg.get(s, 0) + 1
+            r = {v: 1_000_000 for v in deg}
+            for _ in range(4):
+                s = {v: 0 for v in deg}
+                for u, v in edges:
+                    s[v] += r[u] // deg[u]
+                r = {v: 150_000 + (85 * s[v]) // 100 for v in deg}
+            assert got == r, f"trial {trial}: {sorted(got.items())[:3]}..."
+
+
+class TestPQCodes:
+    def test_adc_scores_match_python_reference(self, spark):
+        """Random embeddings through the distributed PQ pipeline must match
+        a from-scratch Python replay (codebook, argmin assignment with
+        first-minimum ties, LUT scoring, top-k with id ties)."""
+        from spark_ml_spatialjointransformer_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_codebook,
+        )
+
+        rng = np.random.default_rng(5)
+        n, dim, k = 40, 64, 4
+        vecs = rng.uniform(-1, 1, size=(n, dim)).astype(np.float32)
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64),
+             "embedding": list(map(list, vecs))}
+        )
+        df = spark.createDataFrame(pdf)
+        q = df.filter(F.col("vec_id") % 13 == 0)
+        got = sorted(
+            tuple(r)
+            for r in pq_adc_topk(
+                df, q, "vec_id", "embedding", "vec_id", "embedding", k=k
+            ).collect()
+        )
+
+        cb = pq_codebook()
+        Z = np.floor(vecs.astype(np.float64) * 100000.0 + 0.5).astype(np.int64)
+        Zs = Z.reshape(n, 4, 16)
+        codes = np.array(
+            [
+                [
+                    int(np.argmin(((Zs[i, a] - cb[a]) ** 2).sum(axis=1)))
+                    for a in range(4)
+                ]
+                for i in range(n)
+            ]
+        )
+        want = []
+        for qi in range(0, n, 13):
+            lut = np.einsum("ad,acd->ac", Zs[qi], cb)
+            scores = np.array(
+                [sum(lut[a, codes[i, a]] for a in range(4)) for i in range(n)]
+            )
+            order = sorted(
+                (i for i in range(n) if i != qi),
+                key=lambda i: (-scores[i], i),
+            )[:k]
+            want.extend((qi, i, int(scores[i])) for i in order)
+        assert got == sorted(want)
