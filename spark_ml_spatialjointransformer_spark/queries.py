@@ -4600,6 +4600,51 @@ def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T32_ORACLE = f"""
+WITH fp AS (SELECT doc_id, lang,
+                   {h60_sql("array_to_string(list_sort(string_split(trim(text), ' ')), ' ')")}
+                     AS f
+            FROM documents),
+corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 <> 0)
+SELECT b.doc_id, b.lang, c.f IS NOT NULL AS is_known
+FROM (SELECT * FROM fp WHERE doc_id % 3 = 0) b
+LEFT JOIN corpus c ON c.f = b.f
+"""
+
+
+@_register("t32_incremental_dedup", _T32_ORACLE)
+def t32_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an incoming batch (doc_id % 3 == 0 stands
+    in for today's crawl) checks its token-multiset fingerprints against
+    the ALREADY-INGESTED corpus's distinct fingerprint set — the
+    every-ingestion-cycle shape that t2 (full-corpus groupBy) and t23
+    (gram anti-join) don't cover: membership against accumulated state.
+    Scale shape: only 8-byte fingerprints shuffle (text never moves); the
+    corpus side dedups to distinct fingerprints BEFORE the join, and in
+    production that distinct set is the persisted fingerprint store the
+    t31 Bloom bitmap fronts.  Marking (not dropping) keeps the decision
+    auditable."""
+    fp = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        h60_col(
+            F.concat_ws(" ", F.array_sort(F.split(F.trim(F.col("text")), " ")))
+        ).alias("f"),
+    )
+    corpus = fp.where(F.col("doc_id") % 3 != 0).select("f").distinct()
+    batch = fp.where(F.col("doc_id") % 3 == 0)
+    return (
+        batch.join(
+            corpus.withColumn("__hit", F.lit(True)), "f", "left"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("__hit", F.lit(False)).alias("is_known"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (everything added since round 3 — CORRECTNESS_r04 reran exactly the
@@ -4627,6 +4672,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "v7_maxsim_topk", "e13_heavy_hitters_stream", "t31_bloom_decontaminate",
     "g1_pagerank", "a8_promo_revenue", "d9_merge_upsert", "e14_asof_stream",
     "v8_pq_adc_topk", "d10_retention_cohorts", "a9_bucketed_join",
+    "t32_incremental_dedup",
 ]
 
 QUERIES = {
