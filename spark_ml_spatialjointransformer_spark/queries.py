@@ -4645,6 +4645,64 @@ def t32_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T33_ORACLE = f"""
+WITH w AS (SELECT doc_id,
+                  least(1 + n_chars // 400, 8) AS wt
+           FROM documents),
+c AS (SELECT doc_id, wt, unnest(generate_series(1, wt)) AS i FROM w),
+p AS (SELECT doc_id, wt,
+             min({h60_sql("CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)")})
+               AS priority
+      FROM c GROUP BY doc_id, wt),
+r AS (SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rn FROM p)
+SELECT doc_id, CAST(wt AS BIGINT) AS wt, priority
+FROM r WHERE rn <= 200
+"""
+
+
+@_register("t33_weighted_sample", _T33_ORACLE)
+def t33_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (discretized
+    A-Res): each document gets an integer weight (here length-derived,
+    1–8), draws that many hash keys, and keeps its MINIMUM — more weight
+    ⇒ smaller expected minimum ⇒ proportionally higher selection odds —
+    then the global 200 smallest priorities win.  Fully deterministic
+    (content-hash priorities, ties by doc_id), so reruns and engines
+    agree exactly, unlike rand()-based weighted sampling.  Scale shape:
+    the explode factor is the weight cap (≤8); the per-doc min aggregates
+    map-side, and the global top-k is a TakeOrderedAndProject — no full
+    sort, no per-group windows."""
+    w = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(
+            F.lit(1) + F.expr("n_chars div 400"), F.lit(8)
+        ).alias("wt"),
+    )
+    pri = (
+        w.select(
+            "doc_id", "wt", F.explode(F.sequence(F.lit(1), F.col("wt"))).alias("i")
+        )
+        .select(
+            "doc_id",
+            "wt",
+            h60_col(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.col("i").cast("string"),
+                )
+            ).alias("k"),
+        )
+        .groupBy("doc_id", "wt")
+        .agg(F.min("k").alias("priority"))
+    )
+    return (
+        pri.orderBy("priority", "doc_id")
+        .limit(200)
+        .select("doc_id", F.col("wt").cast("bigint").alias("wt"), "priority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (everything added since round 3 — CORRECTNESS_r04 reran exactly the
@@ -4672,7 +4730,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "v7_maxsim_topk", "e13_heavy_hitters_stream", "t31_bloom_decontaminate",
     "g1_pagerank", "a8_promo_revenue", "d9_merge_upsert", "e14_asof_stream",
     "v8_pq_adc_topk", "d10_retention_cohorts", "a9_bucketed_join",
-    "t32_incremental_dedup",
+    "t32_incremental_dedup", "t33_weighted_sample",
 ]
 
 QUERIES = {
