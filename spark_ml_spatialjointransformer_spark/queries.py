@@ -4703,6 +4703,64 @@ def t33_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D11_ORACLE = """
+WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                  CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS v_e2
+           FROM events),
+i AS (SELECT user_id, v_e2,
+             (lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t)
+               // 1000 AS dt_ms
+      FROM o),
+g AS (SELECT user_id, count(*) AS n_intervals,
+             sum(v_e2 * dt_ms) AS num, sum(dt_ms) AS den
+      FROM i WHERE dt_ms IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_intervals, CAST(num AS BIGINT) AS num,
+       CAST(den AS BIGINT) AS den, CAST(num // den AS BIGINT) AS twap_e2
+FROM g WHERE den > 0
+"""
+
+
+@_register("d11_twap", _D11_ORACLE)
+def d11_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each user's value held from one event
+    until the next, integrated over their activity span — the
+    sampling-rate-independent mean every metering/pricing/telemetry
+    pipeline needs (a plain AVG overweights bursts).  Everything is
+    integer: cents × interval-milliseconds (non-negative values and
+    non-negative interval diffs keep `div` and `//` identical; products
+    stay orders of magnitude under the BIGINT edge at cents×ms scale).
+    Scale shape: one user-hash exchange feeds the lead window AND the
+    aggregation (same partitioning, one shuffle); state per user is its
+    event intervals."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    o = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
+        F.expr("CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)").alias("v_e2"),
+    )
+    i = o.select(
+        "user_id",
+        "v_e2",
+        F.expr("(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t)"
+               " div 1000").alias("dt_ms"),
+    ).where(F.col("dt_ms").isNotNull())
+    g = i.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("v_e2") * F.col("dt_ms")).cast("bigint").alias("num"),
+        F.sum("dt_ms").cast("bigint").alias("den"),
+    )
+    return g.where(F.col("den") > 0).select(
+        "user_id",
+        "n_intervals",
+        "num",
+        "den",
+        F.expr("CAST(num div den AS BIGINT)").alias("twap_e2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (everything added since round 3 — CORRECTNESS_r04 reran exactly the
@@ -4730,7 +4788,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "v7_maxsim_topk", "e13_heavy_hitters_stream", "t31_bloom_decontaminate",
     "g1_pagerank", "a8_promo_revenue", "d9_merge_upsert", "e14_asof_stream",
     "v8_pq_adc_topk", "d10_retention_cohorts", "a9_bucketed_join",
-    "t32_incremental_dedup", "t33_weighted_sample",
+    "t32_incremental_dedup", "t33_weighted_sample", "d11_twap",
 ]
 
 QUERIES = {
