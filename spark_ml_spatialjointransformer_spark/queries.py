@@ -4761,6 +4761,62 @@ def d11_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: j23 cells: customer points quantize to 5° tiles straight from the
+#: INTEGER key synthesis (tenth-degrees // 50) — no floating point
+#: anywhere, so the raster is engine-exact by construction.
+_J23_ORACLE = """
+WITH p AS (SELECT (c_custkey * 9973 % 3600) // 50 AS cx,
+                  (c_custkey * 7919 % 1200) // 50 AS cy
+           FROM customer),
+cnt AS (SELECT cx, cy, count(*) AS n FROM p GROUP BY cx, cy),
+contrib AS (SELECT cnt.cx + dx.d AS tx, cnt.cy + dy.d AS ty, cnt.n
+            FROM cnt
+            CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+            CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+sm AS (SELECT tx, ty, sum(n) AS n_smooth FROM contrib GROUP BY tx, ty)
+SELECT cnt.cx, cnt.cy, CAST(cnt.n AS BIGINT) AS n,
+       CAST(sm.n_smooth AS BIGINT) AS n_smooth
+FROM cnt JOIN sm ON sm.tx = cnt.cx AND sm.ty = cnt.cy
+"""
+
+
+@_register("j23_tile_heatmap", _J23_ORACLE)
+def j23_tile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density heatmap with 3×3 stencil smoothing: point counts
+    per 5° tile, then each occupied tile's box-filtered neighborhood sum
+    — a raster convolution expressed RELATIONALLY (each cell explodes to
+    its 9 neighbor targets, the sum re-aggregates) — the standard trick
+    that turns any fixed-stencil grid operation into two hash
+    aggregations, which is how heatmaps/KDE-lite run at 100 TB without a
+    raster engine.  Tiles come from integer key math (no FP), counts are
+    integer; scale shape: two map-combined aggregations on tile keys +
+    one join back to occupied tiles (broadcast-size: the tile universe
+    is bounded by the grid, not the data)."""
+    p = load_table(spark, sf_dir, "customer").select(
+        F.expr("(c_custkey * 9973 % 3600) div 50").alias("cx"),
+        F.expr("(c_custkey * 7919 % 1200) div 50").alias("cy"),
+    )
+    cnt = p.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    offs = F.expr(
+        "explode(transform(sequence(0, 8),"
+        " i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy)))"
+    )
+    contrib = cnt.select("cx", "cy", "n", offs.alias("o")).select(
+        (F.col("cx") + F.col("o.dx")).alias("tx"),
+        (F.col("cy") + F.col("o.dy")).alias("ty"),
+        "n",
+    )
+    sm = contrib.groupBy("tx", "ty").agg(F.sum("n").alias("n_smooth"))
+    return cnt.join(
+        sm, (F.col("tx") == F.col("cx")) & (F.col("ty") == F.col("cy"))
+    ).select(
+        "cx",
+        "cy",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_smooth").cast("bigint").alias("n_smooth"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries that have never had a driver correctness row
 # (everything added since round 3 — CORRECTNESS_r04 reran exactly the
@@ -4789,6 +4845,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "g1_pagerank", "a8_promo_revenue", "d9_merge_upsert", "e14_asof_stream",
     "v8_pq_adc_topk", "d10_retention_cohorts", "a9_bucketed_join",
     "t32_incremental_dedup", "t33_weighted_sample", "d11_twap",
+    "j23_tile_heatmap",
 ]
 
 QUERIES = {
