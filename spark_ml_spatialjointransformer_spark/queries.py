@@ -4624,11 +4624,13 @@ def t32_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production that distinct set is the persisted fingerprint store the
     t31 Bloom bitmap fronts.  Marking (not dropping) keeps the decision
     auditable."""
+    # array_join, NOT concat_ws: concat_ws maps a NULL text to '' while
+    # the oracle's array_to_string NULL-propagates — array_join matches it
     fp = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         h60_col(
-            F.concat_ws(" ", F.array_sort(F.split(F.trim(F.col("text")), " ")))
+            F.array_join(F.array_sort(F.split(F.trim(F.col("text")), " ")), " ")
         ).alias("f"),
     )
     corpus = fp.where(F.col("doc_id") % 3 != 0).select("f").distinct()
@@ -4732,9 +4734,6 @@ def d11_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one user-hash exchange feeds the lead window AND the
     aggregation (same partitioning, one shuffle); state per user is its
     event intervals."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy("t", "event_id")
     o = load_events(spark, sf_dir).select(
         "user_id",
         "event_id",
