@@ -38,10 +38,22 @@ def clear_session_state(spark) -> None:
     try:
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().valuesIterator()
         while it.hasNext():
-            it.next().unpersist(False)
+            # blocking: a non-blocking unpersist can leave the blocks of 100+
+            # queries' localCheckpoints (kNN loop, LSH closure, packing) alive
+            # into the next timed region — r5 showed a broad ~1.5x drift across
+            # untouched queries consistent with exactly that pressure
+            it.next().unpersist(True)
     except Exception:
         pass
-    gc.collect()
+    gc.collect()  # drop Python-side DataFrame refs first...
+    try:
+        # ...then collect the JVM: Spark's ContextCleaner only releases
+        # shuffle files, broadcasts, and RDD blocks when their JVM handles
+        # are garbage-collected, which a long driver session rarely does on
+        # its own between queries
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def main() -> None:

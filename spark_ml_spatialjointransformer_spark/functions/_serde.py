@@ -26,6 +26,7 @@ def ensure_udf_portability() -> None:
             hashing,
         )
         from spark_ml_spatialjointransformer_spark.operators import (
+            bloom,
             dedup,
             fingerprint,
             multimodal,
@@ -35,7 +36,8 @@ def ensure_udf_portability() -> None:
         from spark_ml_spatialjointransformer_spark import toolbox
 
         for mod in (geodesic, geometry, hashing, toolbox,
-                    dedup, fingerprint, multimodal, similarity, windowed):
+                    bloom, dedup, fingerprint, multimodal, similarity,
+                    windowed):
             cloudpickle.register_pickle_by_value(mod)
         _registered = True
     except Exception:

@@ -56,6 +56,11 @@ def bloom_member_col(
     the small side (here: the held-out benchmark grams), same size bound
     as broadcasting the key set itself, but the bitmap stays m/8 bytes
     even when the key set wouldn't fit."""
+    from spark_ml_spatialjointransformer_spark.functions._serde import (
+        ensure_udf_portability,
+    )
+
+    ensure_udf_portability()  # `member` closes over module-level _h1_h2
     bc = spark.sparkContext.broadcast(build_bitmap(hashes, m_bits, n_probes))
 
     from pyspark.sql.functions import pandas_udf

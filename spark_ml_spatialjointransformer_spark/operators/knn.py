@@ -81,7 +81,7 @@ def partitioned_nearest(
     distance_column: str | None,
     out_names: list[str],
     cell_deg: float = KNN_CELL_DEG,
-    max_rounds: int = 3,
+    max_rounds: int = 2,
     condition: Column | None = None,
     l_extra_cols: list[str] = (),
     r_extra_cols: list[str] = (),
@@ -109,10 +109,17 @@ def partitioned_nearest(
     (then nothing outside can displace ANY of the k).
 
     ``max_rounds`` caps the number of driver rounds: the radius schedule
-    grows geometrically from 4 cells (×8 per round — each driver round
-    costs scheduling round-trips, and the cell join prunes the area
-    growth) and always ends with a global-cover round, so ``max_rounds=1``
-    degenerates to one all-cells pass.
+    starts at 1 cell, grows ×8 per extra round, and always ends with a
+    global-cover round, so ``max_rounds=1`` degenerates to one all-cells
+    pass.  Each driver round costs a fixed multi-stage scheduling tax, so
+    the default is TWO rounds — a 1-cell disk that gives (almost) every
+    row its k best-so-far, then a finish round whose ring is capped PER
+    ROW: a row holding a full k knows nothing beyond its k-th distance
+    ``d_k`` can enter its top-k, so its cap is the cell count at which the
+    lat/lon exclusion bounds clear ``d_k`` — dense rows sweep a few cells
+    instead of the globe (r5's bench showed the uncapped finish ring
+    joining ~all of R against every unresolved row).  Only rows with no
+    full k after round 1 (empty neighborhoods) pay the global ring.
     """
     w = cell_deg
     nbx = max(1, int(round(360.0 / w)))
@@ -130,6 +137,15 @@ def partitioned_nearest(
     def wrap_cx(c: Column) -> Column:
         return ((c % nbx) + nbx) % nbx
 
+    # The right side is bucketed by grid cell ONCE (repartition on the cell
+    # keys before the checkpoint): LogicalRDD preserves the physical
+    # outputPartitioning, so every round's cell equi-join sees R already
+    # hash-partitioned on (__rcx, __rcy) and inserts no exchange for R —
+    # the per-round shuffle of R disappears, which is exactly what a
+    # cell-bucketed table gives at production scale.  __rid is assigned
+    # before the repartition and frozen by the checkpoint (tie-break
+    # stability).
+    par0 = right.sparkSession.sparkContext.defaultParallelism
     R = (
         right.select(
             *[F.col(c) for c in right_pay_cols],
@@ -140,6 +156,7 @@ def partitioned_nearest(
             F.floor(ry / w).alias("__rcy"),
         )
         .withColumn("__rid", F.monotonically_increasing_id())
+        .repartition(par0, "__rcx", "__rcy")
         .localCheckpoint(eager=False)
     )
 
@@ -170,6 +187,11 @@ def partitioned_nearest(
         F.floor(F.col("__ly") / w).alias("__lcy"),
         (F.abs(F.col("__ly")) >= F.lit(_POLAR_LAT)).alias("__polar"),
         init_best.alias("__best"),
+        # per-row ring cap: once a row holds a full k, no point farther
+        # than its k-th distance can enter its top-k, so its remaining
+        # search radius (in cells) is bounded by its own d_k, not the
+        # global schedule — null until a full k exists
+        F.lit(None).cast("int").alias("__rcap"),
     )
 
     # occupied right cells: bounded by the GRID (≤ nbx·nby keys — 4140 at
@@ -186,14 +208,40 @@ def partitioned_nearest(
 
     sel = _best_struct(right_pay_cols, tie_break)
     resolved: DataFrame | None = None
-    # sparse geometric schedule ending in forced global coverage
+    # Schedule ending in forced global coverage; the per-row __rcap makes
+    # late rounds cheap, so the schedule only decides how soon rows
+    # ACQUIRE their cap (round 1) and how many driver round-trips the
+    # stragglers get before the forced global pass.  Round 1's radius is
+    # DENSITY-ADAPTIVE: sized so the disk holds ~4k right rows in
+    # expectation ((2r+1)² · |R|/ncells ≥ 4k) — a fixed radius either
+    # floods dense data with candidates or leaves sparse data's rows
+    # cap-less, sending them through the global ring at full price (the
+    # r5 j18 regression).  The |R| count doubles as the one-time
+    # materialization of the bucketed right checkpoint.
     gmax = max(nbx, nby_r)
+    ncells = nbx * nby_r
+    n_right = R.count()
+    r1 = max(
+        1,
+        math.ceil(
+            (math.sqrt(max(1.0, 4.0 * k * ncells / max(1, n_right))) - 1) / 2
+        ),
+    )
     schedule: list[int] = []
-    r = 4
+    r = r1
     while len(schedule) < max(1, max_rounds) - 1 and (2 * r + 1) < gmax:
         schedule.append(r)
         r *= 8
     schedule.append(gmax)
+
+    # k-th-best distance / full-k test (column exprs over __best, valid on
+    # any frame carrying it)
+    if k == 1:
+        d_best = F.col("__best.__d")
+        have_k = F.col("__best").isNotNull()
+    else:
+        d_best = F.when(F.size("__best") >= k, F.element_at("__best", k)["__d"])
+        have_k = d_best.isNotNull()
     r_prev = -1  # first round is the full disk INCLUDING the own cell
     for r in schedule:
         _t0 = time.time()
@@ -212,9 +260,14 @@ def partitioned_nearest(
         dxw = F.least(dcx, F.lit(nbx) - dcx)
         dy = F.abs(F.col("__lcy") - F.col("__ocy"))
         cheb = F.greatest(dxw, dy)
+        # ring upper edge is the SMALLER of the schedule radius and the
+        # row's own cap — a row with a full k only sweeps the cells that
+        # could still beat its k-th distance (capped rows always resolve
+        # this round, so rounds stay disjoint through `> r_prev`)
+        rhi = F.least(F.lit(r), F.coalesce(F.col("__rcap"), F.lit(r)))
         in_ring = F.when(
-            F.col("__polar"), (dy <= F.lit(r)) & (dy > F.lit(r_prev))
-        ).otherwise((cheb <= F.lit(r)) & (cheb > F.lit(r_prev)))
+            F.col("__polar"), (dy <= rhi) & (dy > F.lit(r_prev))
+        ).otherwise((cheb <= rhi) & (cheb > F.lit(r_prev)))
         cand = (
             rem.join(F.broadcast(occ), in_ring)
             .join(
@@ -232,20 +285,29 @@ def partitioned_nearest(
         if k == 1:
             found = cand.groupBy("__pid").agg(F.min(sel).alias("__new"))
         else:
-            # bound candidates to k per row BEFORE collecting: a bare
-            # collect_list would buffer every candidate of a dense ring in
-            # the hash aggregate (OOM at scale); the row_number window is
-            # sort-based (spillable) and its pid-partitioning is reused by
-            # the groupBy, so this costs one shuffle, not two
+            # bound candidates to k per (row, cell) BEFORE anything crosses
+            # a pid shuffle: a bare collect_list would buffer every
+            # candidate of a dense ring in the hash aggregate (OOM at
+            # scale), and r5's bench showed the former per-pid row_number
+            # over ALL in-ring candidates sorting millions of rows per
+            # round.  The local window partitions by (pid, cell) — the cell
+            # join's output already clusters those keys (R is bucketed on
+            # them), so this is a within-partition sort with NO exchange —
+            # and only ≤ k survivors per (pid, cell) reach the groupBy,
+            # whose collect_list is then ring-cell-bounded (≤ k·|ring∩occ|).
             from pyspark.sql.window import Window as _W
 
-            w_k = _W.partitionBy("__pid").orderBy("__c")
+            w_loc = _W.partitionBy("__pid", "__ocx", "__ocy").orderBy("__c")
             found = (
                 cand.withColumn("__c", sel)
-                .withColumn("__rn", F.row_number().over(w_k))
+                .withColumn("__rn", F.row_number().over(w_loc))
                 .where(F.col("__rn") <= k)
                 .groupBy("__pid")
-                .agg(F.array_sort(F.collect_list("__c")).alias("__new"))
+                .agg(
+                    F.slice(
+                        F.array_sort(F.collect_list("__c")), 1, k
+                    ).alias("__new")
+                )
             )
         # ONE materialization per round (repartitioned first: AQE would
         # coalesce the shrinking state to one partition and serialize the
@@ -268,22 +330,56 @@ def partitioned_nearest(
             rem.join(found, "__pid", "left")
             .withColumn("__best", merge_best)
             .drop("__new")
-            .repartition(par)
-            .localCheckpoint(eager=True)
         )
+        if not global_cover:
+            # next round's per-row cap, derived from the NEW k-th best: the
+            # smallest cell radius whose lat/lon exclusion bounds clear
+            # d_k (same bounds as the accept test below, solved for r with
+            # the conservative φ* = |φ| + d_k/_MPD_LAT)
+            rho_lat = F.ceil(d_best / F.lit(w * _MPD_LAT))
+            phi_c = F.least(
+                F.lit(_PHI_CAP),
+                F.abs(F.col("__ly")) + d_best / F.lit(_MPD_LAT),
+            )
+            rho_lon = F.ceil(
+                d_best / (F.lit(w * _MPD_LON) * F.cos(F.radians(phi_c)))
+            )
+            rcap_new = F.when(
+                have_k,
+                F.least(
+                    F.lit(gmax + 1).cast("long"),
+                    F.when(F.col("__polar"), rho_lat).otherwise(
+                        F.greatest(rho_lat, rho_lon)
+                    ),
+                ),
+            ).cast("int")
+            merged = merged.withColumn(
+                "__rcap_old", F.col("__rcap")
+            ).withColumn("__rcap", rcap_new)
+        merged = merged.repartition(par).localCheckpoint(eager=True)
 
         if global_cover:
             have_any = (
                 F.col("__best").isNotNull() if k == 1 else F.size("__best") > 0
             )
-            final = merged.where(have_any)
+            final = merged.where(have_any).select("__pid", "__best")
             resolved = final if resolved is None else resolved.unionByName(final)
+            if _DEBUG:
+                print(
+                    f"[knn] round r={r} (global): {time.time() - _t0:.1f}s",
+                    flush=True,
+                )
             break
 
         # Per-row resolution test: the best-so-far is provably THE nearest
         # when no point outside the explored disk can be closer.
-        # - latitude crossing (> r unseen lat cells): d > r·w·_MPD_LAT;
-        # - longitude crossing at lat offset Δφ from this row:
+        # - a row whose PREVIOUS cap fit inside this round's ring has, by
+        #   the cap's construction, already excluded everything beyond it
+        #   — it resolves unconditionally;
+        # - otherwise the row swept the full schedule ring, and the global
+        #   bounds apply:
+        #   latitude crossing (> r unseen lat cells): d > r·w·_MPD_LAT;
+        #   longitude crossing at lat offset Δφ from this row:
         #   d ≥ max(Δφ·_MPD_LAT, r·w·_MPD_LON·cos(|φ|+Δφ)).  Offsets with
         #   Δφ·_MPD_LAT ≥ best already lose on latitude alone, so only
         #   Δφ ≤ best/_MPD_LAT matters — evaluating cos at THAT offset (not
@@ -292,14 +388,6 @@ def partitioned_nearest(
         # k > 1: the bound must clear the K-th best — then no unexplored
         # point can displace any of the current top k (it would have to be
         # closer than the k-th, contradicting the ring bound)
-        if k == 1:
-            d_best = F.col("__best.__d")
-            have_k = F.col("__best").isNotNull()
-        else:
-            d_best = F.when(
-                F.size("__best") >= k, F.element_at("__best", k)["__d"]
-            )
-            have_k = d_best.isNotNull()
         lat_ok = d_best <= F.lit(_MPD_LAT * r * w)
         phi_star = F.least(
             F.lit(_PHI_CAP),
@@ -307,15 +395,18 @@ def partitioned_nearest(
             + F.least(F.lit((r + 1) * w), d_best / F.lit(_MPD_LAT)),
         )
         lon_ok = d_best <= F.lit(_MPD_LON * r * w) * F.cos(F.radians(phi_star))
-        accept = (
+        cap_done = F.col("__rcap_old").isNotNull() & (
+            F.col("__rcap_old") <= F.lit(r)
+        )
+        accept = cap_done | (
             have_k
             & lat_ok
             & (F.lit((2 * r + 1) >= nbx) | F.col("__polar") | lon_ok)
         )
 
-        done = merged.where(accept)
+        done = merged.where(accept).select("__pid", "__best")
         resolved = done if resolved is None else resolved.unionByName(done)
-        rem = merged.where(~F.coalesce(accept, F.lit(False)))
+        rem = merged.where(~F.coalesce(accept, F.lit(False))).drop("__rcap_old")
         if _DEBUG:
             print(
                 f"[knn] round r={r}: rem_next={rem.count()} "

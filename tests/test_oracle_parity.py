@@ -24,7 +24,15 @@ def duck_result(sql):
         )
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
+    rows = cur.fetchall()
+    # arrow schema of the same query (LIMIT 0 — types are static) so tests
+    # can pin physical type parity, not just value parity: the driver's
+    # value hash is representation-sensitive (r5: five oracles failed only
+    # because an uncast DuckDB sum() surfaced as decimal128 vs Spark int64)
+    arrow_schema = con.execute(
+        f"SELECT * FROM ({sql.strip().rstrip(';')}) LIMIT 0"
+    ).arrow().schema
+    return cols, rows, arrow_schema
 
 
 def normalize(cols, rows):
@@ -50,8 +58,34 @@ def test_query_matches_oracle(spark, name):
         )
 
     s_cols, s_rows = normalize(df.columns, [tuple(r) for r in df.collect()])
-    d_cols_raw, d_rows_raw = duck_result(qd.oracle)
+    d_cols_raw, d_rows_raw, d_arrow = duck_result(qd.oracle)
     d_cols, d_rows = normalize(d_cols_raw, d_rows_raw)
+
+    # physical-type parity: the DuckDB side must not produce a wider/other
+    # representation than the Spark schema for the same column (decimal128
+    # from an uncast sum() is the classic failure — CAST(... AS BIGINT) in
+    # the oracle).  Width classes only; nested/temporal types are exempt
+    # beyond the decimal ban.
+    spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    allowed = {
+        "bigint": {"int64"},
+        "int": {"int32"},
+        "smallint": {"int16"},
+        "boolean": {"bool"},
+        "string": {"string", "large_string"},
+    }
+    for field in d_arrow:
+        a_type = str(field.type)
+        assert "decimal" not in a_type, (
+            f"{name}: oracle column {field.name} is {a_type} — wrap the "
+            f"aggregate in CAST(... AS BIGINT) so the driver hash matches"
+        )
+        s_type = spark_types.get(field.name)
+        if s_type in allowed:
+            assert a_type in allowed[s_type], (
+                f"{name}: oracle column {field.name} is arrow {a_type} but "
+                f"Spark emits {s_type} — driver value-hash will mismatch"
+            )
 
     assert s_cols == d_cols, f"{name}: column sets differ"
     assert len(s_rows) == len(d_rows), (
