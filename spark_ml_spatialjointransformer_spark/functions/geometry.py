@@ -139,6 +139,16 @@ def parse_wkt(wkt: Optional[str]) -> Optional[Geometry]:
             if rings:
                 polys.append(rings)
         return Geometry("polygon", polys) if polys else None
+    if tag == "GEOMETRYCOLLECTION":
+        # the reference's JTS WKTReader parses collections
+        # (DatasetGeometry.scala:54-58); this engine's single-kind Geometry
+        # cannot represent a mixed collection, so fail LOUDLY instead of
+        # silently dropping the row like unparseable garbage would
+        raise ValueError(
+            "parse_wkt: GEOMETRYCOLLECTION is not supported — split the "
+            "collection into its member geometries (one row each) before "
+            "the join"
+        )
     return None
 
 

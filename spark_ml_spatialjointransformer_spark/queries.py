@@ -4404,10 +4404,11 @@ def e14_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_e2",
         )
     )
-    dim_rows = [tuple(r) for r in od.collect()]
+    # the DataFrame goes straight in: asof_enrich_stream counts it
+    # distributed-side and refuses to collect above its broadcast bound
     name = "q_e14_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     enriched = asof_enrich_stream(
-        events_stream(spark, f"{sf_dir}/events.parquet"), dim_rows
+        events_stream(spark, f"{sf_dir}/events.parquet"), od
     )
     return run_to_memory(enriched, name, output_mode="append")
 

@@ -516,18 +516,35 @@ def asof_enrich_stream(
     dimension row with the greatest timestamp ≤ its own (per key) — the
     as-of lookup every online feature store performs at serving time.
 
-    ``dim_rows`` is the already-deduplicated dimension as driver rows
-    ``(user_id, ts_us, order_key, total_e2)``; it broadcasts as per-key
+    ``dim_rows`` is the already-deduplicated dimension — either a
+    DataFrame with columns ``(user_id, ts_us, order_key, total_e2)`` or
+    pre-collected driver rows of the same shape; it broadcasts as per-key
     sorted numpy arrays and every micro-batch resolves its events with a
     vectorized ``searchsorted`` per key — STATELESS (no state store at
     all: the dimension is static, so no watermark, no eviction, append
     mode), zero shuffle, partition-preserving.  The same memory contract
     as every broadcast dimension in this engine; a dimension too big to
     broadcast falls back to the batch union-merge as-of
-    (operators/temporal.py) over micro-batch snapshots."""
+    (operators/temporal.py) over micro-batch snapshots.
+
+    The size guard is ENFORCED here, and when a DataFrame is passed it is
+    a distributed ``count()`` BEFORE anything is collected — at the scale
+    where the guard matters, collecting first would take down the driver
+    before any row-count check could run."""
     import numpy as np
 
-    if len(dim_rows) > max_dim_rows:
+    if isinstance(dim_rows, DataFrame):
+        n_dim = dim_rows.count()
+        if n_dim > max_dim_rows:
+            raise ValueError(
+                f"asof_enrich_stream: dimension has {n_dim} rows, above "
+                f"the broadcast bound of {max_dim_rows}. A dimension this "
+                "large should not broadcast — run the batch union-merge "
+                "as-of (operators/temporal.py:asof_join) over micro-batch "
+                "snapshots instead."
+            )
+        dim_rows = [tuple(r) for r in dim_rows.collect()]
+    elif len(dim_rows) > max_dim_rows:
         raise ValueError(
             f"asof_enrich_stream: dimension has {len(dim_rows)} rows, above "
             f"the broadcast bound of {max_dim_rows}. A dimension this large "

@@ -194,6 +194,41 @@ class TestAsofGuard:
         with pytest.raises(ValueError, match="asof_join"):
             asof_enrich_stream(ev, dim, max_dim_rows=2)
 
+    def test_dataframe_dimension_guard_counts_before_collect(self, spark):
+        """DataFrame dimensions hit a distributed count() guard BEFORE any
+        collect — the failure mode that matters at scale is the collect
+        itself, so the refusal must come first."""
+        from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+            asof_enrich_stream,
+        )
+
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                {"event_id": [1], "user_id": [1],
+                 "ts": pd.to_datetime(["2024-01-01"])}
+            )
+        )
+        dim_df = spark.createDataFrame(
+            [(i, 0, i, i) for i in range(5)],
+            "user_id long, ts_us long, order_key long, total_e2 long",
+        )
+        with pytest.raises(ValueError, match="asof_join"):
+            asof_enrich_stream(ev, dim_df, max_dim_rows=2)
+        # under the bound, the DataFrame path collects and enriches
+        feb1 = 1706745600_000000
+        ok_df = spark.createDataFrame(
+            [(7, feb1, 100, 5000)],
+            "user_id long, ts_us long, order_key long, total_e2 long",
+        )
+        ev2 = spark.createDataFrame(
+            pd.DataFrame(
+                {"event_id": [2], "user_id": [7],
+                 "ts": pd.to_datetime(["2024-03-01"])}
+            )
+        )
+        out = asof_enrich_stream(ev2, ok_df).collect()
+        assert [(r.order_key, r.total_e2) for r in out] == [(100, 5000)]
+
 
 class TestPageRankProperty:
     def test_random_graphs_match_reference(self, spark):

@@ -255,6 +255,22 @@ def test_parse_wkt_rejects_3d():
     assert parse_wkt("LINESTRING (0 0, 1 1)") is not None  # 2-D still fine
 
 
+def test_parse_wkt_geometrycollection_raises():
+    """The reference's JTS reader accepts GEOMETRYCOLLECTION
+    (DatasetGeometry.scala:54-58); this engine's single-kind Geometry
+    cannot, so it must fail loudly — NOT silently drop the row the way
+    unparseable garbage (→ None) does."""
+    import pytest
+
+    from spark_ml_spatialjointransformer_spark.functions.geometry import parse_wkt
+
+    with pytest.raises(ValueError, match="GEOMETRYCOLLECTION"):
+        parse_wkt("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    # garbage is still a silent null — only the recognized-but-unsupported
+    # type is loud
+    assert parse_wkt("NONSENSE (1 2)") is None
+
+
 def test_haversine_clamped_near_antipodal(spark):
     """Antipodal pairs must yield ~pi*R meters, never NaN, in all three
     haversine forms (numpy / Column / SQL)."""
