@@ -4824,6 +4824,288 @@ def j23_tile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A10_SQL = """
+SELECT CAST(grouping(n_name) AS INTEGER) AS g_nat,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_pri,
+       coalesce(n_name, '') AS nation,
+       coalesce(o_orderpriority, '') AS priority,
+       CAST(sum(CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT))
+            AS BIGINT) AS rev_e2,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name),
+                        (o_orderpriority), ())
+"""
+
+#: GROUPING SETS completes the multi-granularity aggregation family (a2
+#: ROLLUP, a5 CUBE): the report-matrix shape where the sets are chosen,
+#: not hierarchical.  One SQL text runs on both engines; grouping() flags
+#: disambiguate a real NULL-ish '' group from a superaggregate row.  At
+#: scale Spark expands the sets BEFORE the exchange (Expand node), so the
+#: four granularities still cost ONE shuffle of partially-aggregated
+#: rows, not four scans.  Per-row scaled-int cents (same rule as _A2_SQL)
+#: keep every cell order-independent.
+QUERIES["a10_grouping_sets"] = QueryDef(
+    _sql_query(("orders", "customer", "nation"), _A10_SQL), _A10_SQL
+)
+
+
+_T34_ORACLE = """
+WITH tok AS (SELECT string_split(trim(text), ' ') AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS w FROM tok),
+ug AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+nu AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_uni FROM ug),
+bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+       FROM tok, unnest(range(1, len(ts))) t(i)
+       WHERE len(ts) >= 2),
+bgc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2),
+nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM bgc),
+sc AS (SELECT w1, w2, n_ab,
+              CAST(((((n_ab * 10000 * n_uni) // a.n_w) * n_uni) // b.n_w)
+                   // n_bi AS BIGINT) AS pmi_e4
+       FROM bgc
+       JOIN ug a ON bgc.w1 = a.w
+       JOIN ug b ON bgc.w2 = b.w
+       CROSS JOIN nu CROSS JOIN nb
+       WHERE n_ab >= 5),
+r AS (SELECT *, row_number() OVER (ORDER BY pmi_e4 DESC, w1, w2) AS rn
+      FROM sc)
+SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab, pmi_e4,
+       CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= 20
+"""
+
+
+@_register("t34_pmi_collocations", _T34_ORACLE)
+def t34_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information — the
+    corpus-statistics pass that finds multi-word expressions for
+    tokenizer/vocab construction (Church & Hanks 1990's association
+    ratio).  The PMI ratio n_ab·N_u²/(N_b·n_a·n_b) is computed as STAGED
+    non-negative integer divisions in a fixed order — not a float log —
+    so both engines produce bit-identical scores (the monotone argument
+    of log orders identically; intermediates stay under 2^63 because
+    n_ab ≤ n_a bounds the first quotient by 10⁴·N_u).  Scale shape:
+    unigram and bigram counting are map-side-combined groupBys (shuffle
+    carries one row per DISTINCT gram — Zipf-bounded); attaching n_a/n_b
+    shuffles bgc on the word keys (vocabulary is NOT broadcast — at
+    corpus scale vocab outgrows a broadcast long before bigrams do); the
+    two 1-row totals broadcast; the final top-20 is orderBy+limit —
+    TakeOrderedAndProject, never a global sort."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    docs = load_table(spark, sf_dir, "documents").select(toks.alias("__ts"))
+    uni = docs.select(F.explode("__ts").alias("w"))
+    ug = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    nu = ug.agg(F.sum("n_w").cast("bigint").alias("n_uni"))
+    bg = (
+        docs.where(F.size("__ts") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("__ts") - 1)).alias("i"),
+            "__ts",
+        )
+        .select(
+            F.element_at("__ts", F.col("i")).alias("w1"),
+            F.element_at("__ts", F.col("i") + 1).alias("w2"),
+        )
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    nb = bgc.agg(F.sum("n_ab").cast("bigint").alias("n_bi"))
+    sc = (
+        bgc.where(F.col("n_ab") >= 5)
+        .join(ug.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")), "w1")
+        .join(ug.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "pmi_e4",
+            F.expr(
+                "CAST(((((n_ab * 10000 * n_uni) div n_a) * n_uni) div n_b)"
+                " div n_bi AS BIGINT)"
+            ),
+        )
+    )
+    top = sc.orderBy(F.col("pmi_e4").desc(), "w1", "w2").limit(20)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("pmi_e4").desc(), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "w1", "w2", F.col("n_ab").cast("bigint").alias("n_ab"), "pmi_e4", "rank"
+    )
+
+
+_T35_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+sh0 AS (SELECT doc_id,
+               {h60_sql("array_to_string(ts[i : i + 4], ' ')")} AS g
+        FROM tok, unnest(range(1, len(ts) - 3)) t(i)
+        WHERE len(ts) >= 5),
+sh AS (SELECT DISTINCT doc_id, g FROM sh0),
+df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
+keep AS (SELECT sh.doc_id, sh.g FROM sh JOIN df USING (g)
+         WHERE df.n_docs <= 50),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM keep GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+c AS (SELECT doc_a, doc_b, inter,
+             CAST(greatest(inter * 10000 // sa.n_sh,
+                           inter * 10000 // sb.n_sh) AS BIGINT) AS cont_e4
+      FROM pr
+      JOIN sz sa ON pr.doc_a = sa.doc_id
+      JOIN sz sb ON pr.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter, cont_e4
+FROM c WHERE cont_e4 >= 8000
+"""
+
+
+@_register("t35_containment_dedup", _T35_ORACLE)
+def t35_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection by shingle containment
+    |A∩B|/min-side — catches a document swallowed whole inside a larger
+    one, which symmetric Jaccard (t5/t6) scores low because the union is
+    dominated by the host document (Broder 1997 distinguishes resemblance
+    from containment for exactly this case).  Pairs with ≥80% of either
+    side's 5-gram shingles shared are flagged.  Scale shape: shingles
+    hash to h60 longs before anything shuffles (text never moves); the
+    pair generation is a bucketed self-join on the shingle hash with the
+    STOP-SHINGLE prune (shingles in > 50 docs are dropped on BOTH sides
+    — boilerplate grams otherwise explode the join quadratically, the
+    same reason t6 bands its signatures); containment then divides by the
+    post-prune set sizes, identically in both engines (non-negative
+    staged integer division)."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("__ts"))
+        .where(F.size("__ts") >= 5)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("__ts") - 4)).alias("i"),
+            "__ts",
+        )
+        .select(
+            "doc_id",
+            h60_col(F.concat_ws(" ", F.slice("__ts", F.col("i"), 5))).alias("g"),
+        )
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    # per-doc post-prune size rides the shingle rows via a window instead
+    # of a separate aggregate+join arm, so the two self-join sides below
+    # are STRUCTURALLY IDENTICAL subtrees — at runtime one materializes
+    # and the other reads it as a ReusedExchange (no recompute of the
+    # shingle derivation), and the pair aggregation carries the sizes for
+    # free in its grouping key
+    keep = (
+        sh.join(df_.where(F.col("n_docs") <= 50), "g")
+        .select("doc_id", "g")
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    a = keep.select(F.col("doc_id").alias("doc_a"), "g",
+                    F.col("n_sh").alias("n_a"))
+    b = keep.select(F.col("doc_id").alias("doc_b"), "g",
+                    F.col("n_sh").alias("n_b"))
+    return (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "cont_e4",
+            F.expr(
+                "CAST(greatest(inter * 10000 div n_a,"
+                " inter * 10000 div n_b) AS BIGINT)"
+            ),
+        )
+        .where(F.col("cont_e4") >= 8000)
+        .select("doc_a", "doc_b",
+                F.col("inter").cast("bigint").alias("inter"), "cont_e4")
+    )
+
+
+@_register(
+    "j24_bucketed_spatial",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d FROM c CROSS JOIN s)
+SELECT c_custkey, s_suppkey AS supp_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM p WHERE CAST(round(d) AS INTEGER) <= 200000
+""",
+)
+def j24_bucketed_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-layout half of the SPATIAL join story as a LIVE query
+    (a9's recipe applied to geometry): both sides are WRITTEN bucketed on
+    a 2° latitude band, the supplier side replicated to its ±1 HALO bands
+    at write time, and the 200 km withindist join then reads co-located
+    buckets with ZERO exchange on either side — only the exact haversine
+    refine runs at query time.  Correctness of the 1-band halo: 200 km <
+    2°·110.5 km/° of latitude, so matching pairs differ by ≤ 1 band and
+    each pair meets exactly ONCE, on the customer's own band (customers
+    are written un-replicated).  At scale this is the nightly-maintained
+    layout that turns every recurring proximity join from two full-data
+    shuffles into none; values are pinned against the plain cross-join
+    oracle, proving the halo write/read round-trip loses nothing.
+    Latitude (not lon/lat cells) keys the buckets because a degree of
+    latitude is distance-true at every latitude — no polar special case
+    in the layout."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    band = lambda c: F.floor(c / F.lit(2.0)).cast("long")  # noqa: E731
+    cust = customers_geo(spark, sf_dir).select(
+        "c_custkey", "lon", "lat", band(F.col("lat")).alias("band")
+    )
+    supp = suppliers_geo(spark, sf_dir).select(
+        F.col("s_suppkey"),
+        F.col("lon").alias("s_lon"),
+        F.col("lat").alias("s_lat"),
+        band(F.col("lat")).alias("own_band"),
+    )
+    halo = supp.select(
+        "s_suppkey",
+        "s_lon",
+        "s_lat",
+        F.explode(
+            F.array(
+                F.col("own_band") - 1, F.col("own_band"), F.col("own_band") + 1
+            )
+        ).alias("band"),
+    )
+    specs = [
+        (f"sjt_bkt_cb_{tag}", cust),
+        (f"sjt_bkt_sb_{tag}", halo),
+    ]
+    for name, df in specs:
+        (
+            df.write.bucketBy(8, "band")
+            .sortBy("band")
+            .option("path", f"/tmp/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    c = spark.table(f"sjt_bkt_cb_{tag}")
+    s = spark.table(f"sjt_bkt_sb_{tag}")
+    from spark_ml_spatialjointransformer_spark.functions.geodesic import (
+        haversine_expr,
+    )
+
+    j = c.join(s, "band").withColumn(
+        "dist_m",
+        F.round(
+            haversine_expr(
+                F.col("lon"), F.col("lat"), F.col("s_lon"), F.col("s_lat")
+            )
+        ).cast("int"),
+    )
+    return j.where(F.col("dist_m") <= 200000).select(
+        "c_custkey", F.col("s_suppkey").alias("supp_key"), "dist_m"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -4834,7 +5116,9 @@ def j23_tile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # original relative order.  Every new query must be appended here.
 # ---------------------------------------------------------------------------
 _DRIVER_UNCHECKED_FIRST = [
-    # never driver-checked (added after the r5 gate snapshot)
+    # never driver-checked (r6 additions, then post-r5-snapshot additions)
+    "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
+    "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
     "a9_bucketed_join", "t32_incremental_dedup", "t33_weighted_sample",
     "d11_twap", "j23_tile_heatmap",

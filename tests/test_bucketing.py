@@ -78,6 +78,27 @@ def test_bucketed_vs_plain_shuffles_only_plain_side(spark, tmp_path, no_broadcas
         spark.sql("DROP TABLE IF EXISTS bkt_big")
 
 
+def test_j24_band_join_is_exchange_free(spark, no_broadcast):
+    """The halo-bucketed spatial join (j24) must read both pre-bucketed
+    sides with ZERO exchange — the whole point of maintaining the layout.
+    Only the writes (inside the query fn, not in the returned plan) and
+    the exact refine cost anything at query time."""
+    from spark_ml_spatialjointransformer_spark.queries import QUERIES
+
+    df = QUERIES["j24_bucketed_spatial"].fn(spark, "/root/testdata/sf0.001")
+    try:
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert df.count() > 0
+    finally:
+        import hashlib
+
+        tag = hashlib.md5(b"/root/testdata/sf0.001").hexdigest()[:8]
+        spark.sql(f"DROP TABLE IF EXISTS sjt_bkt_cb_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS sjt_bkt_sb_{tag}")
+
+
 def test_aqe_splits_skewed_join_partition(spark, no_broadcast):
     """The engine leans on AQE for join-side skew (salting covers
     aggregation — a6): with one hot key owning ~all rows, AQE must mark
