@@ -33,13 +33,16 @@ distributed:
    remaining row resolves unconditionally, so termination is guaranteed
    (rows that never met a right row vanish — inner-join semantics).
 
-Dense data resolves almost everything in the first rounds; the driver loop
-runs O(log(globe/cell)) rounds worst-case.  ``localCheckpoint`` truncates
-the per-round lineage (same trade-off as the LSH self-joins).  At
-production scale the right side would be written bucketed by cell so the
-per-round shuffle of the right side disappears; the left side's payload
-stays OUT of the loop entirely (only id + coords + best-struct iterate) and
-is joined back once at the end.
+Dense data acquires caps in round 1 and resolves in the capped finish
+round; the loop is TWO driver rounds by default (each round carries a
+fixed multi-stage scheduling tax).  ``localCheckpoint`` truncates the
+per-round lineage (same trade-off as the LSH self-joins).  The right side
+is repartitioned on its cell keys BEFORE its checkpoint — LogicalRDD
+preserves the partitioning, so no round re-shuffles R (the live
+equivalent of a production cell-bucketed table; j24 demonstrates the
+written-to-storage variant for withindist).  The left side's payload
+stays OUT of the loop entirely (only id + coords + cell + best-struct +
+cap iterate) and is joined back once at the end.
 """
 
 from __future__ import annotations
