@@ -534,16 +534,23 @@ def asof_enrich_stream(
     import numpy as np
 
     if isinstance(dim_rows, DataFrame):
-        n_dim = dim_rows.count()
-        if n_dim > max_dim_rows:
-            raise ValueError(
-                f"asof_enrich_stream: dimension has {n_dim} rows, above "
-                f"the broadcast bound of {max_dim_rows}. A dimension this "
-                "large should not broadcast — run the batch union-merge "
-                "as-of (operators/temporal.py:asof_join) over micro-batch "
-                "snapshots instead."
-            )
-        dim_rows = [tuple(r) for r in dim_rows.collect()]
+        # cache across the count→collect pair so the dim plan computes
+        # once; executor storage (spills to disk) is the safe place for an
+        # over-bound dimension to land — the driver never sees it
+        dim_df = dim_rows.persist()
+        try:
+            n_dim = dim_df.count()
+            if n_dim > max_dim_rows:
+                raise ValueError(
+                    f"asof_enrich_stream: dimension has {n_dim} rows, above "
+                    f"the broadcast bound of {max_dim_rows}. A dimension "
+                    "this large should not broadcast — run the batch "
+                    "union-merge as-of (operators/temporal.py:asof_join) "
+                    "over micro-batch snapshots instead."
+                )
+            dim_rows = [tuple(r) for r in dim_df.collect()]
+        finally:
+            dim_df.unpersist()
     elif len(dim_rows) > max_dim_rows:
         raise ValueError(
             f"asof_enrich_stream: dimension has {len(dim_rows)} rows, above "
