@@ -1,5 +1,6 @@
 """Graph analytics over edge lists (beyond the transitive closure in
-``dedup.py``): link-analysis ranking via integer-exact PageRank.
+``dedup.py``): link-analysis ranking via integer-exact PageRank and
+degree-oriented triangle counting.
 
 The join-aggregate PageRank is the canonical distributed formulation:
 each iteration is one (edges ⋈ ranks) hash join keyed on the source id
@@ -76,3 +77,79 @@ def pagerank_int(
             )
         )
     return ranks.select(F.col("src").alias("id"), F.col("__r").alias("pr_e6"))
+
+
+#: orientation-key multiplier: key = degree · _KEY + node id gives the
+#: (degree, id) lexicographic total order as ONE int64 comparison that both
+#: Spark and a SQL replay compute identically; ids must stay below it.
+_ORIENT_KEY = 10_000_000
+
+
+def triangles_per_node(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED graph given as unique
+    canonical pairs (each {u,v} exactly once) — the compact-forward /
+    degree-orientation algorithm every distributed triangle counter uses:
+
+    1. direct each edge from its lower-(degree, id) endpoint to the
+       higher one — a total order, so the directed graph is acyclic and
+       every triangle has exactly ONE wedge u→v, u→w with v before w;
+    2. wedges come from the oriented list self-joined on the source —
+       orientation bounds each node's out-degree by O(√edges) (arboricity),
+       which is what caps the wedge fanout a naive all-pairs self-join
+       has no defense against;
+    3. a wedge closes iff (v, w) is itself an oriented edge — a hash join
+       against the same edge list, no membership broadcast needed.
+
+    Scale shape: node-id-keyed shuffles only (degree agg, two degree
+    attaches, the src-keyed wedge join whose two arms are the identical
+    oriented subtree — runtime ReusedExchange — and the closing-edge
+    join); ids and degrees ride as int64, payloads never enter.  The
+    pair lineage (often an expensive LSH self-join) checkpoints once.
+
+    Output: (id, n_tri) — one row per node in ≥ 1 triangle.
+    """
+    e0 = pairs.select(
+        F.least(F.col(a_col), F.col(b_col)).cast("long").alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("b"),
+    ).localCheckpoint(eager=False)
+    und = e0.select(F.col("a").alias("u")).unionByName(
+        e0.select(F.col("b").alias("u"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+    key = (F.col("__d") * _ORIENT_KEY).cast("long")
+    ka = deg.select(F.col("u").alias("a"), (key + F.col("u")).alias("__ka"))
+    kb = deg.select(F.col("u").alias("b"), (key + F.col("u")).alias("__kb"))
+    lt = F.col("__ka") < F.col("__kb")
+    # checkpoint the oriented list too: three consumers below (both wedge
+    # arms + the closing-edge probe) would otherwise each re-derive the
+    # degree-attach joins — this is the subtree every triangle step reads
+    oriented = (
+        e0.join(ka, "a")
+        .join(kb, "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.greatest("__ka", "__kb").alias("__dkey"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (F.col("x.__dkey") < F.col("y.__dkey")),
+    ).select(
+        F.col("x.src").alias("u"),
+        F.col("x.dst").alias("v"),
+        F.col("y.dst").alias("w"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])
+    nodes = (
+        tri.select(F.col("u").alias("id"))
+        .unionByName(tri.select(F.col("v").alias("id")))
+        .unionByName(tri.select(F.col("w").alias("id")))
+    )
+    return nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))

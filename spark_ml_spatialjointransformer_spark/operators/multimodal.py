@@ -346,6 +346,49 @@ def image_stats(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def image_ahash(
+    df: DataFrame, binary_col: str, out_col: str = "ahash"
+) -> DataFrame:
+    """Average-hash perceptual fingerprint of a (small) decoded image: one
+    bit per pixel, set iff the pixel's integer luminance (R+G+B) is ≥ the
+    image mean — the mean test done as the exact cross-multiplication
+    ``L·n ≥ ΣL`` so no float ever enters (bit-replayable in SQL).  Bits
+    pack row-major into an int64, so the image must have ≤ 63 pixels —
+    callers resize first (ahash is DEFINED on a thumbnail; the resize IS
+    the algorithm's low-pass filter).  NULL for undecodable payloads.
+    Scale shape: one Arrow pass, partition-preserving, no shuffle; the
+    64-bit hash is what downstream dedup shuffles, never pixels."""
+    ensure_udf_portability()
+    fields = df.schema.fields + [T.StructField(out_col, T.LongType())]
+    out_schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = []
+            for b in pdf[binary_col]:
+                img = decode_image(b)
+                if img is None:
+                    hs.append(None)
+                    continue
+                lum = img.astype(np.int64).sum(axis=-1)
+                n = lum.size
+                if n > 63:
+                    raise ValueError(
+                        f"image_ahash: {n} pixels > 63 — resize to a "
+                        "thumbnail first (the hash is one bit per pixel "
+                        "of an int64)"
+                    )
+                tot = int(lum.sum())
+                bits = lum.reshape(-1) * n >= tot
+                h = 0
+                for k in np.nonzero(bits)[0]:
+                    h |= 1 << int(k)
+                hs.append(h)
+            yield pdf.assign(**{out_col: pd.array(hs, dtype="Int64")})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def synth_ppm_images(
     df: DataFrame, id_col: str, width: int, height: int, out_col: str = "img"
 ) -> DataFrame:

@@ -3818,6 +3818,66 @@ def m4_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: m5 replays the whole pipeline in integer SQL: the synth pattern
+#: (3x+5y+id)%256 + (x+2y)%256 + (id+x·y)%256 gives each pixel's R+G+B
+#: luminance, the resize floor-map picks source pixels, and the ahash bit
+#: test is the exact cross-multiplication L·n ≥ ΣL (n=35 pixels) so no
+#: float enters; bit k = y·7+x packs with an integer shift.  The synth
+#: pattern repeats with period 256 in doc_id, so real duplicate clusters
+#: exist wherever the corpus has ≥ 256 documents.
+_M5_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+xo AS (SELECT unnest(range(7)) AS x1), yo AS (SELECT unnest(range(5)) AS y1),
+p AS (SELECT doc_id, y1 * 7 + x1 AS k,
+             (3 * ((x1 * 16) // 7) + 5 * ((y1 * 12) // 5) + doc_id) % 256
+             + ((x1 * 16) // 7 + 2 * ((y1 * 12) // 5)) % 256
+             + (doc_id + ((x1 * 16) // 7) * ((y1 * 12) // 5)) % 256 AS v
+      FROM d CROSS JOIN xo CROSS JOIN yo),
+t AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tot FROM p GROUP BY doc_id),
+h AS (SELECT p.doc_id,
+             CAST(sum(CASE WHEN p.v * 35 >= t.tot
+                           THEN CAST(1 AS BIGINT) << p.k
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+      FROM p JOIN t USING (doc_id) GROUP BY p.doc_id)
+SELECT doc_id, ahash,
+       min(doc_id) OVER (PARTITION BY ahash) AS keeper,
+       doc_id != min(doc_id) OVER (PARTITION BY ahash) AS is_dup
+FROM h
+"""
+
+
+@_register("m5_image_phash_dedup", _M5_ORACLE)
+def m5_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash dedup — the multimodal twin of t2's exact
+    text dedup: synthesize a 16×12 PPM per document, thumbnail it to 7×5
+    (the resize IS ahash's low-pass filter), average-hash the thumbnail
+    into an int64 (one bit per pixel, set iff luminance ≥ image mean,
+    computed as the exact cross-multiplication L·35 ≥ ΣL), then assign
+    every document a keeper = min doc_id within its hash cluster.  Scale
+    shape: three chained mapInPandas passes over the scan (synth, resize,
+    hash — partition-preserving, binaries never shuffle), then ONE
+    exchange on the 8-byte hash; at 100 TB only (doc_id, ahash) pairs
+    move, exactly like text-fingerprint dedup."""
+    from pyspark.sql import Window
+
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        image_ahash,
+        resize_images,
+        synth_ppm_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = synth_ppm_images(docs, "doc_id", width=16, height=12, out_col="img")
+    thumbs = resize_images(imgs, "img", width=7, height=5, out_col="thumb")
+    hashed = image_ahash(thumbs, "thumb", out_col="ahash")
+    w = Window.partitionBy("ahash")
+    return (
+        hashed.select("doc_id", "ahash")
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("keeper"))
+    )
+
+
 @_register("e12_session_stream", _E4_ORACLE)
 def e12_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME gap-based sessionization as e4 executed as a Structured
@@ -4228,6 +4288,64 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank_int(pairs, "id_a", "id_b", iters=5).select(
         F.col("id").alias("vec_id"), "pr_e6"
+    )
+
+
+def _g2_oracle() -> str:
+    """Degree-oriented triangle counting over the v2 pair graph, replayed
+    relationally: the (degree, id) total order collapses into one int64
+    key d·10^7 + id, each edge points low-key → high-key, wedges self-join
+    on the source with the key order making each triangle appear exactly
+    once, and a wedge closes iff its (v, w) is itself an oriented edge."""
+    return f"""
+WITH pairs AS ({_v2_oracle()}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+und AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+k AS (SELECT e.a, e.b,
+             da.d * 10000000 + e.a AS ka, db.d * 10000000 + e.b AS kb
+      FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b),
+o AS (SELECT CASE WHEN ka < kb THEN a ELSE b END AS src,
+             CASE WHEN ka < kb THEN b ELSE a END AS dst,
+             CASE WHEN ka < kb THEN kb ELSE ka END AS dkey
+      FROM k),
+tri AS (SELECT x.src AS u, x.dst AS v, y.dst AS w
+        FROM o x
+        JOIN o y ON x.src = y.src AND x.dkey < y.dkey
+        JOIN o z ON z.src = x.dst AND z.dst = y.dst),
+n AS (SELECT u AS id FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri)
+SELECT id AS vec_id, CAST(count(*) AS BIGINT) AS n_tri FROM n GROUP BY id
+"""
+
+
+@_register("g2_triangles", _g2_oracle())
+def g2_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-density signal over the v2 near-duplicate pair graph:
+    per-node triangle counts via degree orientation (compact-forward) —
+    the structural complement to g1's centrality and t11's connectivity:
+    a node in many triangles sits in a dense duplicate CLUSTER, not just
+    a long chain, which is what cluster-aware keeper election and
+    cluster-size caps key on.  Orientation bounds the wedge fanout by
+    the graph's arboricity, so the self-join survives power-law degree
+    skew that kills the naive neighbor×neighbor expansion.  Scale shape:
+    node-id-keyed shuffles only; the LSH pair lineage checkpoints once
+    (see ``operators/graph.py``)."""
+    from spark_ml_spatialjointransformer_spark.operators.graph import (
+        triangles_per_node,
+    )
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    )
+    return triangles_per_node(pairs, "id_a", "id_b").select(
+        F.col("id").alias("vec_id"), "n_tri"
     )
 
 
@@ -5117,6 +5235,7 @@ def j24_bucketed_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _DRIVER_UNCHECKED_FIRST = [
     # never driver-checked (r6 additions, then post-r5-snapshot additions)
+    "m5_image_phash_dedup", "g2_triangles",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",

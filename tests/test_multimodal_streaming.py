@@ -127,6 +127,37 @@ class TestMultimodal:
         got = int(stats.loc[stats.doc_id == i, "s_pix_sum"].iloc[0])
         assert got == want
 
+    def test_image_ahash_bits(self, spark, binary_docs):
+        import numpy as np
+
+        # undecodable payloads -> NULL hash, never a crash
+        out = multimodal.image_ahash(binary_docs, "content").toPandas()
+        assert out["ahash"].isna().all()
+        # hand-built 2x2 image: luminances 0, 3, 6, 300 -> mean test
+        # L*4 >= 309 sets only the brightest pixel (bit 3, row-major)
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        px[0, 1] = (1, 1, 1)
+        px[1, 0] = (2, 2, 2)
+        px[1, 1] = (100, 100, 100)
+        df = spark.createDataFrame(
+            [(0, bytearray(multimodal.encode_ppm(px)))], "id long, img binary"
+        )
+        got = multimodal.image_ahash(df, "img").toPandas()["ahash"].iloc[0]
+        assert int(got) == 1 << 3
+        # uniform image: every L*n == total -> all n bits set
+        flat = np.full((2, 3, 3), 7, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(0, bytearray(multimodal.encode_ppm(flat)))], "id long, img binary"
+        )
+        got = multimodal.image_ahash(df, "img").toPandas()["ahash"].iloc[0]
+        assert int(got) == (1 << 6) - 1
+        # >63 pixels must refuse loudly, not truncate
+        big = multimodal.synth_ppm_images(
+            spark.range(1).select(F.col("id").alias("doc_id")), "doc_id", 16, 12
+        )
+        with pytest.raises(Exception, match="63"):
+            multimodal.image_ahash(big, "img").collect()
+
     def test_wav_codec_roundtrip(self):
         import struct
 

@@ -178,6 +178,47 @@ class TestPageRank:
         assert got[1] > got[2] == got[3] > got[4]
 
 
+class TestTriangles:
+    def test_known_graph_counts(self, spark):
+        """K4 on {1,2,3,4} (4 triangles, 3 per node) plus a pendant 5–1
+        (no triangle) plus a disjoint triangle {6,7,8}; brute-force every
+        node triple as the oracle."""
+        from itertools import combinations
+
+        from spark_ml_spatialjointransformer_spark.operators.graph import (
+            triangles_per_node,
+        )
+
+        pairs = list(combinations([1, 2, 3, 4], 2)) + [
+            (1, 5), (6, 7), (7, 8), (6, 8),
+        ]
+        df = spark.createDataFrame(pairs, "a long, b long")
+        got = {r.id: r.n_tri for r in triangles_per_node(df, "a", "b").collect()}
+
+        es = {frozenset(p) for p in pairs}
+        nodes = sorted({n for p in pairs for n in p})
+        want: dict = {}
+        for t in combinations(nodes, 3):
+            if all(frozenset(e) in es for e in combinations(t, 2)):
+                for n in t:
+                    want[n] = want.get(n, 0) + 1
+        assert got == want
+        assert got[1] == 3 and 5 not in got and got[6] == 1
+
+    def test_orientation_beats_hub_skew(self, spark):
+        """Star hub 0 with 30 leaves, leaves pairwise unconnected except
+        one closing edge: exactly one triangle, and the oriented wedge
+        count stays O(1) per leaf (orientation points INTO the hub)."""
+        from spark_ml_spatialjointransformer_spark.operators.graph import (
+            triangles_per_node,
+        )
+
+        pairs = [(0, i) for i in range(1, 31)] + [(1, 2)]
+        df = spark.createDataFrame(pairs, "a long, b long")
+        got = {r.id: r.n_tri for r in triangles_per_node(df, "a", "b").collect()}
+        assert got == {0: 1, 1: 1, 2: 1}
+
+
 class TestAsofGuard:
     def test_oversized_dimension_raises_with_routing_hint(self, spark):
         from spark_ml_spatialjointransformer_spark.streaming.windowed import (
