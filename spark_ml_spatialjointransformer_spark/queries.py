@@ -4531,6 +4531,56 @@ def e14_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(enriched, name, output_mode="append")
 
 
+#: e15: plain batch left join — the stream must reproduce it exactly,
+#: including one row per multi-purchase match AND the NULL no-shows.
+#: lag truncates each timestamp to whole seconds BEFORE subtracting
+#: (Spark's cast-to-long), not after — both engines floor non-negative
+#: epochs identically.
+_E15_ORACLE = """
+SELECT a.event_id, a.user_id, b.event_id AS purchase_id,
+       epoch_us(b.ts) // 1000000 - epoch_us(a.ts) // 1000000 AS lag_s
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE
+WHERE a.event_type = 'click'
+"""
+
+
+@_register("e15_outer_join_stream", _E15_ORACLE)
+def e15_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: click→purchase conversion
+    attribution where the no-conversion rows are emitted by WATERMARK
+    STATE EVICTION — the streaming-only semantics e6's inner join never
+    exercises (a no-show can only be declared once the watermark proves
+    no match can still arrive).  Null emission is driven through real
+    data batches by the flush-sentinel mechanism (see
+    ``streaming/windowed.py:_flushed_events_dir`` for why the sentinels
+    must pass the per-side scan filters and why this filter runs HERE,
+    after materialization, not inside the streaming plan).  Checked
+    against the plain batch LEFT JOIN oracle — matches, multi-matches,
+    and NULL no-shows row-for-row."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        click_attribution_stream,
+        run_to_memory,
+    )
+
+    name = "q_e15_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = run_to_memory(
+        click_attribution_stream(spark, f"{sf_dir}/events.parquet"),
+        name,
+        output_mode="append",
+    )
+    return out.where(F.col("user_id") >= 0).select(
+        "event_id",
+        "user_id",
+        F.col("p_id").alias("purchase_id"),
+        (F.col("p_ts").cast("long") - F.col("ts").cast("long")).alias("lag_s"),
+    )
+
+
 #: v8 PQ geometry: 4 sub-spaces × 16 codewords × 16 dims; codewords from
 #: the closed-form LCG family (±8, lifted ×12500 to the ±1e5 quantized
 #: embedding scale) so both engines derive the identical codebook.
@@ -5235,7 +5285,7 @@ def j24_bucketed_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _DRIVER_UNCHECKED_FIRST = [
     # never driver-checked (r6 additions, then post-r5-snapshot additions)
-    "m5_image_phash_dedup", "g2_triangles",
+    "m5_image_phash_dedup", "g2_triangles", "e15_outer_join_stream",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",

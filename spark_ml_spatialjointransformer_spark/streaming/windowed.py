@@ -45,7 +45,9 @@ def _as_stream_dir(path: str) -> str:
     return d
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
     """readStream over the events parquet (kafka stand-in).
 
     The streaming file source needs an explicit schema, and the driver's
@@ -61,7 +63,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_schema = spark.read.parquet(d).schema
     raw = (
         spark.readStream.schema(batch_schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(int(max_files_per_trigger)))
         .parquet(d)
     )
     ts_type = batch_schema["ts"].dataType
@@ -610,3 +612,154 @@ def asof_enrich_stream(
         F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
     )
     return ev.mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# outer stream-stream join: watermark-driven NULL emission for no-shows
+# ---------------------------------------------------------------------------
+
+
+def _flushed_events_dir(spark: SparkSession, path: str) -> "tuple[str, int]":
+    """Build (idempotently) a stream directory holding the events parquet
+    plus two tiny WATERMARK-FLUSH files; return (dir, number of data files).
+
+    An outer stream-stream join only emits its NULL rows when the
+    watermark passes a buffered row's last-possible-match time — on an
+    endless production stream later traffic does that for free, but a
+    replayed finite file would leave every no-show row stuck in the state
+    store forever.  The flush files are that missing later traffic: one
+    sentinel row PER JOIN-SIDE EVENT TYPE (the per-side ``event_type``
+    filters push down into the parquet scan, so a sentinel of a type
+    neither side reads would be pruned before it ever reached the
+    watermark node — measured, not theoretical) with ``user_id = -1``
+    (matches nothing) at max(ts)+1d and +2d.  Two files, mtime-ordered
+    after every data file, so the second DATA batch carries the advanced
+    watermark — null emission does not depend on the engine scheduling a
+    trailing no-data micro-batch.
+
+    A multi-file source (a Spark-written dataset directory) symlinks each
+    part file individually: the caller must ingest ALL data files in the
+    FIRST trigger (`maxFilesPerTrigger` = the returned count) — part
+    files are row-sliced, not time-sliced, so replaying them across
+    several triggers would late-drop whichever slices batch after the
+    watermark first advances.
+
+    Files are keyed by the data's max timestamp: regenerated testdata
+    gets fresh flush files, and stale ones (still future-dated, still
+    sentinel-keyed) are harmless extra state that the caller's
+    ``user_id >= 0`` output filter drops."""
+    import hashlib
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = spark.read.parquet(path)
+    schema = base.schema
+    ts_long = isinstance(schema["ts"].dataType, T.LongType)
+    mx = base.agg(F.max("ts")).first()[0]
+    d = f"/tmp/sjt_stream_oj_{hashlib.md5(path.encode()).hexdigest()[:12]}"
+    os.makedirs(d, exist_ok=True)
+    if os.path.isdir(path):
+        srcs = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    else:
+        srcs = [os.path.basename(path)]
+    src_dir = path if os.path.isdir(path) else os.path.dirname(path)
+    for f in srcs:
+        link = os.path.join(d, f)
+        if not os.path.exists(link):
+            os.symlink(os.path.join(src_dir, f), link)
+    data_mtime = max(
+        os.stat(os.path.join(src_dir, f)).st_mtime for f in srcs
+    )
+    tag = hashlib.md5(str(mx).encode()).hexdigest()[:8]
+    day_ns = 86_400 * 10**9
+    for i in (1, 2):
+        dest = os.path.join(d, f"flush{i}_{tag}.parquet")
+        if os.path.exists(dest):
+            continue
+        if ts_long:  # legacy nanos-as-long encoding
+            fts = int(mx) + i * day_ns
+        else:
+            from datetime import timedelta
+
+            fts = mx + timedelta(days=i)
+        rows = []
+        for k, kind in enumerate(("click", "purchase")):
+            vals = {
+                "event_id": -(i * 2 + k),
+                "ts": fts,
+                "user_id": -1,
+                "event_type": kind,
+            }
+            rows.append(tuple(vals.get(f.name) for f in schema.fields))
+        tmp = dest + ".tmp"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # deterministic processing order: the file source batches by
+        # mtime, so pin each flush file strictly AFTER every data file
+        # (resolved through the symlinks) — flush-before-data would replay
+        # the data against the sentinel-advanced watermark and late-drop
+        # every real row
+        os.utime(dest, (data_mtime + 10 * i, data_mtime + 10 * i))
+    return d, len(srcs)
+
+
+def click_attribution_stream(
+    spark: SparkSession,
+    path: str,
+    window_minutes: int = 120,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click either pairs
+    with the same user's purchase(s) within the next ``window_minutes``
+    or — once the watermark proves no purchase can still arrive — emits
+    exactly once with NULLs (the abandoned-session / no-conversion row
+    that an inner join like e6 silently drops).
+
+    The time bound gives Spark the state-eviction rule on BOTH sides
+    (each side holds only ``window + delay`` of traffic), and the NULL
+    rows are emitted by state eviction itself — the part of the outer
+    join that is genuinely streaming-specific, exercised here via the
+    flush-sentinel mechanism of `_flushed_events_dir` (callers filter
+    the ``user_id < 0`` sentinel rows AFTER materialization: a filter
+    inside the streaming plan would be pushed down into the scan and
+    starve the watermark of the very rows that advance it).
+
+    Both sides project to 24-byte rows before the watermark — the join
+    state store serializes whole rows, so payload width is state I/O."""
+    d, n_data = _flushed_events_dir(spark, path)
+    raw = events_stream(spark, d, max_files_per_trigger=n_data)
+    a = (
+        raw.where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .alias("a")
+        .withWatermark("ts", delay)
+    )
+    b = (
+        raw.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .alias("b")
+        .withWatermark("p_ts", delay)
+    )
+    return a.join(
+        b,
+        F.expr(
+            "user_id = p_user AND p_ts >= ts "
+            f"AND p_ts <= ts + INTERVAL {int(window_minutes)} MINUTES"
+        ),
+        "leftOuter",
+    )

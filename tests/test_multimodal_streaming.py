@@ -432,3 +432,107 @@ class TestStreamingHeavyHitters:
         batch = QUERIES["t22_heavy_hitters"].fn(spark, sf_dir)
         want = sorted((r.lang, r.token, r.cnt, r.rank) for r in batch.collect())
         assert got == want and len(got) > 0
+
+
+class TestOuterJoinStream:
+    """Stream-stream LEFT OUTER interval join: the NULL no-show rows are
+    emitted by watermark state eviction, driven through the flush-sentinel
+    files — and must reproduce the batch LEFT JOIN exactly."""
+
+    def _write_events(self, path, unit="us"):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            # user 1: click with TWO purchases in the 120-min window
+            (1, base, 1, "click"),
+            (2, base + dt.timedelta(minutes=30), 1, "purchase"),
+            (3, base + dt.timedelta(minutes=60), 1, "purchase"),
+            # user 2: click whose only purchase is OUTSIDE the window
+            (4, base, 2, "click"),
+            (5, base + dt.timedelta(minutes=121), 2, "purchase"),
+            # user 3: click, no purchase at all; purchase BEFORE the
+            # click must not match either
+            (6, base + dt.timedelta(minutes=10), 3, "click"),
+            (7, base, 3, "purchase"),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp(unit)),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows]),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            path,
+        )
+
+    def test_matches_nulls_and_window_edges(self, spark, tmp_path):
+        import os
+
+        p = os.path.join(str(tmp_path), "events.parquet")
+        self._write_events(p)
+        out = windowed.run_to_memory(
+            windowed.click_attribution_stream(spark, p),
+            "t_oj",
+            output_mode="append",
+        )
+        got = sorted(
+            (r.event_id, r.p_id)
+            for r in out.where(F.col("user_id") >= 0).collect()
+        )
+        # click 1 → purchases 2 and 3; clicks 4 and 6 → no-show NULLs
+        assert got == [(1, 2), (1, 3), (4, None), (6, None)]
+
+    def test_flush_files_order_after_data(self, spark, tmp_path):
+        """The flush sentinels must sort AFTER the data file by mtime —
+        flush-first would late-drop the entire replay (the failure mode
+        actually hit when the testdata mtime postdated the pinned flush
+        mtime)."""
+        import os
+
+        p = os.path.join(str(tmp_path), "events.parquet")
+        self._write_events(p)
+        d, n_data = windowed._flushed_events_dir(spark, p)
+        assert n_data == 1
+        data_m = os.stat(p).st_mtime
+        flushes = [f for f in os.listdir(d) if f.startswith("flush")]
+        assert len(flushes) == 2
+        assert all(
+            os.stat(os.path.join(d, f)).st_mtime > data_m for f in flushes
+        )
+
+    def test_multi_file_dataset_dir(self, spark, tmp_path):
+        """A Spark-written dataset DIRECTORY (several row-sliced part
+        files) must stream correctly: all parts ingest in ONE trigger —
+        split across triggers, the later parts would be late-dropped
+        against the watermark the earlier ones advanced (the failure mode
+        actually hit on the 5x-replicated dataset)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        p1 = os.path.join(str(tmp_path), "events.parquet")
+        self._write_events(p1)
+        # re-slice the same rows into a 2-part dataset dir
+        t = pq.read_table(p1)
+        d2 = os.path.join(str(tmp_path), "events_dir.parquet")
+        os.makedirs(d2)
+        pq.write_table(t.slice(0, 4), os.path.join(d2, "part-0.parquet"))
+        pq.write_table(t.slice(4), os.path.join(d2, "part-1.parquet"))
+        out = windowed.run_to_memory(
+            windowed.click_attribution_stream(spark, d2),
+            "t_oj_dir",
+            output_mode="append",
+        )
+        got = sorted(
+            (r.event_id, r.p_id)
+            for r in out.where(F.col("user_id") >= 0).collect()
+        )
+        assert got == [(1, 2), (1, 3), (4, None), (6, None)]
