@@ -5020,6 +5020,85 @@ QUERIES["a10_grouping_sets"] = QueryDef(
 )
 
 
+_A11_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100e0
+                           + 0.5e0) AS BIGINT)) AS BIGINT) AS rev_e2
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@_register("a11_local_supplier_revenue", _A11_ORACLE)
+def a11_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue from lineitems where the
+    supplier sits in the CUSTOMER's (Asian) nation — the deepest join
+    tree in the a-family, and the query where join ORDER and broadcast
+    choice decide the plan.  The two facts (orders·lineitem) hash-join on
+    their own keys; customer rides the orders join as a key-projected
+    dim; the region→nation→supplier chain collapses driver-free into ONE
+    pre-filtered broadcast (supplier is TPC-H's smallest dim, SF·10k
+    rows) whose theta condition (s_nationkey = c_nationkey) both
+    restricts to local suppliers and attaches the nation name.  The date
+    filter pushes into the orders SCAN (a third of the fact never leaves
+    parquet).  Per-row scaled-int cents, then one 5-group aggregation."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia = (
+        nation.join(
+            region.where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    oc = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100e0 + 0.5e0)"
+            " AS BIGINT)"
+        ).alias("cents"),
+    )
+    j = (
+        li.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum("cents").cast("bigint").alias("rev_e2")
+    )
+
+
 _T34_ORACLE = """
 WITH tok AS (SELECT string_split(trim(text), ' ') AS ts FROM documents),
 uni AS (SELECT unnest(ts) AS w FROM tok),
@@ -5286,6 +5365,7 @@ def j24_bucketed_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_UNCHECKED_FIRST = [
     # never driver-checked (r6 additions, then post-r5-snapshot additions)
     "m5_image_phash_dedup", "g2_triangles", "e15_outer_join_stream",
+    "a11_local_supplier_revenue",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
