@@ -519,6 +519,55 @@ def audio_stats(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def audio_fingerprint(
+    df: DataFrame,
+    binary_col: str,
+    n_windows: int = 8,
+    out_col: str = "afp",
+) -> DataFrame:
+    """Energy-profile perceptual fingerprint of a decoded waveform: the
+    samples split into ``n_windows`` equal windows (sample count must
+    divide evenly — a loud error otherwise, never silent truncation), one
+    bit per window set iff the window's Σ|amplitude| is ≥ the per-window
+    mean — the mean test as the exact cross-multiplication
+    ``e_w·n_windows ≥ Σe`` so no float enters and a SQL oracle replays
+    the bits.  Multi-channel audio fingerprints the channel-summed |a|.
+    The audio twin of ``image_ahash``: a coarse, alignment-tolerant
+    loudness envelope whose collisions are the dedup buckets.  NULL for
+    undecodable payloads.  Scale shape: one Arrow pass over the scan,
+    partition-preserving, no shuffle; downstream dedup shuffles the
+    int64, never audio."""
+    ensure_udf_portability()
+    fields = df.schema.fields + [T.StructField(out_col, T.LongType())]
+    out_schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for b in pdf[binary_col]:
+                dec = decode_wav(b)
+                if dec is None:
+                    fps.append(None)
+                    continue
+                arr, _ = dec
+                a = np.abs(arr.astype(np.int64)).sum(axis=1)
+                if a.size == 0 or a.size % n_windows:
+                    raise ValueError(
+                        f"audio_fingerprint: {a.size} samples do not "
+                        f"split into {n_windows} equal windows"
+                    )
+                e = a.reshape(n_windows, -1).sum(axis=1)
+                tot = int(e.sum())
+                bits = e * n_windows >= tot
+                fp = 0
+                for w in np.nonzero(bits)[0]:
+                    fp |= 1 << int(w)
+                fps.append(fp)
+            yield pdf.assign(**{out_col: pd.array(fps, dtype="Int64")})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def synth_wav(
     df: DataFrame,
     id_col: str,

@@ -3878,6 +3878,60 @@ def m5_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: m6 replays the synth waveform ((id·7919 + t·M) mod 65536) − 32768,
+#: windows Σ|a| into 8 buckets of 32 samples, and sets bit w iff
+#: e_w·8 ≥ Σe — every term a non-negative integer, so the fingerprint is
+#: engine-exact bit-for-bit.
+_M6_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+t AS (SELECT unnest(range(256)) AS t),
+s AS (SELECT doc_id, t // 32 AS w,
+             abs(((doc_id * 7919 + t * 2654435761) % 65536) - 32768) AS av
+      FROM d CROSS JOIN t),
+e AS (SELECT doc_id, w, CAST(sum(av) AS BIGINT) AS ew
+      FROM s GROUP BY doc_id, w),
+tt AS (SELECT doc_id, CAST(sum(ew) AS BIGINT) AS tot FROM e GROUP BY doc_id),
+h AS (SELECT e.doc_id,
+             CAST(sum(CASE WHEN e.ew * 8 >= tt.tot
+                           THEN CAST(1 AS BIGINT) << e.w
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS afp
+      FROM e JOIN tt USING (doc_id) GROUP BY e.doc_id)
+SELECT doc_id, afp,
+       min(doc_id) OVER (PARTITION BY afp) AS keeper,
+       doc_id != min(doc_id) OVER (PARTITION BY afp) AS is_dup
+FROM h
+"""
+
+
+@_register("m6_audio_fp_dedup", _M6_ORACLE)
+def m6_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual-fingerprint dedup — m5's twin on the audio
+    column: synthesize a 256-sample PCM16 waveform per document, encode →
+    decode through the real RIFF/WAVE codec, fingerprint the loudness
+    envelope (8 windows, one bit per window set iff its Σ|a| is ≥ the
+    mean, computed as the exact cross-multiplication e_w·8 ≥ Σe), then
+    assign every document a keeper = min doc_id within its fingerprint
+    cluster.  Scale shape: two chained mapInPandas passes over the scan
+    (synth+encode, decode+fingerprint — partition-preserving, audio bytes
+    never shuffle), then ONE exchange on the int64 fingerprint."""
+    from pyspark.sql import Window
+
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = synth_wav(docs, "doc_id", n_samples=256, sample_rate=16000)
+    fp = audio_fingerprint(wavs, "wav", n_windows=8, out_col="afp")
+    w = Window.partitionBy("afp")
+    return (
+        fp.select("doc_id", "afp")
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("keeper"))
+    )
+
+
 @_register("e12_session_stream", _E4_ORACLE)
 def e12_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME gap-based sessionization as e4 executed as a Structured
@@ -5365,7 +5419,7 @@ def j24_bucketed_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_UNCHECKED_FIRST = [
     # never driver-checked (r6 additions, then post-r5-snapshot additions)
     "m5_image_phash_dedup", "g2_triangles", "e15_outer_join_stream",
-    "a11_local_supplier_revenue",
+    "a11_local_supplier_revenue", "m6_audio_fp_dedup",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",

@@ -158,6 +158,40 @@ class TestMultimodal:
         with pytest.raises(Exception, match="63"):
             multimodal.image_ahash(big, "img").collect()
 
+    def test_audio_fingerprint_bits(self, spark, binary_docs):
+        import numpy as np
+
+        # undecodable payloads -> NULL fingerprint, never a crash
+        out = multimodal.audio_fingerprint(
+            binary_docs, "content", n_windows=4
+        ).toPandas()
+        assert out["afp"].isna().all()
+        # hand-built 8-sample wave, 4 windows of 2: |a| window sums are
+        # 0, 2, 4, 200 -> e_w*4 >= 206 only for the loud window (bit 3)
+        s = np.array([0, 0, 1, -1, 2, 2, 100, -100], dtype=np.int64)
+        df = spark.createDataFrame(
+            [(0, bytearray(multimodal.encode_wav(s, 8000)))],
+            "id long, wav binary",
+        )
+        got = multimodal.audio_fingerprint(df, "wav", n_windows=4).toPandas()
+        assert int(got["afp"].iloc[0]) == 1 << 3
+        # flat wave: every window ties the mean -> all bits set
+        flat = np.full(8, 5, dtype=np.int64)
+        df = spark.createDataFrame(
+            [(0, bytearray(multimodal.encode_wav(flat, 8000)))],
+            "id long, wav binary",
+        )
+        got = multimodal.audio_fingerprint(df, "wav", n_windows=4).toPandas()
+        assert int(got["afp"].iloc[0]) == (1 << 4) - 1
+        # sample count not divisible by windows must refuse loudly
+        odd = np.zeros(10, dtype=np.int64)
+        df = spark.createDataFrame(
+            [(0, bytearray(multimodal.encode_wav(odd, 8000)))],
+            "id long, wav binary",
+        )
+        with pytest.raises(Exception, match="equal windows"):
+            multimodal.audio_fingerprint(df, "wav", n_windows=4).collect()
+
     def test_wav_codec_roundtrip(self):
         import struct
 
