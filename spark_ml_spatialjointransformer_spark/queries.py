@@ -5074,6 +5074,46 @@ QUERIES["a10_grouping_sets"] = QueryDef(
 )
 
 
+#: t36's oracle reads the ORIGINAL parquet — the roundtrip must be
+#: byte-lossless, so hashing the re-imported text against the source
+#: is the whole check.
+_T36_ORACLE = f"""
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len,
+       {h60_sql('text')} AS text_h60
+FROM documents
+"""
+
+
+@_register("t36_jsonl_roundtrip", _T36_ORACLE)
+def t36_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format fidelity: export the documents table as JSON
+    Lines (the corpus-exchange format every training-data pipeline ships
+    through) and RE-IMPORT it with an explicit schema; the output hashes
+    the re-imported text, while the oracle hashes the ORIGINAL parquet —
+    so any escaping, unicode, or null-vs-missing loss in the
+    writer→reader path breaks the value hash.  Scale shape: the
+    export/import is embarrassingly parallel (per-partition files, no
+    shuffle, no driver data); explicit read schema because schema
+    inference is a full extra pass over the data at 100 TB."""
+    import hashlib
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = (
+        tempfile.gettempdir()
+        + "/sjt_t36_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    docs.write.mode("overwrite").json(out_dir)
+    back = spark.read.schema(docs.schema).json(out_dir)
+    return back.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("text_len"),
+        h60_col(F.col("text")).alias("text_h60"),
+    )
+
+
 _A11_ORACLE = """
 SELECT n_name,
        CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100e0
@@ -5419,7 +5459,7 @@ def j24_bucketed_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_UNCHECKED_FIRST = [
     # never driver-checked (r6 additions, then post-r5-snapshot additions)
     "m5_image_phash_dedup", "g2_triangles", "e15_outer_join_stream",
-    "a11_local_supplier_revenue", "m6_audio_fp_dedup",
+    "a11_local_supplier_revenue", "m6_audio_fp_dedup", "t36_jsonl_roundtrip",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
