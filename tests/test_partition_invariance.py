@@ -29,6 +29,9 @@ SENSITIVE = [
     "v7_maxsim_topk",          # top-k window over broadcast-join scores
     "g1_pagerank",             # iterated join-aggregate recurrence
     "v8_pq_adc_topk",          # batch-local top-k + global window
+    "g2_triangles",            # checkpointed self-joins + wedge closing
+    "m5_image_phash_dedup",    # mapInPandas chain + keeper window
+    "m6_audio_fp_dedup",       # mapInPandas chain + keeper window
 ]
 
 

@@ -310,6 +310,40 @@ class TestPageRankProperty:
             assert got == r, f"trial {trial}: {sorted(got.items())[:3]}..."
 
 
+class TestTrianglesProperty:
+    def test_random_graphs_match_brute_force(self, spark):
+        """Randomized cross-check for the degree-oriented counter: random
+        pair graphs vs brute-force enumeration of every node triple."""
+        from itertools import combinations
+
+        from spark_ml_spatialjointransformer_spark.operators.graph import (
+            triangles_per_node,
+        )
+
+        rng = np.random.default_rng(41)
+        for trial in range(3):
+            n = int(rng.integers(6, 25))
+            m = min(int(rng.integers(8, 80)), n * (n - 1) // 2)
+            pairs = set()
+            while len(pairs) < m:
+                a, b = rng.integers(0, n, size=2)
+                if a != b:
+                    pairs.add((int(min(a, b)), int(max(a, b))))
+            pairs = sorted(pairs)
+            df = spark.createDataFrame(pairs, "a long, b long")
+            got = {
+                r.id: r.n_tri
+                for r in triangles_per_node(df, "a", "b").collect()
+            }
+            es = set(map(frozenset, pairs))
+            want: dict = {}
+            for t in combinations(range(n), 3):
+                if all(frozenset(e) in es for e in combinations(t, 2)):
+                    for v in t:
+                        want[v] = want.get(v, 0) + 1
+            assert got == want, f"trial {trial}"
+
+
 class TestPQCodes:
     def test_adc_scores_match_python_reference(self, spark):
         """Random embeddings through the distributed PQ pipeline must match
