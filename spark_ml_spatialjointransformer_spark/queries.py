@@ -4990,6 +4990,91 @@ def d11_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d12 medians are RANK-DEFINED, not percentile built-ins: the median is
+#: the value at row_number ⌈n/2⌉ ordered by (value, event_id) — a total
+#: deterministic order both engines replicate exactly, where each
+#: engine's percentile_disc/median functions have their own
+#: interpolation and tie rules.  dev ≥ 3·MAD tests as the integer
+#: cross-multiplication dev ≥ 3·max(mad, 1) — MAD 0 (constant user)
+#: floors to 1 so the rule stays divide-free and total.
+_D12_ORACLE = """
+WITH e AS (SELECT user_id, event_id,
+                  CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS v_e4
+           FROM events),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY user_id ORDER BY v_e4, event_id) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n
+      FROM e),
+med AS (SELECT user_id, v_e4 AS med_e4 FROM r WHERE rn = (n + 1) // 2),
+d AS (SELECT e.user_id, e.event_id, e.v_e4,
+             abs(e.v_e4 - med.med_e4) AS dev_e4
+      FROM e JOIN med USING (user_id)),
+r2 AS (SELECT *, row_number() OVER
+         (PARTITION BY user_id ORDER BY dev_e4, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+       FROM d),
+mad AS (SELECT user_id, dev_e4 AS mad_e4 FROM r2 WHERE rn = (n + 1) // 2)
+SELECT d.event_id, d.user_id, d.v_e4, d.dev_e4,
+       d.dev_e4 >= 3 * CASE WHEN mad.mad_e4 < 1 THEN 1 ELSE mad.mad_e4 END
+         AS is_anomaly
+FROM d JOIN mad USING (user_id)
+"""
+
+
+@_register("d12_mad_outliers", _D12_ORACLE)
+def d12_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomaly flags: median / median-absolute-deviation
+    (the estimator a mean/stddev z-score can't be — one huge outlier
+    drags the mean toward itself and masks its own detection), flagging
+    events ≥ 3·MAD from the user's median.  Medians are rank-defined
+    (row ⌈n/2⌉ under a total (value, event_id) order) so both engines
+    agree exactly — no percentile-builtin interpolation semantics in
+    play.  Scale shape: every window and join keys on user_id, so ONE
+    hash partitioning serves the two rank passes and the two med/MAD
+    attach joins (Catalyst reuses the exchange); state per user is its
+    own event list, never global."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)").alias("v_e4"),
+    )
+    w = Window.partitionBy("user_id").orderBy("v_e4", "event_id")
+    wn = Window.partitionBy("user_id")
+    # `div`, not `/`: Spark's / is float division, and a float (n+1)/2
+    # matches NO integer rank for even n — the whole user would vanish
+    r = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = r.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "user_id", F.col("v_e4").alias("med_e4")
+    )
+    d = e.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "v_e4",
+        F.abs(F.col("v_e4") - F.col("med_e4")).alias("dev_e4"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("dev_e4", "event_id")
+    r2 = d.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    mad = r2.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "user_id", F.col("dev_e4").alias("mad_e4")
+    )
+    return d.join(mad, "user_id").select(
+        "event_id",
+        "user_id",
+        "v_e4",
+        "dev_e4",
+        (
+            F.col("dev_e4")
+            >= 3 * F.greatest(F.col("mad_e4"), F.lit(1))
+        ).alias("is_anomaly"),
+    )
+
+
 #: j23 cells: customer points quantize to 5° tiles straight from the
 #: INTEGER key synthesis (tenth-degrees // 50) — no floating point
 #: anywhere, so the raster is engine-exact by construction.
@@ -5460,6 +5545,7 @@ _DRIVER_UNCHECKED_FIRST = [
     # never driver-checked (r6 additions, then post-r5-snapshot additions)
     "m5_image_phash_dedup", "g2_triangles", "e15_outer_join_stream",
     "a11_local_supplier_revenue", "m6_audio_fp_dedup", "t36_jsonl_roundtrip",
+    "d12_mad_outliers",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
