@@ -79,6 +79,60 @@ def pagerank_int(
     return ranks.select(F.col("src").alias("id"), F.col("__r").alias("pr_e6"))
 
 
+def bfs_hops(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    seeds: DataFrame,
+    id_col: str,
+    iters: int = 4,
+) -> DataFrame:
+    """Multi-source BFS over the undirected pair graph: hop distance from
+    every node to its nearest SEED, bounded at ``iters`` hops — the
+    frontier-relaxation iteration pattern (each round improves distances
+    through one more edge), distinct from both PageRank's fixed-point
+    recurrence and the closure's label propagation.
+
+    Round ``i``: dist_i(v) = min(dist_{i-1}(v), min over edges u→v of
+    dist_{i-1}(u) + 1) — relationally one src-keyed hash join + one
+    dst-keyed min-aggregation, node-id shuffles only, all int64.  A
+    fixed ``iters`` keeps the plan depth bounded (lazy lineage, no
+    per-round barrier — the g1 trade-off) and the oracle replayable as
+    an unrolled CTE chain; unreached nodes simply never appear
+    (no sentinel infinities to reconcile across engines).
+
+    Output: (id, hops) for every node within ``iters`` of a seed —
+    seeds themselves at 0, isolated seeds included.
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    )
+    e = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    d = seeds.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.lit(0).cast("long").alias("hops"),
+    )
+    for _ in range(iters):
+        nxt = e.join(d, F.col("src") == F.col("id")).select(
+            F.col("dst").alias("id"), (F.col("hops") + 1).alias("hops")
+        )
+        d = (
+            d.unionByName(nxt)
+            .groupBy("id")
+            .agg(F.min("hops").alias("hops"))
+            # each round reads d TWICE (the union arm and the join arm):
+            # without truncation the lineage doubles per round — 2^iters
+            # copies of round 1 in the final plan.  The lazy checkpoint
+            # makes each round's table compute once (g1 skips this only
+            # because its rank is read once per round).
+            .localCheckpoint(eager=False)
+        )
+    return d
+
+
 #: orientation-key multiplier: key = degree · _KEY + node id gives the
 #: (degree, id) lexicographic total order as ONE int64 comparison that both
 #: Spark and a SQL replay compute identically; ids must stay below it.

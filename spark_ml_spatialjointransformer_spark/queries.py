@@ -4345,6 +4345,62 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g3_oracle() -> str:
+    """Unrolled 4-round multi-source BFS over the v2 pair graph: each
+    round is one CTE of the frontier relaxation
+    dist_i = min(dist_{i-1}, min over edges of neighbor dist + 1)."""
+    ctes, prev = [], "d0"
+    for i in range(1, 5):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT id, CAST(min(hops) AS BIGINT) AS hops FROM (
+    SELECT id, hops FROM {prev}
+    UNION ALL
+    SELECT e.dst AS id, {prev}.hops + 1 AS hops
+    FROM e JOIN {prev} ON {prev}.id = e.src
+  ) GROUP BY id)"""
+        )
+        prev = f"d{i}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH pairs AS ({_v2_oracle()}),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+d0 AS (SELECT vec_id AS id, CAST(0 AS BIGINT) AS hops FROM embeddings
+       WHERE vec_id % 500 = 0),
+{chain}
+SELECT id AS vec_id, hops FROM d4
+"""
+
+
+@_register("g3_bfs_hops", _g3_oracle())
+def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-proximity labeling: hop distance from every embedding to
+    its nearest ANCHOR (vec_id % 500 = 0 — the curated query-set
+    convention) through the near-duplicate pair graph, bounded at 4
+    hops — multi-source BFS by frontier relaxation, the third iterative
+    graph pattern alongside g1's fixed-point recurrence and t11's label
+    propagation.  "Within k dup-hops of a vetted example" is a real
+    curation signal: transitive near-dup proximity to known-good data.
+    Scale shape: per round one src-keyed hash join + one min-aggregation
+    with map-side combine, node-id int64 shuffles only; the LSH pair
+    lineage checkpoints once (see ``operators/graph.py:bfs_hops``)."""
+    from spark_ml_spatialjointransformer_spark.operators.graph import bfs_hops
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    )
+    seeds = emb.where(F.col("vec_id") % 500 == 0).select("vec_id")
+    return bfs_hops(pairs, "id_a", "id_b", seeds, "vec_id", iters=4).select(
+        F.col("id").alias("vec_id"), "hops"
+    )
+
+
 def _g2_oracle() -> str:
     """Degree-oriented triangle counting over the v2 pair graph, replayed
     relationally: the (degree, id) total order collapses into one int64
@@ -5545,7 +5601,7 @@ _DRIVER_UNCHECKED_FIRST = [
     # never driver-checked (r6 additions, then post-r5-snapshot additions)
     "m5_image_phash_dedup", "g2_triangles", "e15_outer_join_stream",
     "a11_local_supplier_revenue", "m6_audio_fp_dedup", "t36_jsonl_roundtrip",
-    "d12_mad_outliers",
+    "d12_mad_outliers", "g3_bfs_hops",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",

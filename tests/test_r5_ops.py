@@ -310,6 +310,40 @@ class TestPageRankProperty:
             assert got == r, f"trial {trial}: {sorted(got.items())[:3]}..."
 
 
+class TestBfsHops:
+    def test_known_graph_hops(self, spark):
+        """Path 0-1-2-3-4 plus branch 2-5, seeds {0}: hops are the path
+        distances, capped at iters; unreached nodes absent."""
+        from spark_ml_spatialjointransformer_spark.operators.graph import (
+            bfs_hops,
+        )
+
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 5)]
+        df = spark.createDataFrame(pairs, "a long, b long")
+        seeds = spark.createDataFrame([(0,)], "vec_id long")
+        got = {
+            r.id: r.hops
+            for r in bfs_hops(df, "a", "b", seeds, "vec_id", iters=3).collect()
+        }
+        # node 4 is 4 hops away — beyond iters=3, so absent
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3, 5: 3}
+
+    def test_multi_source_takes_nearest_and_isolated_seed(self, spark):
+        from spark_ml_spatialjointransformer_spark.operators.graph import (
+            bfs_hops,
+        )
+
+        pairs = [(1, 2), (2, 3)]
+        df = spark.createDataFrame(pairs, "a long, b long")
+        # seeds at both ends; 99 is isolated (still emitted at 0)
+        seeds = spark.createDataFrame([(1,), (3,), (99,)], "vec_id long")
+        got = {
+            r.id: r.hops
+            for r in bfs_hops(df, "a", "b", seeds, "vec_id", iters=4).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 0, 99: 0}
+
+
 class TestTrianglesProperty:
     def test_random_graphs_match_brute_force(self, spark):
         """Randomized cross-check for the degree-oriented counter: random
