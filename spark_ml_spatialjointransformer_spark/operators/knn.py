@@ -359,7 +359,17 @@ def partitioned_nearest(
             merged = merged.withColumn(
                 "__rcap_old", F.col("__rcap")
             ).withColumn("__rcap", rcap_new)
-        merged = merged.repartition(par).localCheckpoint(eager=True)
+        # quarter-parallelism state partitions (floor 8): the loop state is
+        # id + coords + best-struct rows, and every downstream stage pays a
+        # fixed per-task scheduling cost per partition — an explicit
+        # repartition is immune to AQE coalescing, so full parallelism here
+        # made each tiny round ~40% slower at local[32] (same trade as the
+        # streaming harness's state partitions).  The floor keeps the NEXT
+        # round's explode+join parallel; a real cluster's state rows per
+        # partition stay bounded because par scales with the executor count.
+        merged = merged.repartition(max(8, par // 4)).localCheckpoint(
+            eager=True
+        )
 
         if global_cover:
             have_any = (
