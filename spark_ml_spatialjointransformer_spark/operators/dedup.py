@@ -577,11 +577,16 @@ def dedup_connected_components(
     # (the overwhelming majority at any scale) never enter the loop — they
     # rejoin as keeper=self in the final left join.  At 100 TB the iterated
     # frames hold only the near-dup pair endpoints.
+    # quarter-parallelism state partitions (floor 8) — the same trade as
+    # the kNN loop: (node, label) rows are tiny, every round's stages pay
+    # fixed per-task cost per partition, and the explicit repartition is
+    # immune to AQE coalescing
+    sparts = max(8, par // 4)
     labels = (
         edges.select(F.col("__a").alias("__v"))
         .distinct()
         .withColumn("__lbl", F.col("__v"))
-        .repartition(par)
+        .repartition(sparts)
         .localCheckpoint(eager=True)
     )
     n_nodes = labels.count()  # one fast job over the checkpointed frame
@@ -617,7 +622,7 @@ def dedup_connected_components(
             )
         merged = (
             half.withColumnRenamed("__mid", "__new")
-            .repartition(par)
+            .repartition(sparts)
             .localCheckpoint(eager=True)
         )
         changed = merged.where(F.col("__new") != F.col("__lbl")).count()
