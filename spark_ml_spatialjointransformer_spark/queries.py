@@ -3932,6 +3932,117 @@ def m6_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: p5 composes the three modality fingerprints already proven one-by-one
+#: (t2's token-multiset text fingerprint, m5's pixel ahash replay, m6's
+#: waveform envelope replay) and votes: a document duplicates whenever
+#: ANY modality collides with a lower doc_id.
+_P5_ORACLE = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+tf AS (SELECT doc_id,
+              {h60_sql("array_to_string(list_sort(str_split(text, ' ')), ' ')")}
+                AS tfp
+       FROM d),
+xo AS (SELECT unnest(range(7)) AS x1), yo AS (SELECT unnest(range(5)) AS y1),
+px AS (SELECT d.doc_id, y1 * 7 + x1 AS k,
+              (3 * ((x1 * 16) // 7) + 5 * ((y1 * 12) // 5) + doc_id) % 256
+              + ((x1 * 16) // 7 + 2 * ((y1 * 12) // 5)) % 256
+              + (doc_id + ((x1 * 16) // 7) * ((y1 * 12) // 5)) % 256 AS v
+       FROM d CROSS JOIN xo CROSS JOIN yo),
+pt AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tot FROM px GROUP BY doc_id),
+ih AS (SELECT px.doc_id,
+              CAST(sum(CASE WHEN px.v * 35 >= pt.tot
+                            THEN CAST(1 AS BIGINT) << px.k
+                            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+       FROM px JOIN pt USING (doc_id) GROUP BY px.doc_id),
+ts AS (SELECT unnest(range(256)) AS t),
+sm AS (SELECT d.doc_id, t // 32 AS w,
+              abs(((doc_id * 7919 + t * 2654435761) % 65536) - 32768) AS av
+       FROM d CROSS JOIN ts),
+ew AS (SELECT doc_id, w, CAST(sum(av) AS BIGINT) AS e
+       FROM sm GROUP BY doc_id, w),
+et AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS tot FROM ew GROUP BY doc_id),
+ah AS (SELECT ew.doc_id,
+              CAST(sum(CASE WHEN ew.e * 8 >= et.tot
+                            THEN CAST(1 AS BIGINT) << ew.w
+                            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS afp
+       FROM ew JOIN et USING (doc_id) GROUP BY ew.doc_id),
+k AS (SELECT d.doc_id, tf.tfp, ih.ahash, ah.afp
+      FROM d JOIN tf USING (doc_id) JOIN ih USING (doc_id)
+      JOIN ah USING (doc_id)),
+g AS (SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY tfp) AS kt,
+             min(doc_id) OVER (PARTITION BY ahash) AS ki,
+             min(doc_id) OVER (PARTITION BY afp) AS ka
+      FROM k)
+SELECT doc_id, least(kt, ki, ka) AS keeper,
+       least(kt, ki, ka) != doc_id AS is_dup,
+       kt != doc_id AS dup_text,
+       ki != doc_id AS dup_img,
+       ka != doc_id AS dup_audio
+FROM g
+"""
+
+
+@_register("p5_crossmodal_dedup", _P5_ORACLE)
+def p5_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consensus dedup: one pass computes all three modality
+    fingerprints per document — token-multiset text fingerprint (t2),
+    image average-hash through the real PPM codec (m5), audio loudness
+    envelope through the real WAVE codec (m6) — and a document is a
+    duplicate when ANY modality collides with a lower doc_id (the
+    any-signal OR-vote; per-signal flags expose WHICH modality fired,
+    and the full transitive closure remains available via t11's
+    operator).  This is the production shape for paired-media corpora:
+    text paraphrased but image reused, audio re-encoded but transcript
+    identical — single-modality dedup misses each cross case.  Scale
+    shape: the fingerprint chain is partition-preserving (JVM text expr
+    + five Arrow passes, binaries never shuffle); the vote is three
+    8-byte-key windows — only (doc_id, 3 int64s) ever crosses an
+    exchange."""
+    from pyspark.sql import Window
+
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_ahash,
+        resize_images,
+        synth_ppm_images,
+        synth_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = docs.select(
+        "doc_id",
+        h60_col(
+            F.array_join(F.sort_array(F.split(F.col("text"), " ")), " ")
+        ).alias("tfp"),
+    )
+    imgs = synth_ppm_images(tf, "doc_id", width=16, height=12, out_col="img")
+    thumbs = resize_images(imgs, "img", width=7, height=5, out_col="thumb")
+    ih = image_ahash(thumbs, "thumb", out_col="ahash").drop("img", "thumb")
+    wavs = synth_wav(ih, "doc_id", n_samples=256, sample_rate=16000)
+    sig = audio_fingerprint(wavs, "wav", n_windows=8, out_col="afp").drop(
+        "wav"
+    )
+    kt = F.min("doc_id").over(Window.partitionBy("tfp"))
+    ki = F.min("doc_id").over(Window.partitionBy("ahash"))
+    ka = F.min("doc_id").over(Window.partitionBy("afp"))
+    g = sig.select(
+        "doc_id",
+        kt.alias("kt"),
+        ki.alias("ki"),
+        ka.alias("ka"),
+    )
+    keeper = F.least("kt", "ki", "ka")
+    return g.select(
+        "doc_id",
+        keeper.alias("keeper"),
+        (keeper != F.col("doc_id")).alias("is_dup"),
+        (F.col("kt") != F.col("doc_id")).alias("dup_text"),
+        (F.col("ki") != F.col("doc_id")).alias("dup_img"),
+        (F.col("ka") != F.col("doc_id")).alias("dup_audio"),
+    )
+
+
 @_register("e12_session_stream", _E4_ORACLE)
 def e12_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME gap-based sessionization as e4 executed as a Structured
@@ -5601,7 +5712,7 @@ _DRIVER_UNCHECKED_FIRST = [
     # never driver-checked (r6 additions, then post-r5-snapshot additions)
     "m5_image_phash_dedup", "g2_triangles", "e15_outer_join_stream",
     "a11_local_supplier_revenue", "m6_audio_fp_dedup", "t36_jsonl_roundtrip",
-    "d12_mad_outliers", "g3_bfs_hops",
+    "d12_mad_outliers", "g3_bfs_hops", "p5_crossmodal_dedup",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
