@@ -3932,6 +3932,71 @@ def m6_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v9_oracle(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd's k-means: each round is one assignment CTE
+    (row_number argmin of the exact integer squared L2, centroid-id
+    tie-break — identical to Spark's min-struct) plus one centroid-mean
+    CTE (``sum // count`` over the non-negative shifted components)."""
+    rounds = []
+    prev_c = "c0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""a{i} AS (SELECT q.vec_id, {prev_c}.cid,
+              sum((q.qv - {prev_c}.cv) * (q.qv - {prev_c}.cv)) AS d2
+       FROM q JOIN {prev_c} ON q.i = {prev_c}.i
+       GROUP BY q.vec_id, {prev_c}.cid),
+s{i} AS (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM a{i}),
+m{i} AS (SELECT vec_id, cid FROM s{i} WHERE rn = 1),
+c{i} AS (SELECT m{i}.cid, q.i, CAST(sum(q.qv) // count(*) AS BIGINT) AS cv
+        FROM q JOIN m{i} USING (vec_id) GROUP BY m{i}.cid, q.i)"""
+        )
+        prev_c = f"c{i}"
+    chain = ",\n".join(rounds)
+    n = iters + 1
+    return f"""
+WITH e AS (SELECT vec_id,
+                  generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS i,
+                  unnest(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings),
+q AS (SELECT vec_id, i,
+             CAST(floor(v * 100000e0 + 0.5e0) AS BIGINT) + 100000 AS qv
+      FROM e),
+c0 AS (SELECT vec_id AS cid, i, qv AS cv FROM q WHERE vec_id < {k}),
+{chain},
+a{n} AS (SELECT q.vec_id, {prev_c}.cid,
+              sum((q.qv - {prev_c}.cv) * (q.qv - {prev_c}.cv)) AS d2
+       FROM q JOIN {prev_c} ON q.i = {prev_c}.i
+       GROUP BY q.vec_id, {prev_c}.cid),
+s{n} AS (SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM a{n})
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster, CAST(d2 AS BIGINT) AS d2
+FROM s{n} WHERE rn = 1
+"""
+
+
+@_register("v9_kmeans", _v9_oracle())
+def v9_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus — the
+    iterative-ML flagship: two (assign, update) rounds then a final
+    assignment, ALL integer (quantize + shift keeps every component
+    non-negative so the centroid mean's truncating div matches the
+    oracle's floor), checked bit-for-bit against an unrolled CTE replay.
+    This is the e-step/m-step plan every distributed k-means uses: the
+    k×dim centroid table broadcasts into a codegen cross join (no
+    Python anywhere), assignment reduces via the partially-aggregatable
+    min-struct, and the update shuffles (cluster, dim)-keyed int64
+    components.  See ``operators/similarity.py:kmeans_int``."""
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        kmeans_int,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_int(emb, "vec_id", "embedding", dim=_EMB_DIM, k=8, iters=2)
+
+
 #: p5 composes the three modality fingerprints already proven one-by-one
 #: (t2's token-multiset text fingerprint, m5's pixel ahash replay, m6's
 #: waveform envelope replay) and votes: a document duplicates whenever
@@ -5712,7 +5777,7 @@ _DRIVER_UNCHECKED_FIRST = [
     # never driver-checked (r6 additions, then post-r5-snapshot additions)
     "m5_image_phash_dedup", "g2_triangles", "e15_outer_join_stream",
     "a11_local_supplier_revenue", "m6_audio_fp_dedup", "t36_jsonl_roundtrip",
-    "d12_mad_outliers", "g3_bfs_hops", "p5_crossmodal_dedup",
+    "d12_mad_outliers", "g3_bfs_hops", "p5_crossmodal_dedup", "v9_kmeans",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
