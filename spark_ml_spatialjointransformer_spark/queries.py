@@ -3932,6 +3932,60 @@ def m6_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d13 first/last-by-time are ARG-aggregates, not windows: the oracle
+#: replays Spark's min/max-struct trick with rank-1 row_number picks
+#: under the same total (ts, event_id) order.
+_D13_ORACLE = """
+WITH e AS (SELECT user_id, event_id, ts,
+                  epoch_us(ts) // 86400000000 AS day_idx,
+                  CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS v_e4
+           FROM events),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id, day_idx
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, day_idx
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e),
+o AS (SELECT user_id, day_idx, v_e4 AS open_e4 FROM r WHERE rn_a = 1),
+c AS (SELECT user_id, day_idx, v_e4 AS close_e4 FROM r WHERE rn_d = 1),
+g AS (SELECT user_id, day_idx, max(v_e4) AS high_e4, min(v_e4) AS low_e4,
+             count(*) AS n_events
+      FROM e GROUP BY user_id, day_idx)
+SELECT g.user_id, g.day_idx, o.open_e4, g.high_e4, g.low_e4, c.close_e4,
+       g.n_events
+FROM g JOIN o USING (user_id, day_idx) JOIN c USING (user_id, day_idx)
+"""
+
+
+@_register("d13_ohlc_bars", _D13_ORACLE)
+def d13_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per user — the candlestick rollup every
+    time-series store ships: open/close are FIRST/LAST-BY-TIME
+    arg-aggregates (min/max over a (ts, event_id, value) struct — the
+    partially-aggregatable form, so map-side combine carries one
+    candidate per group and NO window sort touches the fact), high/low
+    are plain min/max, all in the SAME single aggregation.  One shuffle
+    keyed (user, day) for the whole bar — the oracle needs three passes
+    (two rank windows + a group) to say the same thing.  Integer e4
+    values end-to-end."""
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "day_idx"
+        ),
+        F.expr("CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)").alias("v_e4"),
+    )
+    return e.groupBy("user_id", "day_idx").agg(
+        F.min(F.struct("t_us", "event_id", "v_e4"))["v_e4"].alias("open_e4"),
+        F.max("v_e4").alias("high_e4"),
+        F.min("v_e4").alias("low_e4"),
+        F.max(F.struct("t_us", "event_id", "v_e4"))["v_e4"].alias("close_e4"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def _v9_oracle(k: int = 8, iters: int = 2) -> str:
     """Unrolled Lloyd's k-means: each round is one assignment CTE
     (row_number argmin of the exact integer squared L2, centroid-id
@@ -5778,6 +5832,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "m5_image_phash_dedup", "g2_triangles", "e15_outer_join_stream",
     "a11_local_supplier_revenue", "m6_audio_fp_dedup", "t36_jsonl_roundtrip",
     "d12_mad_outliers", "g3_bfs_hops", "p5_crossmodal_dedup", "v9_kmeans",
+    "d13_ohlc_bars",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
