@@ -3932,6 +3932,67 @@ def m6_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: a12's oracle is deliberately written as CORRELATED SUBQUERIES — the
+#: classic analyst formulation — while the Spark plan is the decorrelated
+#: window form; both engines must agree, and "above the mean" tests as
+#: the division-free cross-multiplication spend·n > Σspend.
+_A12_ORACLE = """
+WITH s AS (SELECT c_custkey, c_nationkey,
+                  CAST(coalesce(sum(CAST(floor(o_totalprice * 100e0 + 0.5e0)
+                                          AS BIGINT)), 0) AS BIGINT) AS spend_e2
+           FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+           GROUP BY c_custkey, c_nationkey)
+SELECT s.c_custkey, n.n_name, s.spend_e2
+FROM s JOIN nation n ON n.n_nationkey = s.c_nationkey
+WHERE s.spend_e2 * (SELECT count(*) FROM s s2
+                    WHERE s2.c_nationkey = s.c_nationkey)
+      > (SELECT sum(spend_e2) FROM s s3
+         WHERE s3.c_nationkey = s.c_nationkey)
+"""
+
+
+@_register("a12_above_nation_avg", _A12_ORACLE)
+def a12_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers spending strictly above their nation's average — the
+    correlated-subquery shape every analyst writes, expressed the way a
+    distributed engine should run it: ONE nation-window pass over the
+    per-customer spend (count + sum over the same partition — no
+    re-scan, no per-row subquery), with the mean test as the
+    division-free integer cross-multiplication spend·n > Σspend (exact
+    where an AVG would round).  Customers without orders count at 0 —
+    they lower the bar, as the business question intends.  Scale shape:
+    one custkey aggregation (map-side combined), one nation-keyed window
+    exchange, nation dim broadcast."""
+    from pyspark.sql import Window
+
+    cents = F.expr("CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", cents.alias("cents")
+    )
+    s = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("spend_e2"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        s.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__tot", F.sum("spend_e2").over(w))
+        .where(F.col("spend_e2") * F.col("__n") > F.col("__tot"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name", "spend_e2")
+    )
+
+
 #: d13 first/last-by-time are ARG-aggregates, not windows: the oracle
 #: replays Spark's min/max-struct trick with rank-1 row_number picks
 #: under the same total (ts, event_id) order.
@@ -5832,7 +5893,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "m5_image_phash_dedup", "g2_triangles", "e15_outer_join_stream",
     "a11_local_supplier_revenue", "m6_audio_fp_dedup", "t36_jsonl_roundtrip",
     "d12_mad_outliers", "g3_bfs_hops", "p5_crossmodal_dedup", "v9_kmeans",
-    "d13_ohlc_bars",
+    "d13_ohlc_bars", "a12_above_nation_avg",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
