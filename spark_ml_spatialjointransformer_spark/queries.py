@@ -3932,6 +3932,52 @@ def m6_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d14 uses a RANGE frame on the epoch-micros key: peers at the same
+#: timestamp are included together (peer-inclusive), which makes the
+#: trailing window DETERMINISTIC under ties — a ROWS frame would depend
+#: on the engine's sort order between equal timestamps.
+_D14_ORACLE = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                  CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS v_e4
+           FROM events)
+SELECT user_id, event_id,
+       CAST(sum(v_e4) OVER (PARTITION BY user_id ORDER BY t_us
+            RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS trail7_e4
+FROM e
+"""
+
+
+@_register("d14_trailing_window", _D14_ORACLE)
+def d14_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day sum per user via a RANGE (interval) window frame —
+    the sliding-by-TIME semantics the d3 ROWS frame can't express: the
+    frame is 'everything in the last week', not 'the last N rows', and
+    peer rows at an identical timestamp enter together, which is what
+    makes the answer deterministic under ties.  Scale shape: one
+    user-keyed exchange + per-partition ordered scan; the range frame
+    evaluates with two moving pointers, no per-row rescan.  Integer e4
+    values end-to-end."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+        F.expr("CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)").alias("v_e4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum("v_e4").over(w).cast("bigint").alias("trail7_e4"),
+    )
+
+
 #: a12's oracle is deliberately written as CORRELATED SUBQUERIES — the
 #: classic analyst formulation — while the Spark plan is the decorrelated
 #: window form; both engines must agree, and "above the mean" tests as
@@ -5893,7 +5939,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "m5_image_phash_dedup", "g2_triangles", "e15_outer_join_stream",
     "a11_local_supplier_revenue", "m6_audio_fp_dedup", "t36_jsonl_roundtrip",
     "d12_mad_outliers", "g3_bfs_hops", "p5_crossmodal_dedup", "v9_kmeans",
-    "d13_ohlc_bars", "a12_above_nation_avg",
+    "d13_ohlc_bars", "a12_above_nation_avg", "d14_trailing_window",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
