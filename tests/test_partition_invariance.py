@@ -32,6 +32,13 @@ SENSITIVE = [
     "g2_triangles",            # checkpointed self-joins + wedge closing
     "m5_image_phash_dedup",    # mapInPandas chain + keeper window
     "m6_audio_fp_dedup",       # mapInPandas chain + keeper window
+    "d12_mad_outliers",        # two rank passes + med/MAD attach joins
+    "d13_ohlc_bars",           # arg-aggregate min/max structs
+    "d14_trailing_window",     # RANGE frame over per-user ordered scan
+    "a12_above_nation_avg",    # nation window over custkey agg
+    "v9_kmeans",               # iterated broadcast e-step / m-step
+    "g3_bfs_hops",             # per-round checkpointed frontier
+    "p5_crossmodal_dedup",     # three stacked keeper windows
 ]
 
 
