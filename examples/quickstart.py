@@ -81,6 +81,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     n = spark.read.parquet(out).count()
     print(f"4. sharded export: {n} rows under {out}/__shard=*/")
 
+    # -- 5. distributed k-means over the embedding corpus ----------------
+    from spark_ml_spatialjointransformer_spark.operators.similarity import kmeans_int
+
+    clusters = kmeans_int(emb, "vec_id", "embedding", dim=64, k=8, iters=2)
+    print("5. k-means cluster sizes:")
+    clusters.groupBy("cluster").count().orderBy("cluster").show(8)
+
+    # -- 6. graph analytics over the near-dup pair graph -----------------
+    from spark_ml_spatialjointransformer_spark.operators.graph import (
+        pagerank_int,
+        triangles_per_node,
+    )
+
+    ranked = pagerank_int(pairs.select("id_a", "id_b"), "id_a", "id_b", iters=3)
+    tri = triangles_per_node(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    print("6. near-dup graph: top-ranked node + triangle-bearing nodes:",
+          ranked.orderBy(F.desc("pr_e6")).first(), tri.count())
+
     spark.stop()
 
 
