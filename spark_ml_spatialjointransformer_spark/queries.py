@@ -3932,6 +3932,83 @@ def m6_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: j25's coordinates stay on the INTEGER tenth-degree grid the synth
+#: formula defines (no /10 − 180 projection), so every pairwise squared
+#: distance is exact int64 and the medoid argmin is engine-identical.
+_J25_ORACLE = """
+WITH p AS (SELECT c_custkey, c_nationkey,
+                  c_custkey * 9973 % 3600 AS x,
+                  c_custkey * 7919 % 1700 AS y
+           FROM customer),
+d AS (SELECT a.c_nationkey, a.c_custkey,
+             sum((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)) AS s
+      FROM p a JOIN p b ON a.c_nationkey = b.c_nationkey
+      GROUP BY a.c_nationkey, a.c_custkey),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY s, c_custkey) AS rn
+      FROM d)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       c_custkey AS medoid_custkey, CAST(s AS BIGINT) AS sum_d2
+FROM r WHERE rn = 1
+"""
+
+
+@_register("j25_nation_medoid", _J25_ORACLE)
+def j25_nation_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation MEDOID — the most central actual customer (argmin of
+    summed squared grid distance to every compatriot): the custom
+    grouped AGGREGATION surface (``applyInPandas`` over a groupBy) that
+    no built-in expresses, because the medoid needs every pairwise
+    distance inside the group.  The kernel is one vectorized numpy
+    O(n²) pass per nation — exact int64 throughout, ties to the lowest
+    custkey.  Scale shape: ONE nation-keyed exchange; the O(n²) lives
+    inside each group, so the operator's contract is bounded group size
+    (the oracle's relational form would shuffle the full self-join —
+    n² ROWS — instead of n; at production scale groups beyond the bound
+    take the CLARA sampling route).  Unlike a medoid, a mean/centroid
+    needs no such operator — this exists precisely for the
+    argmin-over-members class (medoid, Kemeny ranking, min-sum
+    facility)."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_ml_spatialjointransformer_spark.functions._serde import (
+        ensure_udf_portability,
+    )
+
+    ensure_udf_portability()
+    p = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_custkey") * 9973 % 3600).alias("x"),
+        (F.col("c_custkey") * 7919 % 1700).alias("y"),
+    )
+
+    def medoid(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy(dtype=np.int64)
+        y = pdf["y"].to_numpy(dtype=np.int64)
+        k = pdf["c_custkey"].to_numpy(dtype=np.int64)
+        s = (
+            ((x[:, None] - x[None, :]) ** 2).sum(axis=1)
+            + ((y[:, None] - y[None, :]) ** 2).sum(axis=1)
+        )
+        order = np.lexsort((k, s))
+        i = order[0]
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],
+                "medoid_custkey": [int(k[i])],
+                "sum_d2": [int(s[i])],
+            }
+        )
+
+    return p.groupBy("c_nationkey").applyInPandas(
+        medoid,
+        "c_nationkey long, medoid_custkey long, sum_d2 long",
+    )
+
+
 #: d14 uses a RANGE frame on the epoch-micros key: peers at the same
 #: timestamp are included together (peer-inclusive), which makes the
 #: trailing window DETERMINISTIC under ties — a ROWS frame would depend
@@ -5940,6 +6017,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "a11_local_supplier_revenue", "m6_audio_fp_dedup", "t36_jsonl_roundtrip",
     "d12_mad_outliers", "g3_bfs_hops", "p5_crossmodal_dedup", "v9_kmeans",
     "d13_ohlc_bars", "a12_above_nation_avg", "d14_trailing_window",
+    "j25_nation_medoid",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
