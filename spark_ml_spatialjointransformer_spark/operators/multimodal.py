@@ -593,3 +593,102 @@ def synth_wav(
             yield pdf.assign(**{out_col: wavs})
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# "video" layer: a video file here is a CONCATENATION of PPM frames (the
+# analogue of MJPEG — each frame self-delimiting via its own header), which
+# keeps the container walkable without external codecs while exercising the
+# real pipeline shape: one opaque blob per row in, per-frame rows out.
+# ---------------------------------------------------------------------------
+
+
+def synth_video(
+    df: DataFrame,
+    id_col: str,
+    n_frames: int = 12,
+    width: int = 8,
+    height: int = 6,
+    scene_len: int = 4,
+    out_col: str = "video",
+) -> DataFrame:
+    """Deterministic test-video synthesis: frame ``f`` of row ``id`` is a
+    ``width×height`` PPM with R=(id%16)·3+(f//scene_len)·53+x+y,
+    G=(id%8)+2f+x, B=x·y — every term bounded below 256 so no modular
+    wrap, and the (f//scene_len) term makes the frame brightness JUMP at
+    every scene boundary, which is what m7's scene detector looks for.
+    Pure integers → a SQL oracle replays per-frame byte sums exactly."""
+    ensure_udf_portability()
+    fields = df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    out_schema = T.StructType(fields)
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = []
+            for i in pdf[id_col]:
+                i = int(i)
+                frames = []
+                for f in range(n_frames):
+                    img = np.stack(
+                        [
+                            (i % 16) * 3 + (f // scene_len) * 53 + xs + ys,
+                            (i % 8) + 2 * f + xs,
+                            xs * ys,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    frames.append(encode_ppm(img))
+                vids.append(b"".join(frames))
+            yield pdf.assign(**{out_col: vids})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_byte_sums(
+    df: DataFrame, binary_col: str, id_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Walk a concatenated-PPM video blob and emit one row per frame with
+    the frame's pixel-byte sum (the luma proxy scene detection thresholds
+    on).  The walker parses each frame's own header — no frame count or
+    size is trusted from outside the payload — so a truncated or corrupt
+    tail simply stops the walk (partial frames are dropped, never
+    half-read).  Partition-preserving mapInPandas: blobs never shuffle;
+    downstream sees only (ids, frame_idx, luma int64) rows."""
+    ensure_udf_portability()
+    keep = list(id_cols) or [c for c in df.columns if c != binary_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("luma", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rep, idxs, lumas = [], [], []
+            for ri, blob in enumerate(pdf[binary_col]):
+                data = blob if isinstance(blob, bytes) else bytes(blob or b"")
+                pos, f = 0, 0
+                while pos < len(data):
+                    img = _decode_ppm(data[pos:])
+                    if img is None:
+                        break
+                    h, w = img.shape[0], img.shape[1]
+                    # advance past this frame: re-derive its encoded length
+                    # (header is what encode_ppm wrote: "P6\n{w} {h}\n255\n")
+                    hdr = len(f"P6\n{w} {h}\n255\n".encode())
+                    pos += hdr + w * h * 3
+                    rep.append(ri)
+                    idxs.append(f)
+                    lumas.append(int(img.astype(np.int64).sum()))
+                    f += 1
+            out = {c: pdf[c].to_numpy()[np.array(rep, dtype=np.int64)] for c in keep}
+            out["frame_idx"] = np.array(idxs, dtype=np.int32)
+            out["luma"] = np.array(lumas, dtype=np.int64)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)

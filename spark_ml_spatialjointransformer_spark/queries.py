@@ -6002,6 +6002,543 @@ def j24_bucketed_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: a13's revenue term follows a3's convention: each line item's discounted
+#: price rounds to cents BEFORE the sum, so both engines add the same
+#: integers; the top-10 tie-breaks on the explicit key column.
+_A13_ORACLE = """
+SELECT l_orderkey,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100e0 + 0.5e0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2,
+       epoch_us(o_orderdate) AS o_date_us, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e2 DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@_register("a13_shipping_priority", _A13_ORACLE)
+def a13_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped BUILDING-segment
+    orders by outstanding revenue.  The plan a 100 TB run wants: both
+    date predicates push into the parquet scans (only pre-cutoff orders
+    and post-cutoff line items are ever read), the segment-filtered
+    customer key set broadcasts into the orders scan, and the single
+    fact-fact hash join runs on the orderkey both tables already carry.
+    The top-10 is TakeOrderedAndProject — per-partition heaps, no global
+    sort; ties break on the explicit orderkey so LIMIT is deterministic.
+    Cents are rounded per line item before summing (integer-exact, a3's
+    convention)."""
+    cutoff = "TIMESTAMP '1995-03-15'"
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.expr(f"o_orderdate < {cutoff}"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.expr(f"l_shipdate > {cutoff}"))
+        .select(
+            "l_orderkey",
+            F.expr(
+                "CAST(floor(l_extendedprice * (1 - l_discount) * 100e0"
+                " + 0.5e0) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(items, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_e2"))
+        .select(
+            "l_orderkey",
+            "revenue_e2",
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias(
+                "o_date_us"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue_e2").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+#: a14's oracle keeps the analyst formulation — a scalar subquery for the
+#: mean and NOT EXISTS for "never ordered"; the mean test is the same
+#: division-free cross-multiplication a12 uses (bal·n > Σbal).
+_A14_ORACLE = """
+WITH b AS (SELECT c_custkey, c_nationkey,
+                  CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT) AS bal_e2
+           FROM customer),
+g AS (SELECT count(*) AS n_pos, sum(bal_e2) AS s_pos FROM b WHERE bal_e2 > 0)
+SELECT c_nationkey, count(*) AS n_cust, CAST(sum(bal_e2) AS BIGINT) AS total_e2
+FROM b, g
+WHERE b.bal_e2 * g.n_pos > g.s_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = b.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+@_register("a14_idle_high_balance", _A14_ORACLE)
+def a14_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) shape: per nation, the
+    customers whose balance beats the positive-balance average but who
+    have never placed an URGENT order.  Two classic sub-plans done the
+    distributed way: the global mean is a 1-row aggregate broadcast back
+    over the fact (no per-row scalar subquery), compared division-free
+    as bal·n > Σbal; "never ordered urgent" is a LEFT ANTI hash join on
+    the key orders already carries — the oracle's NOT EXISTS, which a
+    naive engine would run as a correlated probe — with the priority
+    predicate pushed into the orders scan.  Scale shape: one
+    map-side-combined 1-row agg, one anti join, one 25-group agg; only
+    customer keys and cents ever shuffle."""
+    b = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT)").alias(
+            "bal_e2"
+        ),
+    )
+    g = (
+        b.where(F.col("bal_e2") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum("bal_e2").alias("s_pos"),
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        b.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .crossJoin(F.broadcast(g))
+        .where(F.col("bal_e2") * F.col("n_pos") > F.col("s_pos"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("bal_e2").cast("bigint").alias("total_e2"),
+        )
+    )
+
+
+#: d15 sessionization gap (30 min) in microseconds
+_D15_GAP_US = 1_800_000_000
+
+_D15_ORACLE = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                  CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS v_e4
+           FROM events),
+f AS (SELECT *, CASE WHEN t_us - lag(t_us) OVER w > {_D15_GAP_US}
+                       OR lag(t_us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                     ORDER BY t_us, event_id) AS BIGINT) AS session_seq
+      FROM f)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(t_us) AS t_start_us,
+       max(t_us) AS t_end_us,
+       max(t_us) - min(t_us) AS duration_us,
+       CAST(sum(v_e4) AS BIGINT) AS value_e4
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+@_register("d15_gaps_islands", _D15_ORACLE)
+def d15_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap — the gaps-and-islands
+    pattern: an event starts a new session when it is > 30 min after the
+    user's previous one; the running sum of those start flags numbers
+    the sessions, and one aggregation rolls each island up.  This is the
+    batch twin of e4's streaming session windows, and the window order
+    includes event_id so simultaneous events sessionize deterministically.
+    Scale shape: everything — both window passes AND the final rollup —
+    keys on user_id, so the whole query rides ONE hash exchange; per-user
+    event counts bound the window state, and no global sort exists."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+        F.expr("CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)").alias("v_e4"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.col("t_us") - F.lag("t_us").over(w) > _D15_GAP_US, 1
+        ).when(F.lag("t_us").over(w).isNull(), 1).otherwise(0),
+    ).withColumn("session_seq", F.sum("is_new").over(w).cast("bigint"))
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t_us").alias("t_start_us"),
+        F.max("t_us").alias("t_end_us"),
+        (F.max("t_us") - F.min("t_us")).alias("duration_us"),
+        F.sum("v_e4").cast("bigint").alias("value_e4"),
+    )
+
+
+#: t37: a chunk is corpus boilerplate when it appears verbatim in ≥ this
+#: many distinct documents (the C4/CCNet line-dedup threshold)
+_T37_MIN_DOCS = 3
+_T37_CHUNK = 8
+
+_T37_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+ch AS (SELECT doc_id, i AS idx,
+              array_to_string(tk[{_T37_CHUNK}*i+1 : {_T37_CHUNK}*i+{_T37_CHUNK}],
+                              ' ') AS chunk
+       FROM tok, unnest(range(CAST(ceil(len(tk) / {_T37_CHUNK}.0) AS BIGINT)))
+            t(i)),
+fr AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk),
+j AS (SELECT c.doc_id, c.idx, c.chunk, fr.nd >= {_T37_MIN_DOCS} AS boiler
+      FROM ch c JOIN fr USING (chunk))
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(count(*) FILTER (boiler) AS BIGINT) AS n_removed,
+       {h60_sql("coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (NOT boiler), '')")}
+         AS clean_h60
+FROM j GROUP BY doc_id
+"""
+
+
+@_register("t37_line_dedup", _T37_ORACLE)
+def t37_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line deduplication (the C4/CCNet cleaning step): any
+    8-word chunk that appears verbatim in ≥ 3 distinct documents is
+    boilerplate — strip every occurrence and hash each document's
+    cleaned text.  The whole-corpus frequency pass is what distinguishes
+    this from per-doc repetition (t16): a chunk is judged against every
+    other document.  Scale shape: documents shed their text immediately
+    — only (doc_id, chunk_idx, 60-bit chunk hash) rows enter the
+    frequency aggregation and the boilerplate join, and the cleaned text
+    is REBUILT per doc from the token array by index filter (JVM
+    higher-order functions), so full text never shuffles; the removed-
+    index sets ride a doc_id-keyed join, and boilerplate is by
+    definition the rare tail."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("__tk")
+    )
+    k = _T37_CHUNK
+    chunk_at = (
+        f"transform(sequence(0, CAST((size(__tk) + {k - 1}) div {k} AS INT) - 1),"
+        f" i -> concat_ws(' ', slice(__tk, i * {k} + 1, {k})))"
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(chunk_at)).alias("idx", "__chunk"),
+    ).select("doc_id", "idx", h60_col(F.col("__chunk")).alias("h"))
+    freq = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _T37_MIN_DOCS)
+        .select("h")
+    )
+    removed = (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("rm"))
+    )
+    out = docs.join(removed, "doc_id", "left").withColumn(
+        "rm", F.coalesce("rm", F.expr("CAST(array() AS ARRAY<INT>)"))
+    )
+    clean = (
+        f"concat_ws(' ', filter({chunk_at}, (c, i) -> NOT array_contains(rm, i)))"
+    )
+    return out.select(
+        "doc_id",
+        F.expr(f"CAST((size(__tk) + {k - 1}) div {k} AS BIGINT)").alias(
+            "n_chunks"
+        ),
+        F.size("rm").cast("bigint").alias("n_removed"),
+        h60_col(F.expr(clean)).alias("clean_h60"),
+    )
+
+
+#: t38 HLL geometry: 256 buckets (low 8 hash bits), rank from the next 52
+#: bits, registers capped at 40 so the 2^(40-r) summands stay integer and
+#: their 256-bucket sum stays < 2^49.  alpha_256 = 0.7213/(1+1.079/256),
+#: scaled e4.
+_HLL_M = 256
+_HLL_RCAP = 40
+_HLL_ALPHA_E4 = 7183
+
+_T38_ORACLE = f"""
+WITH h AS (SELECT DISTINCT event_type,
+                  {h60_sql("CAST(user_id AS VARCHAR)")} AS hv
+           FROM events),
+r AS (SELECT event_type, hv % {_HLL_M} AS bucket,
+             CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_RCAP}
+                  ELSE least(bit_count(((hv // {_HLL_M}) & -(hv // {_HLL_M})) - 1)
+                             + 1, {_HLL_RCAP}) END AS rho
+      FROM h),
+reg AS (SELECT event_type, bucket, max(rho) AS r
+        FROM r GROUP BY event_type, bucket),
+s AS (SELECT event_type, count(*) AS nb,
+             sum(CAST(1 AS BIGINT) << ({_HLL_RCAP} - r)) AS s_present
+      FROM reg GROUP BY event_type),
+est AS (SELECT event_type, {_HLL_M} - nb AS nz,
+               (CAST({_HLL_M * _HLL_M} AS BIGINT) << {_HLL_RCAP})
+                 // (s_present + ({_HLL_M} - nb)
+                     * (CAST(1 AS BIGINT) << {_HLL_RCAP})) AS e1
+        FROM s),
+fin AS (SELECT event_type,
+               CASE WHEN nz > 0 AND 2 * (e1 * {_HLL_ALPHA_E4} // 10000)
+                         <= 5 * {_HLL_M}
+                    THEN CAST(round({_HLL_M} * ln({_HLL_M} / CAST(nz AS DOUBLE)))
+                              AS BIGINT)
+                    ELSE e1 * {_HLL_ALPHA_E4} // 10000 END AS est_hll
+        FROM est),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+       GROUP BY event_type)
+SELECT ex.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+       CAST(fin.est_hll AS BIGINT) AS est_hll,
+       CAST(abs(fin.est_hll - ex.n_exact) * 10000 // ex.n_exact AS BIGINT)
+         AS err_e4
+FROM ex JOIN fin USING (event_type)
+"""
+
+
+@_register("t38_hll_distinct", _T38_ORACLE)
+def t38_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event type, next to the exact
+    count (t30's KMV sibling — HLL is the sketch that MERGES: registers
+    are max-combinable across shards/days, the property KMV's k-th
+    statistic lacks).  All integer: bucket = low 8 hash bits, rank =
+    trailing-zero count of the remaining bits via bit_count((v&-v)-1)
+    (JVM codegen, no loop), registers max-combined map-side, and the
+    harmonic sum evaluates in fixed-point 2^(40-r) so the estimate is
+    the same BIGINT in both engines; the standard linear-counting branch
+    covers the small-n regime (its one ln() rounds to whole counts —
+    ulp-safe).  Scale shape: the sketch agg shuffles at most
+    |event_type|·256 register rows regardless of input size; the exact
+    count runs beside it only to score err_e4."""
+    ev = load_events(spark, sf_dir).select("event_type", "user_id")
+    m, rcap, alpha = _HLL_M, _HLL_RCAP, _HLL_ALPHA_E4
+    h = h60_col(F.col("user_id").cast("string"))
+    v = F.expr(f"hv div {m}")
+    rho = (
+        F.when(v == 0, rcap)
+        .otherwise(
+            F.least(
+                F.bit_count((v.bitwiseAND(-v)) - 1) + 1, F.lit(rcap)
+            )
+        )
+        .alias("rho")
+    )
+    reg = (
+        ev.select("event_type", h.alias("hv"))
+        .select("event_type", F.expr(f"hv % {m}").alias("bucket"), rho)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    s = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rcap} - r)")).alias(
+            "s_present"
+        ),
+    )
+    est = s.select(
+        "event_type",
+        (F.lit(m) - F.col("nb")).alias("nz"),
+        F.expr(
+            f"shiftleft(CAST({m * m} AS BIGINT), {rcap})"
+            f" div (s_present + ({m} - nb)"
+            f"      * shiftleft(CAST(1 AS BIGINT), {rcap}))"
+        ).alias("e1"),
+    ).select(
+        "event_type",
+        F.when(
+            (F.col("nz") > 0)
+            & (2 * F.expr(f"e1 * {alpha} div 10000") <= 5 * m),
+            F.expr(
+                f"CAST(round({m} * ln({m} / CAST(nz AS DOUBLE))) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.expr(f"e1 * {alpha} div 10000"))
+        .alias("est_hll"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return ex.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "n_exact",
+        F.col("est_hll").cast("bigint").alias("est_hll"),
+        F.expr(
+            "CAST(abs(est_hll - n_exact) * 10000 div n_exact AS BIGINT)"
+        ).alias("err_e4"),
+    )
+
+
+#: j26's oracle scores the rectangles in closed form from the same
+#: integer generators the WKT was synthesized from (width/height are exact
+#: ints, so area/perimeter are integer-exact); the Spark side must recover
+#: them from the WKT TEXT via the shoelace formula — parse noise ~1e-12
+#: vanishes under the e4 rounding.
+_J26_ORACLE = f"""
+WITH n AS (SELECT n_nationkey, n_name,
+                  {NATION_RECT_SQL['x0']} AS x0, {NATION_RECT_SQL['y0']} AS y0,
+                  (n_nationkey % 7) * 3 + 4 AS w,
+                  (n_nationkey % 5) * 2 + 3 AS h
+           FROM nation)
+SELECT n_nationkey, n_name,
+       CAST(w * h * 10000 AS BIGINT) AS area_e4,
+       CAST(2 * (w + h) * 10000 AS BIGINT) AS perim_e4,
+       CAST(round((x0 + w / 2.0) * 10000e0) AS BIGINT) AS cx_e4,
+       CAST(round((y0 + h / 2.0) * 10000e0) AS BIGINT) AS cy_e4
+FROM n
+"""
+
+
+@_register("j26_polygon_area", _J26_ORACLE)
+def j26_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measures straight off WKT text — shoelace area, perimeter,
+    and area centroid of each nation polygon — computed entirely with JVM
+    higher-order functions (regexp ring extract → coordinate structs →
+    ``aggregate`` folds); no Python touches a row, unlike the DE-9IM
+    refine kernels which genuinely need Arrow.  The oracle knows the
+    rectangles' closed-form answers from their integer generators, so any
+    parse slip, ring-order mistake, or off-by-one in the fold breaks the
+    value hash.  The same fold works for any simple polygon (the shoelace
+    is orientation-safe under abs), making this the measurement primitive
+    a geo feature pipeline computes during ingest — embarrassingly
+    parallel, zero shuffle.  Reference WKT semantics:
+    DatasetGeometry.scala:54-58."""
+    pts = (
+        "transform(split(regexp_extract(wkt,"
+        " '^POLYGON\\\\(\\\\((.*)\\\\)\\\\)$', 1), ','),"
+        " s -> struct(CAST(split(trim(s), ' ')[0] AS DOUBLE) AS x,"
+        "             CAST(split(trim(s), ' ')[1] AS DOUBLE) AS y))"
+    )
+    cross_i = (
+        "element_at(__p, i + 1).x * element_at(__p, i + 2).y"
+        " - element_at(__p, i + 2).x * element_at(__p, i + 1).y"
+    )
+    two_a = (
+        f"aggregate(sequence(0, size(__p) - 2), CAST(0 AS DOUBLE),"
+        f" (acc, i) -> acc + {cross_i})"
+    )
+    perim = (
+        "aggregate(sequence(0, size(__p) - 2), CAST(0 AS DOUBLE),"
+        " (acc, i) -> acc + sqrt("
+        "   pow(element_at(__p, i + 2).x - element_at(__p, i + 1).x, 2)"
+        " + pow(element_at(__p, i + 2).y - element_at(__p, i + 1).y, 2)))"
+    )
+    cx_num = (
+        f"aggregate(sequence(0, size(__p) - 2), CAST(0 AS DOUBLE),"
+        f" (acc, i) -> acc + (element_at(__p, i + 1).x"
+        f" + element_at(__p, i + 2).x) * ({cross_i}))"
+    )
+    cy_num = (
+        f"aggregate(sequence(0, size(__p) - 2), CAST(0 AS DOUBLE),"
+        f" (acc, i) -> acc + (element_at(__p, i + 1).y"
+        f" + element_at(__p, i + 2).y) * ({cross_i}))"
+    )
+    return (
+        nations_rect(spark, sf_dir)
+        .select("n_nationkey", "n_name", F.expr(pts).alias("__p"))
+        .withColumn("__2a", F.expr(two_a))
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.expr("CAST(round(abs(__2a) / 2 * 10000e0) AS BIGINT)").alias(
+                "area_e4"
+            ),
+            F.expr(f"CAST(round(({perim}) * 10000e0) AS BIGINT)").alias(
+                "perim_e4"
+            ),
+            F.expr(f"CAST(round(({cx_num}) / (3 * __2a) * 10000e0) AS BIGINT)")
+            .alias("cx_e4"),
+            F.expr(f"CAST(round(({cy_num}) / (3 * __2a) * 10000e0) AS BIGINT)")
+            .alias("cy_e4"),
+        )
+    )
+
+
+#: m7 scene geometry: 12 frames of 8×6 px, scene length 4, so per-frame
+#: byte sums follow the closed form 48·((d%16)·3 + (f//4)·53 + (d%8) + 2f)
+#: + 876 (Σ2x=336, Σy=120, Σxy=420 over the 48 pixels) — the oracle scores
+#: the detector without decoding a byte, while Spark must earn the same
+#: numbers from the actual PPM container.
+_M7_JUMP = 1000
+
+_M7_ORACLE = f"""
+WITH d AS (SELECT doc_id FROM documents),
+fr AS (SELECT doc_id, f,
+              48 * ((doc_id % 16) * 3 + (f // 4) * 53 + (doc_id % 8) + 2 * f)
+                + 876 AS luma
+       FROM d, unnest(range(12)) t(f)),
+fl AS (SELECT doc_id, f, luma,
+              CASE WHEN lag(luma) OVER w IS NULL
+                     OR abs(luma - lag(luma) OVER w) > {_M7_JUMP}
+                   THEN 1 ELSE 0 END AS is_new
+       FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY f)
+                     AS BIGINT) AS scene_seq
+      FROM fl)
+SELECT doc_id, scene_seq, count(*) AS n_frames,
+       CAST(min(f) AS BIGINT) AS first_frame,
+       CAST(sum(luma) AS BIGINT) AS luma_sum
+FROM s GROUP BY doc_id, scene_seq
+"""
+
+
+@_register("m7_scene_change", _M7_ORACLE)
+def m7_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-change detection: each document carries a synthetic
+    concatenated-PPM "video" (the MJPEG shape — self-delimiting frames in
+    one opaque blob); the frame walker parses every frame header from the
+    bytes, per-frame luma thresholds against its predecessor, and
+    gaps-and-islands numbering turns the jump flags into scenes.  The
+    oracle knows the closed-form luma of the synthesizer, so a walker
+    that mis-parses a header, drops a frame, or mis-orders the window
+    breaks the hash.  Scale shape: blobs never shuffle (two
+    partition-preserving Arrow passes: synthesize, walk); only
+    (doc_id, frame_idx, int64) rows reach the one doc_id-keyed exchange
+    that both window passes and the scene rollup share."""
+    from pyspark.sql import Window
+
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        frame_byte_sums,
+        synth_video,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    vids = synth_video(docs, "doc_id", n_frames=12, width=8, height=6,
+                       scene_len=4)
+    lumas = frame_byte_sums(vids, "video", id_cols=("doc_id",))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = lumas.withColumn(
+        "is_new",
+        F.when(F.lag("luma").over(w).isNull(), 1)
+        .when(F.abs(F.col("luma") - F.lag("luma").over(w)) > _M7_JUMP, 1)
+        .otherwise(0),
+    ).withColumn("scene_seq", F.sum("is_new").over(w).cast("bigint"))
+    return flagged.groupBy("doc_id", "scene_seq").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_idx").cast("bigint").alias("first_frame"),
+        F.sum("luma").cast("bigint").alias("luma_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -6017,7 +6554,9 @@ _DRIVER_UNCHECKED_FIRST = [
     "a11_local_supplier_revenue", "m6_audio_fp_dedup", "t36_jsonl_roundtrip",
     "d12_mad_outliers", "g3_bfs_hops", "p5_crossmodal_dedup", "v9_kmeans",
     "d13_ohlc_bars", "a12_above_nation_avg", "d14_trailing_window",
-    "j25_nation_medoid",
+    "j25_nation_medoid", "a13_shipping_priority", "a14_idle_high_balance",
+    "d15_gaps_islands", "t37_line_dedup", "t38_hll_distinct",
+    "j26_polygon_area", "m7_scene_change",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
