@@ -6539,6 +6539,56 @@ def m7_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P6_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+         AS v_e4
+FROM events
+WHERE event_type = 'click'
+  AND strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-16'
+GROUP BY 1
+"""
+
+
+@_register("p6_partitioned_export", _P6_ORACLE)
+def p6_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse layout step every recurring pipeline amortizes: write
+    the fact Hive-partitioned by (event_type, day), then answer a
+    one-type/one-week question by reading ONLY its partitions — the
+    re-read's filters are satisfied by directory pruning (PartitionFilters
+    in the scan; pinned by tests/test_plans.py), so the 100 TB table costs
+    a 7-directory listing, not a scan.  Values are pinned against the
+    unpartitioned original, proving the partition write/read round-trip
+    (including the string day key ride through the directory name) loses
+    nothing.  The day agg then reuses nothing fancy: tiny grouped sums
+    over exactly the rows the layout admitted."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = f"/tmp/sjt_p6_{tag}"
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+        F.expr("CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)").alias("v_e4"),
+    )
+    ev.write.partitionBy("event_type", "day").mode("overwrite").parquet(out_dir)
+    # explicit schema: keeps the day partition key a STRING (inference
+    # would promote the directory names to DATE) and skips the extra
+    # footer-sampling pass schema inference costs on a huge table
+    back = spark.read.schema(
+        "user_id bigint, v_e4 bigint, event_type string, day string"
+    ).parquet(out_dir).where(
+        (F.col("event_type") == "click")
+        & F.col("day").between("2024-01-10", "2024-01-16")
+    )
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_e4").cast("bigint").alias("v_e4"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -6556,7 +6606,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "d13_ohlc_bars", "a12_above_nation_avg", "d14_trailing_window",
     "j25_nation_medoid", "a13_shipping_priority", "a14_idle_high_balance",
     "d15_gaps_islands", "t37_line_dedup", "t38_hll_distinct",
-    "j26_polygon_area", "m7_scene_change",
+    "j26_polygon_area", "m7_scene_change", "p6_partitioned_export",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",

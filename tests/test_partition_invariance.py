@@ -39,6 +39,11 @@ SENSITIVE = [
     "v9_kmeans",               # iterated broadcast e-step / m-step
     "g3_bfs_hops",             # per-round checkpointed frontier
     "p5_crossmodal_dedup",     # three stacked keeper windows
+    "a13_shipping_priority",   # top-10 heap over partial aggregates
+    "d15_gaps_islands",        # gap flags + running session numbering
+    "t37_line_dedup",          # corpus-frequency prune + index rebuild
+    "t38_hll_distinct",        # register max-merge across partitions
+    "m7_scene_change",         # frame walk + lag threshold + islands
 ]
 
 

@@ -275,3 +275,14 @@ def test_multimodal_pipeline_single_shard_shuffle(spark):
     the scan; the ONLY exchange is the final 16-way shard partition."""
     plan = plan_of(QUERIES["p4_multimodal_pipeline"].fn(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_partitioned_export_reread_prunes_partitions(spark):
+    """p6: the one-type/one-week re-read resolves via PartitionFilters
+    (directory pruning at planning time) on BOTH partition keys — the
+    predicates never degrade to per-row-group PushedFilters, which is the
+    difference between listing 7 directories and scanning the table."""
+    df = QUERIES["p6_partitioned_export"].fn(spark, SF)
+    plan = plan_of(df)
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_type" in pf and "day" in pf
