@@ -141,15 +141,44 @@ def parse_wkt(wkt: Optional[str]) -> Optional[Geometry]:
         return Geometry("polygon", polys) if polys else None
     if tag == "GEOMETRYCOLLECTION":
         # the reference's JTS WKTReader parses collections
-        # (DatasetGeometry.scala:54-58); this engine's single-kind Geometry
-        # cannot represent a mixed collection, so fail LOUDLY instead of
-        # silently dropping the row like unparseable garbage would
-        raise ValueError(
-            "parse_wkt: GEOMETRYCOLLECTION is not supported — split the "
-            "collection into its member geometries (one row each) before "
-            "the join"
-        )
+        # (DatasetGeometry.scala:54-58).  A HOMOGENEOUS collection is
+        # exactly a multi-geometry, so collapse it (JTS predicates then
+        # behave identically); a MIXED collection is rejected loudly —
+        # the parity point is JTS itself: relate()-based predicates throw
+        # "This method does not support GeometryCollection arguments", so
+        # accepting the parse would only defer the error to join time.
+        members = [parse_wkt(m) for m in _split_members(outer)]
+        members = [g for g in members if g is not None]
+        if not members:
+            return None
+        kinds = {g.kind for g in members}
+        if len(kinds) > 1:
+            raise ValueError(
+                "parse_wkt: mixed GEOMETRYCOLLECTION is not supported "
+                "(JTS relate()-based predicates reject it too) — split "
+                "the collection into its member geometries (one row "
+                "each) before the join"
+            )
+        return Geometry(kinds.pop(), [p for g in members for p in g.parts])
     return None
+
+
+def _split_members(body: str) -> list[str]:
+    """Split a GEOMETRYCOLLECTION body into member WKT strings: members
+    are separated by commas at parenthesis depth 0 (commas inside a
+    member's own coordinate lists are deeper), which also handles
+    paren-less members like ``POINT EMPTY``."""
+    members, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            members.append(body[start:i])
+            start = i + 1
+    members.append(body[start:])
+    return [m for m in (s.strip() for s in members) if m]
 
 
 def _close_ring(ring: Coords) -> Coords:

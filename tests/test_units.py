@@ -255,19 +255,46 @@ def test_parse_wkt_rejects_3d():
     assert parse_wkt("LINESTRING (0 0, 1 1)") is not None  # 2-D still fine
 
 
-def test_parse_wkt_geometrycollection_raises():
+def test_parse_wkt_geometrycollection():
     """The reference's JTS reader accepts GEOMETRYCOLLECTION
-    (DatasetGeometry.scala:54-58); this engine's single-kind Geometry
-    cannot, so it must fail loudly — NOT silently drop the row the way
-    unparseable garbage (→ None) does."""
+    (DatasetGeometry.scala:54-58).  Homogeneous collections collapse to
+    the equivalent multi-geometry; MIXED collections fail loudly — NOT
+    silently dropping the row the way unparseable garbage (→ None) does —
+    because JTS's own relate()-based predicates reject them at join time
+    anyway."""
     import pytest
 
     from spark_ml_spatialjointransformer_spark.functions.geometry import parse_wkt
 
+    g = parse_wkt("GEOMETRYCOLLECTION (POINT (1 2), POINT (3 4))")
+    assert g.kind == "point" and g.parts == [[(1.0, 2.0)], [(3.0, 4.0)]]
+    mp = parse_wkt(
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)),"
+        " POLYGON ((5 5, 6 5, 6 6, 5 5)))"
+    )
+    assert mp.kind == "polygon" and len(mp.parts) == 2
+    # same geometry as the equivalent MULTI* form
+    assert mp.parts == parse_wkt(
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),"
+        " ((5 5, 6 5, 6 6, 5 5)))"
+    ).parts
+    # nested homogeneous collections flatten too
+    nested = parse_wkt(
+        "GEOMETRYCOLLECTION (POINT (1 2),"
+        " GEOMETRYCOLLECTION (POINT (3 4), POINT (5 6)))"
+    )
+    assert nested.kind == "point" and len(nested.parts) == 3
+    # all-EMPTY → null geometry (row dropped), like EMPTY itself; EMPTY
+    # members beside real ones are simply skipped (JTS reads them as
+    # empty geometries that contribute nothing)
+    assert parse_wkt("GEOMETRYCOLLECTION (POINT EMPTY)") is None
+    partial = parse_wkt("GEOMETRYCOLLECTION (POINT EMPTY, POINT (1 2))")
+    assert partial.kind == "point" and partial.parts == [[(1.0, 2.0)]]
+
     with pytest.raises(ValueError, match="GEOMETRYCOLLECTION"):
         parse_wkt("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
     # garbage is still a silent null — only the recognized-but-unsupported
-    # type is loud
+    # mix is loud
     assert parse_wkt("NONSENSE (1 2)") is None
 
 
