@@ -207,3 +207,49 @@ def triangles_per_node(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .unionByName(tri.select(F.col("w").alias("id")))
     )
     return nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def kcore(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    k: int = 3,
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded k-core peeling over the undirected pair graph: each round
+    simultaneously deletes every node whose CURRENT degree is < ``k``
+    (and all its edges), the classic dense-subgraph extraction that
+    separates a duplicate cluster's core from its sparse fringe.  A
+    fixed ``rounds`` (not peel-to-fixpoint) keeps the plan depth bounded
+    and the oracle replayable as an unrolled CTE chain; the survivors of
+    round ``rounds`` are a superset of the true k-core that equals it
+    once no round removes anything.
+
+    Scale shape: per round one map-combined degree aggregation plus two
+    semi-joins of the edge list against the (node-id only) keep set —
+    everything shuffles on int64 node ids, and the edge list SHRINKS
+    monotonically.  Each round reads its predecessor's edges twice (the
+    degree agg and the filter), so every round's survivor edge list is
+    checkpointed (the g3 trade-off, not the g1 one).
+
+    Output: (id, deg) for surviving nodes with their within-core degree.
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    )
+    e = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.where(F.col("__d") >= k).select("src")
+        e = (
+            e.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("id"), "deg"
+    )

@@ -6589,6 +6589,319 @@ def p6_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A15_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100e0 + 0.5e0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("a15_volume_shipping", _A15_ORACLE)
+def a15_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations by
+    ship year.  The asymmetric-pair predicate ((A,B) or (B,A)) is applied
+    the distributed way: BOTH nation lookups broadcast (25 rows), the
+    pair filter collapses to a per-row predicate after the broadcasts,
+    and the two fact joins (lineitem⋈orders on orderkey, then ⋈customer)
+    hash-join on keys each table already carries; the ship-date range
+    pushes into the lineitem scan so only the two target years are read.
+    Integer cents per line item before the sum, as throughout."""
+    cents = F.expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100e0 + 0.5e0)"
+        " AS BIGINT)"
+    )
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.expr(
+                "l_shipdate >= TIMESTAMP '1995-01-01'"
+                " AND l_shipdate < TIMESTAMP '1997-01-01'"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.expr("CAST(year(l_shipdate) AS BIGINT)").alias("l_year"),
+            cents.alias("cents"),
+        )
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        items.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_e2"))
+    )
+
+
+#: v10 SQ8 retrieval: candidates per query from the int8 tier before the
+#: exact re-rank, and final k.  All arithmetic integer: embeddings
+#: quantize to e5 ints, per-dim [mn, mx] comes from a corpus agg, codes
+#: are (qv-mn)·255 div (mx-mn), dequant mn + code·(mx-mn) div 255 — both
+#: divisions on non-negative operands so div == // in both engines.
+_V10_CAND = 40
+_V10_K = 10
+
+_V10_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS i,
+             CAST(floor(unnest(emb) * 100000e0 + 0.5e0) AS BIGINT) AS qv
+      FROM e),
+st AS (SELECT i, min(qv) AS mn, max(qv) AS mx FROM u GROUP BY i),
+c AS (SELECT u.vec_id, u.i,
+             st.mn + (((u.qv - st.mn) * 255 // greatest(1, st.mx - st.mn))
+                      * (st.mx - st.mn)) // 255 AS deq
+      FROM u JOIN st USING (i)),
+q AS (SELECT vec_id AS qid, i, qv FROM u WHERE vec_id % 100 = 0),
+approx AS (SELECT q.qid, c.vec_id, sum(q.qv * c.deq) AS a_score
+           FROM q JOIN c ON c.i = q.i AND c.vec_id <> q.qid
+           GROUP BY 1, 2),
+cand AS (SELECT qid, vec_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+                     ORDER BY a_score DESC, vec_id) AS rn
+           FROM approx) x
+         WHERE rn <= {_V10_CAND}),
+exact AS (SELECT cand.qid, cand.vec_id, sum(q.qv * u.qv) AS score
+          FROM cand JOIN u ON u.vec_id = cand.vec_id
+                    JOIN q ON q.qid = cand.qid AND q.i = u.i
+          GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, vec_id) AS rn
+      FROM exact)
+SELECT qid AS q_vec_id, vec_id AS neighbor_id, CAST(score AS BIGINT) AS dot_e10
+FROM r WHERE rn <= {_V10_K}
+"""
+
+
+@_register("v10_sq8_rerank", _V10_ORACLE)
+def v10_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier retrieval with int8 SCALAR quantization: corpus vectors
+    compress 4× to per-dimension uint8 codes (the other classic ANN
+    compression beside v8's product quantization — per-dim min/max
+    affine, no codebook to train), queries score the DEQUANTIZED codes
+    asymmetrically to pick 40 candidates, and only those join
+    back to full-precision vectors for the exact top-10 re-rank —
+    the standard recall-repair step every compressed index ships with.
+    Everything is JVM arrays: per-dim stats are one 64-row agg broadcast
+    back as two 1-row arrays, codes/dequant/dots are zip_with+aggregate
+    folds, and the re-rank joins the candidate (qid, vec_id) pairs — not
+    scores-for-everything — against the corpus.  At 100 TB the int8
+    tier is the only full scan; exact vectors page in for
+    queries×40 rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(floor(v * 100000e0 + 0.5e0) AS BIGINT))"
+        ).alias("qv"),
+    )
+    dims = emb.select(
+        F.posexplode("qv").alias("i", "v")
+    )
+    st = (
+        dims.groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy()
+        .agg(
+            F.expr("array_sort(collect_list(struct(i, mn, mx)))").alias("st")
+        )
+        .select(
+            F.expr("transform(st, s -> s.mn)").alias("mns"),
+            F.expr("transform(st, s -> s.mx)").alias("mxs"),
+        )
+    )
+    deq = (
+        emb.crossJoin(F.broadcast(st))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(qv, (v, i) -> element_at(mns, i + 1)"
+                " + (((v - element_at(mns, i + 1)) * 255"
+                "     div greatest(1, element_at(mxs, i + 1)"
+                "                     - element_at(mns, i + 1)))"
+                "    * (element_at(mxs, i + 1) - element_at(mns, i + 1)))"
+                " div 255)"
+            ).alias("deq"),
+        )
+    )
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("q_qv")
+    )
+    from pyspark.sql import Window
+
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (s, t) -> s + t)"
+    approx = (
+        deq.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(dot.format(a="q_qv", b="deq")).alias("a_score"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("a_score").desc(), F.col("vec_id")
+    )
+    cand = (
+        approx.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _V10_CAND)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(dot.format(a="q_qv", b="qv")).alias("score"),
+        )
+    )
+    we = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= _V10_K)
+        .select(
+            F.col("qid").alias("q_vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("score").cast("bigint").alias("dot_e10"),
+        )
+    )
+
+
+def _g4_oracle(k: int = 2, rounds: int = 3) -> str:
+    """Unrolled k-core peeling over the v2 pair graph: each round is a
+    degree CTE, a keep set, and the surviving edge list."""
+    ctes, prev = [], "e0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (SELECT src, count(*) AS d FROM {prev} GROUP BY src),
+k{i} AS (SELECT src FROM d{i} WHERE d >= {k}),
+e{i} AS (SELECT e.src, e.dst FROM {prev} e
+         JOIN k{i} a ON a.src = e.src JOIN k{i} b ON b.src = e.dst)"""
+        )
+        prev = f"e{i}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH pairs AS ({_v2_oracle()}),
+e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       UNION ALL SELECT id_b, id_a FROM pairs),
+{chain}
+SELECT src AS vec_id, count(*) AS deg FROM {prev} GROUP BY src
+"""
+
+
+@_register("g4_kcore", _g4_oracle())
+def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-cluster extraction: 3 peeling rounds of the 2-core over the
+    near-duplicate pair graph — nodes that survive sit in tightly
+    duplicated families (the ones worth canonical-picking first), while
+    the sparse fringe peels away.  The fourth iterative graph pattern in
+    the registry: monotone deletion, vs g1's fixed point, g3's frontier
+    relaxation, and t11's label propagation.  Scale shape: per round one
+    map-combined degree agg + two node-id semi-joins; the edge list only
+    shrinks, and survivor edges checkpoint per round because each round
+    reads them twice (see ``operators/graph.py:kcore``)."""
+    from spark_ml_spatialjointransformer_spark.operators.graph import kcore
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    )
+    return kcore(pairs, "id_a", "id_b", k=2, rounds=3).select(
+        F.col("id").alias("vec_id"), F.col("deg").cast("bigint").alias("deg")
+    )
+
+
+#: t39 window geometry: 40-token windows every 32 tokens (8-token overlap,
+#: the RAG / long-context chunking convention); windows start while tokens
+#: remain, so the tail window may be short but never empty.
+_T39_WIN = 40
+_T39_STRIDE = 32
+
+_T39_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+w AS (SELECT doc_id, i AS window_id,
+             tk[{_T39_STRIDE}*i+1 : {_T39_STRIDE}*i+{_T39_WIN}] AS win
+      FROM tok, unnest(range((len(tk) - 1) // {_T39_STRIDE} + 1)) t(i))
+SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+       CAST(len(win) AS BIGINT) AS n_tok,
+       {h60_sql("array_to_string(win, ' ')")} AS win_h60
+FROM w
+"""
+
+
+@_register("t39_sliding_chunks", _T39_ORACLE)
+def t39_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG / long-context prep
+    step t13's back-to-back packing can't express: 40-token windows every
+    32 tokens, so consecutive chunks share an 8-token overlap and no
+    boundary sentence is ever lost to a hard cut.  Pure per-row JVM
+    array work (sequence → slice → hash) exploding each document into
+    its windows; zero shuffle, embarrassingly parallel, the content
+    hash pins every window's exact text against the oracle's replay.
+    At 100 TB this runs as a mapping over the scan with output ~1.25×
+    input tokens — the overlap tax, visible and bounded."""
+    k, s = _T39_WIN, _T39_STRIDE
+    wins = (
+        f"transform(sequence(0, CAST((size(__tk) - 1) div {s} AS INT)),"
+        f" i -> slice(__tk, i * {s} + 1, {k}))"
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.trim(F.col("text")), " ").alias("__tk"))
+        .select("doc_id", F.posexplode(F.expr(wins)).alias("window_id", "__w"))
+        .select(
+            "doc_id",
+            F.col("window_id").cast("bigint").alias("window_id"),
+            F.size("__w").cast("bigint").alias("n_tok"),
+            h60_col(F.concat_ws(" ", F.col("__w"))).alias("win_h60"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -6607,6 +6920,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "j25_nation_medoid", "a13_shipping_priority", "a14_idle_high_balance",
     "d15_gaps_islands", "t37_line_dedup", "t38_hll_distinct",
     "j26_polygon_area", "m7_scene_change", "p6_partitioned_export",
+    "a15_volume_shipping", "v10_sq8_rerank", "g4_kcore", "t39_sliding_chunks",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",

@@ -44,6 +44,8 @@ SENSITIVE = [
     "t37_line_dedup",          # corpus-frequency prune + index rebuild
     "t38_hll_distinct",        # register max-merge across partitions
     "m7_scene_change",         # frame walk + lag threshold + islands
+    "v10_sq8_rerank",          # two ranked windows over broadcast scores
+    "g4_kcore",                # per-round checkpointed peeling
 ]
 
 
