@@ -6902,6 +6902,118 @@ def t39_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: e16's oracle materializes "each event belongs to BOTH windows that
+#: cover it": window starts are the event's hour and the hour before —
+#: always exactly two for a 2h/1h slide.
+_E16_ORACLE = """
+WITH e AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 AS hr,
+                  CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS v_e4
+           FROM events),
+w AS (SELECT event_type, v_e4, (hr - k) * 3600 AS w_start_ts
+      FROM e, unnest([0, 1]) t(k))
+SELECT CAST(w_start_ts AS BIGINT) AS w_start_ts, event_type,
+       count(*) AS n_events, CAST(sum(v_e4) AS BIGINT) AS sum_value_e4
+FROM w GROUP BY 1, 2
+"""
+
+
+@_register("e16_sliding_stream", _E16_ORACLE)
+def e16_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregation — 2-hour windows advancing
+    hourly, so every event lands in exactly two overlapping windows: the
+    moving-average shape e2's tumbling windows can't express, and the
+    one window kind (beside tumbling e2 and session e12) the streaming
+    family still lacked.  Run to completion against the batch oracle
+    that materializes both covering windows per event, proving the
+    incremental multi-window state updates equal the from-scratch
+    answer.  Scale shape: state per (window, type) key bounded by
+    window/slide = 2 live windows beyond the watermark; same shuffle
+    keys as the batch twin."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        run_to_memory,
+        sliding_event_counts_stream,
+    )
+
+    name = "q_e16_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return run_to_memory(
+        sliding_event_counts_stream(spark, f"{sf_dir}/events.parquet"),
+        name,
+        output_mode="complete",
+    )
+
+
+#: p7 split assignment: salted content-stable hash → 10 cells; cell 0 =
+#: test, 1 = val, rest train (80/10/10).  The salt decorrelates the split
+#: hash from every other doc_id-keyed hash in the registry.
+_P7_SPLIT = (
+    f"CASE {{h}} % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val'"
+    f" ELSE 'train' END"
+)
+
+
+def _p7_oracle() -> str:
+    h = h60_sql("'split#' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH pairs AS ({_t6_oracle()}),
+s AS (SELECT doc_id, {_P7_SPLIT.format(h=h)} AS split FROM documents)
+SELECT sa.split AS split_a, sb.split AS split_b,
+       count(*) AS n_pairs,
+       CAST(count(*) FILTER (sa.split <> sb.split) AS BIGINT) AS n_leaked
+FROM pairs
+JOIN s sa ON sa.doc_id = pairs.id_a
+JOIN s sb ON sb.doc_id = pairs.id_b
+GROUP BY 1, 2
+"""
+
+
+@_register("p7_split_leakage", _p7_oracle())
+def p7_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split audit — the leakage check every eval pipeline
+    needs: assign each document a content-stable salted-hash split
+    (80/10/10), then count near-duplicate pairs (t6's banded MinHash,
+    same parameters) per split-pair cell.  Off-diagonal cells are
+    LEAKED evaluation data — near-dups of training docs sitting in
+    val/test — the contamination that random splitting guarantees and
+    that this report makes visible before training does.  Scale shape:
+    the pair generation is t6's banded join (shuffles band keys, never
+    text); the split attach is two doc_id-keyed joins of 8-byte rows;
+    output is a ≤ 9-row contingency table."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=64, bands=16, threshold=0.2
+    ).select("id_a", "id_b")
+    split = _P7_SPLIT.format(
+        h="h"
+    )
+    s = docs.select(
+        "doc_id",
+        h60_col(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    ).select("doc_id", F.expr(split).alias("split"))
+    return (
+        pairs.join(s.withColumnRenamed("split", "split_a"),
+                   F.col("id_a") == F.col("doc_id"))
+        .drop("doc_id")
+        .join(s.withColumnRenamed("split", "split_b"),
+              F.col("id_b") == F.col("doc_id"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+            ).cast("bigint").alias("n_leaked"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -6921,6 +7033,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "d15_gaps_islands", "t37_line_dedup", "t38_hll_distinct",
     "j26_polygon_area", "m7_scene_change", "p6_partitioned_export",
     "a15_volume_shipping", "v10_sq8_rerank", "g4_kcore", "t39_sliding_chunks",
+    "e16_sliding_stream", "p7_split_leakage",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",

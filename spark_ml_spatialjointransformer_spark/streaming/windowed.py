@@ -99,6 +99,31 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING 2-hour windows advancing hourly (each event lands in exactly
+    two overlapping windows — the moving-average shape tumbling windows
+    can't express), per event_type, 30-minute watermark.  State per key is
+    window/slide = 2 live windows per (hour, type), still bounded."""
+    return (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("sum_value_e4"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start_ts"),
+            "event_type",
+            "n_events",
+            "sum_value_e4",
+        )
+    )
+
+
 _SESSION_STATE_SCHEMA = "n LONG, total_e4 LONG"
 _SESSION_OUT_SCHEMA = "user_id LONG, n_events LONG, total_value_e4 LONG"
 

@@ -46,6 +46,7 @@ SENSITIVE = [
     "m7_scene_change",         # frame walk + lag threshold + islands
     "v10_sq8_rerank",          # two ranked windows over broadcast scores
     "g4_kcore",                # per-round checkpointed peeling
+    "p7_split_leakage",        # LSH self-join + split contingency
 ]
 
 
