@@ -692,3 +692,43 @@ def frame_byte_sums(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP encoder (bottom-up rows, 4-byte row
+    padding) — the inverse of ``_decode_bmp``, so the same pixels can round
+    -trip through BOTH containers the decoder understands."""
+    import struct
+
+    h, w = img.shape[0], img.shape[1]
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    bgr = img[:, :, ::-1]
+    data = b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def transcode_images(
+    df: DataFrame, binary_col: str, to_fmt: str, out_col: str
+) -> DataFrame:
+    """Decode each image and re-encode it in ``to_fmt`` ('ppm' or 'bmp') —
+    the container-normalization step cross-format dedup needs (same pixels
+    arrive as different byte strings; content identity only exists after
+    decode).  Partition-preserving Arrow pass; undecodable → NULL."""
+    ensure_udf_portability()
+    enc = {"ppm": encode_ppm, "bmp": encode_bmp}[to_fmt]
+    fields = df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    out_schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[binary_col]:
+                img = decode_image(b if isinstance(b, bytes) else bytes(b or b""))
+                out.append(enc(img) if img is not None else None)
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -7014,6 +7014,167 @@ def p7_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A16_ORACLE = """
+WITH s AS (SELECT c_custkey, c_nationkey,
+                  CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT) AS bal_e2
+           FROM customer),
+d AS (SELECT c_nationkey, bal_e2,
+             ntile(10) OVER (PARTITION BY c_nationkey
+                             ORDER BY bal_e2, c_custkey) AS decile
+      FROM s)
+SELECT c_nationkey, CAST(decile AS BIGINT) AS decile,
+       count(*) AS n,
+       CAST(min(bal_e2) AS BIGINT) AS lo_e2,
+       CAST(max(bal_e2) AS BIGINT) AS hi_e2
+FROM d GROUP BY 1, 2
+"""
+
+
+@_register("a16_balance_deciles", _A16_ORACLE)
+def a16_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance decile bands via NTILE — the
+    equal-COUNT banding (every decile within a nation differs by at most
+    one member) that a4's rank-selected percentiles can't give, and the
+    one ranking window family (ntile) the registry hadn't exercised.
+    The window order includes the key column so ties band
+    deterministically.  Scale shape: one nation-keyed exchange shared by
+    the window and the (nation, decile) rollup; per-nation sort is
+    Spark's spillable external sort, no global pass."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT)").alias(
+            "bal_e2"
+        ),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("bal_e2", "c_custkey")
+    return (
+        s.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("c_nationkey", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bal_e2").cast("bigint").alias("lo_e2"),
+            F.max("bal_e2").cast("bigint").alias("hi_e2"),
+        )
+    )
+
+
+#: m8's oracle is m5's per-doc ahash computation crossed with the two
+#: container formats: content identity is format-independent, so both
+#: rows of a document must carry the SAME hash — any BGR/row-order/padding
+#: slip in either codec breaks it.
+_M8_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+xo AS (SELECT unnest(range(7)) AS x1), yo AS (SELECT unnest(range(5)) AS y1),
+p AS (SELECT doc_id, y1 * 7 + x1 AS k,
+             (3 * ((x1 * 16) // 7) + 5 * ((y1 * 12) // 5) + doc_id) % 256
+             + ((x1 * 16) // 7 + 2 * ((y1 * 12) // 5)) % 256
+             + (doc_id + ((x1 * 16) // 7) * ((y1 * 12) // 5)) % 256 AS v
+      FROM d CROSS JOIN xo CROSS JOIN yo),
+t AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tot FROM p GROUP BY doc_id),
+h AS (SELECT p.doc_id,
+             CAST(sum(CASE WHEN p.v * 35 >= t.tot
+                           THEN CAST(1 AS BIGINT) << p.k
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+      FROM p JOIN t USING (doc_id) GROUP BY p.doc_id)
+SELECT doc_id, fmt, ahash
+FROM h CROSS JOIN (SELECT unnest(['bmp', 'ppm']) AS fmt)
+"""
+
+
+@_register("m8_crossformat_dedup", _M8_ORACLE)
+def m8_crossformat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-container image dedup: the SAME pixels shipped as a PPM and
+    as a 24-bit BMP must collapse to one perceptual hash — the container
+    -normalization problem real corpora have (identical photos, different
+    formats, byte-level dedup blind to it).  Each document's synthetic
+    image rides BOTH codecs (PPM pass-through; decode → BMP re-encode
+    with its BGR channel order, bottom-up rows, and 4-byte padding),
+    then both variants thumbnail and average-hash through the SAME
+    format-dispatching decode path; the oracle pins each (doc, fmt) row
+    to the closed-form hash, so the two codecs must agree pixel-for-
+    pixel.  Scale shape: four partition-preserving Arrow passes, a
+    no-shuffle union of the two variant streams; binaries never
+    shuffle."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        image_ahash,
+        resize_images,
+        synth_ppm_images,
+        transcode_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = synth_ppm_images(docs, "doc_id", width=16, height=12, out_col="img")
+    ppm = imgs.select("doc_id", F.lit("ppm").alias("fmt"),
+                      F.col("img").alias("blob"))
+    bmp = transcode_images(imgs, "img", "bmp", out_col="bmp").select(
+        "doc_id", F.lit("bmp").alias("fmt"), F.col("bmp").alias("blob")
+    )
+    both = ppm.unionByName(bmp)
+    thumbs = resize_images(both, "blob", width=7, height=5, out_col="thumb")
+    return image_ahash(thumbs, "thumb", out_col="ahash").select(
+        "doc_id", "fmt", "ahash"
+    )
+
+
+#: v11 composes the two tiers' own oracles — the exact baseline and the
+#: LSH approximation are both already SQL-replayable, so their recall is
+#: too.  Scoring reuses the registered oracle strings verbatim.
+_V11_ORACLE = f"""
+WITH ex AS (SELECT q_vec_id AS q_id, neighbor_id AS id
+            FROM ({QUERIES['v1_cosine_topk'].oracle})),
+ap AS (SELECT q_id, id FROM ({_V5_ORACLE})),
+h AS (SELECT ex.q_id, count(*) AS n_exact, count(ap.id) AS n_hit
+      FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id AND ap.id = ex.id
+      GROUP BY ex.q_id)
+SELECT q_id, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_hit * 10000 // n_exact AS BIGINT) AS recall_e4
+FROM h
+"""
+
+
+@_register("v11_lsh_recall", _V11_ORACLE)
+def v11_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH tier against the exact baseline — the
+    evaluation harness every approximate index needs before it replaces
+    a brute-force scan: per query, how many of the TRUE top-10 (v1's
+    plan) did the banded-SRP candidate generation (v5's plan) actually
+    surface?  Both tiers run as their registered plans and the overlap
+    is one left join + count — so this query IS the tuning loop for
+    n_planes/bands, with an oracle composed of the two tiers' own
+    replays.  Scale shape: both inputs are queries×10 rows; the join
+    adds nothing to either tier's cost."""
+    ex = v1_cosine_topk(spark, sf_dir).select(
+        F.col("q_vec_id").alias("q_id"), F.col("neighbor_id").alias("id")
+    )
+    ap = v5_lsh_topk(spark, sf_dir).select(
+        F.col("q_id").alias("a_qid"), F.col("id").alias("a_id")
+    )
+    return (
+        ex.join(
+            ap,
+            (F.col("q_id") == F.col("a_qid")) & (F.col("id") == F.col("a_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("a_id").alias("n_hit"),
+        )
+        .select(
+            "q_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.expr("CAST(n_hit * 10000 div n_exact AS BIGINT)").alias(
+                "recall_e4"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -7033,7 +7194,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "d15_gaps_islands", "t37_line_dedup", "t38_hll_distinct",
     "j26_polygon_area", "m7_scene_change", "p6_partitioned_export",
     "a15_volume_shipping", "v10_sq8_rerank", "g4_kcore", "t39_sliding_chunks",
-    "e16_sliding_stream", "p7_split_leakage",
+    "e16_sliding_stream", "p7_split_leakage", "a16_balance_deciles",
+    "m8_crossformat_dedup", "v11_lsh_recall",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",

@@ -47,6 +47,9 @@ SENSITIVE = [
     "v10_sq8_rerank",          # two ranked windows over broadcast scores
     "g4_kcore",                # per-round checkpointed peeling
     "p7_split_leakage",        # LSH self-join + split contingency
+    "a16_balance_deciles",     # ntile banding over per-nation sort
+    "m8_crossformat_dedup",    # dual-codec Arrow chain
+    "v11_lsh_recall",          # two ranked tiers + overlap join
 ]
 
 
