@@ -870,6 +870,147 @@ def pq_adc_topk(
     )
 
 
+#: coarse-quantizer geometry for the IVF-PQ tier: 8 full-dimension cells,
+#: centroid components from the same ±8 LCG family as the PQ codebook
+#: (lifted by PQ_CB_SCALE into the quantized-embedding domain)
+IVF_COARSE_CELLS = 8
+
+
+def ivf_coarse_centroids(n_cells: int = IVF_COARSE_CELLS, dim: int = 64):
+    """Closed-form integer coarse-centroid matrix [n_cells, dim]."""
+    import numpy as np
+
+    c = np.arange(n_cells)[:, None]
+    i = np.arange(dim)[None, :]
+    return (
+        ((c * 40503 + i * 69621 + 11) % 2017) % 17 - 8
+    ).astype(np.int64) * PQ_CB_SCALE
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    emb_col: str,
+    q_id_col: str,
+    q_emb_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    scale: float = 100000.0,
+) -> DataFrame:
+    """The composed production ANN tier: IVF coarse pruning THEN PQ-ADC
+    scoring.  Every corpus vector gets (a) a coarse cell — argmin integer
+    L2 against the 8 full-dimension centroids — and (b) its PQ codes;
+    a query LUT-scores ONLY vectors whose cell is among its ``nprobe``
+    nearest cells.  That is the IVF-PQ contract (FAISS's IndexIVFPQ):
+    the inverted lists cut candidates by ~n_cells/nprobe before the
+    table-lookup scoring touches them.
+
+    Everything stays integer (quantized embeddings × integer centroids/
+    codewords) with first-minimum tie rules, so the DuckDB oracle
+    replays cells, codes, and scores bit-for-bit.  Scale shape: still
+    ONE corpus scan (cell assignment, code assignment, and masked
+    LUT-scoring fuse into the same mapInPandas pass); at 100 TB the
+    (cell, codes) pair materializes once as a 5-byte column set,
+    inverted lists are cell-partitioned files, and a query reads only
+    its nprobe partitions — the candidate mask here is the single-scan
+    local-mode equivalent of that partition pruning."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    out_schema = "q_vec_id long, neighbor_id long, adc_score long"
+    rows = queries.select(q_id_col, q_emb_col).collect()
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    cb = pq_codebook()
+    n_sub, n_codes, sub_dim = cb.shape
+    dim = n_sub * sub_dim
+    coarse = ivf_coarse_centroids(dim=dim)
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qraw = np.array(
+        [np.asarray(r[1], dtype=np.float64) for r in rows], dtype=np.float64
+    )
+    if qraw.shape[1] != dim:
+        raise ValueError(
+            f"ivf_pq_topk: embedding dim {qraw.shape[1]} does not match the "
+            f"codebook geometry {n_sub}×{sub_dim}"
+        )
+    Qz = np.floor(qraw * scale + 0.5).astype(np.int64)
+    # query probe set: nprobe nearest coarse cells (ties → lowest cell id,
+    # matching the oracle's ORDER BY d2, cell)
+    qd2 = ((Qz[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=-1)
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(coarse.shape[0]), qd2.shape), qd2), axis=1
+    )
+    probe = np.zeros((len(qids), coarse.shape[0]), dtype=bool)
+    np.put_along_axis(probe, order[:, :nprobe], True, axis=1)
+    lut = np.einsum(
+        "qad,acd->qac", Qz.reshape(len(qids), n_sub, sub_dim), cb
+    )
+    bc = spark.sparkContext.broadcast((qids, lut, cb, coarse, probe))
+
+    def gen(batches):
+        import numpy as np  # executor-side body
+
+        bqids, blut, bcb, bcoarse, bprobe = bc.value
+        ns, nc, sd = bcb.shape
+        int_min = np.iinfo(np.int64).min
+        for pdf_b in batches:
+            if len(pdf_b) == 0:
+                continue
+            bids = pdf_b.iloc[:, 0].to_numpy(dtype=np.int64)
+            braw = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf_b.iloc[:, 1]],
+                dtype=np.float64,
+            )
+            Bz = np.floor(braw * scale + 0.5).astype(np.int64)
+            cells = (
+                ((Bz[:, None, :] - bcoarse[None, :, :]) ** 2)
+                .sum(axis=-1)
+                .argmin(axis=1)
+            )
+            Bs = Bz.reshape(len(bids), ns, sd)
+            d2 = ((Bs[:, :, None, :] - bcb[None, :, :, :]) ** 2).sum(axis=-1)
+            codes = d2.argmin(axis=2)
+            gathered = blut[
+                np.arange(blut.shape[0])[None, :, None],
+                np.arange(ns)[None, None, :],
+                codes[:, None, :],
+            ]
+            scores = gathered.sum(axis=-1)
+            # IVF mask: a corpus vector is a candidate for query q only if
+            # its cell is in q's probe set; self-pairs masked like ADC
+            scores[~bprobe[:, cells].T] = int_min
+            scores[bids[:, None] == bqids[None, :]] = int_min
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(bqids)):
+                col = scores[:, qi]
+                vidx = np.nonzero(col > int_min)[0]
+                if len(vidx) == 0:
+                    continue
+                kk = min(k, len(vidx))
+                order_b = np.lexsort((bids[vidx], -col[vidx]))
+                top = vidx[order_b[:kk]]
+                out_q.extend([bqids[qi]] * len(top))
+                out_c.extend(bids[top].tolist())
+                out_s.extend(col[top].tolist())
+            yield pd.DataFrame(
+                {"q_vec_id": out_q, "neighbor_id": out_c, "adc_score": out_s}
+            )
+
+    local = df.select(id_col, emb_col).mapInPandas(gen, out_schema)
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("q_vec_id", "neighbor_id", "adc_score")
+    )
+
+
 def kmeans_int(
     df: DataFrame,
     id_col: str,

@@ -4055,6 +4055,54 @@ def d14_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D16_ORACLE = """
+WITH e AS (SELECT user_id, event_id,
+                  CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS v_e4
+           FROM events)
+SELECT user_id, event_id,
+       CAST(128 * v_e4
+            + 64 * coalesce(lag(v_e4, 1) OVER w, 0)
+            + 32 * coalesce(lag(v_e4, 2) OVER w, 0)
+            + 16 * coalesce(lag(v_e4, 3) OVER w, 0)
+            +  8 * coalesce(lag(v_e4, 4) OVER w, 0)
+            +  4 * coalesce(lag(v_e4, 5) OVER w, 0)
+            +  2 * coalesce(lag(v_e4, 6) OVER w, 0)
+            +  1 * coalesce(lag(v_e4, 7) OVER w, 0) AS BIGINT)
+         AS ewma_x128_e4
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+@_register("d16_ewma", _D16_ORACLE)
+def d16_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2, 8 taps) per user —
+    the smoothing signal every metrics pipeline wants and plain frame
+    SUMs can't express, because each lag needs its OWN weight.  The
+    recursive EWMA definition is unrollable to lag terms with
+    power-of-two weights, so the whole thing is 8 ``lag`` expressions
+    over ONE window (a single user-keyed exchange + ordered scan;
+    Catalyst collapses same-window functions into one Window node) and
+    stays integer-exact end-to-end — weights 128..1 are the 2^-i decay
+    scaled by 2^7, no float division anywhere.  Ordering is by the
+    integer sequence id (same nanos-vs-micros rationale as j28)."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)").alias("v_e4"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    taps = F.lit(128) * F.col("v_e4")
+    for i in range(1, 8):
+        taps = taps + F.lit(128 >> i) * F.coalesce(
+            F.lag("v_e4", i).over(w), F.lit(0)
+        )
+    return e.select(
+        "user_id", "event_id", taps.cast("bigint").alias("ewma_x128_e4")
+    )
+
+
 #: a12's oracle is deliberately written as CORRELATED SUBQUERIES — the
 #: classic analyst formulation — while the Spark plan is the decorrelated
 #: window form; both engines must agree, and "above the mean" tests as
@@ -6945,6 +6993,49 @@ def e16_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E17_ORACLE = """
+SELECT (CAST(epoch_us(ts) // 1000000 AS BIGINT) // 21600) * 21600
+         AS w6_start_ts,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+         AS sum_value_e4
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_register("e17_chained_windows_stream", _E17_ORACLE)
+def e17_chained_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained time-window aggregations — hour windows rolled up into
+    6-hour buckets by a SECOND streaming aggregation over ``window_time``
+    in the same query (two stateful operators, append mode).  Checked
+    against the batch oracle that buckets raw events at 6h directly:
+    the two-stage incremental rollup must equal the single-stage
+    from-scratch answer.  Sentinel-driven watermark flush; the sentinel
+    buckets (which start strictly after the real data's max timestamp)
+    are dropped after materialization."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        chained_window_counts_stream,
+        run_to_memory,
+    )
+
+    max_ts = (
+        load_events(spark, sf_dir)
+        .agg(F.max(F.unix_timestamp(F.col("ts").cast("timestamp"))))
+        .first()[0]
+    )
+    name = "q_e17_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = run_to_memory(
+        chained_window_counts_stream(spark, f"{sf_dir}/events.parquet"),
+        name,
+        output_mode="append",
+    )
+    return out.where(F.col("w6_start_ts") <= F.lit(int(max_ts)))
+
+
 #: p7 split assignment: salted content-stable hash → 10 cells; cell 0 =
 #: test, 1 = val, rest train (80/10/10).  The salt decorrelates the split
 #: hash from every other doc_id-keyed hash in the registry.
@@ -7175,6 +7266,567 @@ def v11_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_J27_ORACLE = f"""
+WITH c AS (SELECT c_custkey, {CUST_LON_SQL} AS lon, {CUST_LAT_SQL} AS lat
+           FROM customer),
+n AS (SELECT {NATION_RECT_SQL['x0']} AS x0, {NATION_RECT_SQL['y0']} AS y0,
+             {NATION_RECT_SQL['x1']} AS x1, {NATION_RECT_SQL['y1']} AS y1
+      FROM nation)
+SELECT c_custkey,
+       CAST(round(lon * 10e0) AS BIGINT) AS lon_e1,
+       CAST(round(lat * 10e0) AS BIGINT) AS lat_e1
+FROM c
+WHERE NOT EXISTS (SELECT 1 FROM n
+                  WHERE c.lon BETWEEN n.x0 AND n.x1
+                    AND c.lat BETWEEN n.y0 AND n.y1)
+"""
+
+
+@_register("j27_spatial_antijoin", _J27_ORACLE)
+def j27_spatial_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial NOT EXISTS — the customers covered by NO nation rectangle
+    (the coverage-gap audit every geofencing dataset runs), i.e. the
+    complement of j2's within join as a LEFT ANTI with a non-equi
+    containment condition.  The dimension side is tiny by contract, so
+    the right plan is a broadcast nested-loop ANTI join — each row tests
+    25 intervals and ships nothing; no shuffle at any scale where the
+    polygon dim fits a broadcast (the partitioned fallback is j14's
+    grid).  Output coordinates ride as e1-scaled ints (the synth grid's
+    native precision)."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    rects = load_table(spark, sf_dir, "nation").select(
+        F.expr(NATION_RECT_SQL["x0"]).alias("x0"),
+        F.expr(NATION_RECT_SQL["y0"]).alias("y0"),
+        F.expr(NATION_RECT_SQL["x1"]).alias("x1"),
+        F.expr(NATION_RECT_SQL["y1"]).alias("y1"),
+    )
+    cond = (
+        F.col("lon").between(F.col("x0"), F.col("x1"))
+        & F.col("lat").between(F.col("y0"), F.col("y1"))
+    )
+    return cust.join(F.broadcast(rects), cond, "left_anti").select(
+        "c_custkey",
+        F.expr("CAST(round(lon * 10e0) AS BIGINT)").alias("lon_e1"),
+        F.expr("CAST(round(lat * 10e0) AS BIGINT)").alias("lat_e1"),
+    )
+
+
+def _t40_registers_sql(src_filter: str) -> str:
+    """DuckDB register table for events passing ``src_filter``."""
+    h = h60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+SELECT event_type, hv % {_HLL_M} AS bucket, max(rho) AS r FROM (
+  SELECT event_type, hv,
+         CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_RCAP}
+              ELSE least(bit_count(((hv // {_HLL_M}) & -(hv // {_HLL_M})) - 1)
+                         + 1, {_HLL_RCAP}) END AS rho
+  FROM (SELECT event_type, {h} AS hv FROM events WHERE {src_filter}) x
+) y GROUP BY 1, 2"""
+
+
+_T40_EST_SQL = f"""
+SELECT event_type,
+       CASE WHEN ({_HLL_M} - nb) > 0
+                 AND 2 * (e1 * {_HLL_ALPHA_E4} // 10000) <= 5 * {_HLL_M}
+            THEN CAST(round({_HLL_M} * ln({_HLL_M}
+                      / CAST({_HLL_M} - nb AS DOUBLE))) AS BIGINT)
+            ELSE e1 * {_HLL_ALPHA_E4} // 10000 END AS est
+FROM (SELECT event_type, count(*) AS nb,
+             (CAST({_HLL_M * _HLL_M} AS BIGINT) << {_HLL_RCAP})
+               // (sum(CAST(1 AS BIGINT) << ({_HLL_RCAP} - r))
+                   + ({_HLL_M} - count(*))
+                     * (CAST(1 AS BIGINT) << {_HLL_RCAP})) AS e1
+      FROM REG GROUP BY event_type) s
+"""
+
+_T40_ORACLE = f"""
+WITH ra AS ({_t40_registers_sql("epoch_us(ts) // 86400000000 % 2 = 0")}),
+rb AS ({_t40_registers_sql("epoch_us(ts) // 86400000000 % 2 = 1")}),
+merged AS (SELECT event_type, bucket, max(r) AS r
+           FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) u
+           GROUP BY 1, 2),
+direct AS ({_t40_registers_sql("TRUE")}),
+em AS ({_T40_EST_SQL.replace("REG", "merged")}),
+ed AS ({_T40_EST_SQL.replace("REG", "direct")})
+SELECT em.event_type, CAST(em.est AS BIGINT) AS est_merged,
+       CAST(ed.est AS BIGINT) AS est_direct
+FROM em JOIN ed USING (event_type)
+"""
+
+
+@_register("t40_hll_merge", _T40_ORACLE)
+def t40_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL the sketch of record at scale, proven
+    in-query: registers built on two disjoint day-parity SHARDS of the
+    stream max-merge into exactly the whole-corpus sketch — est_merged
+    must equal est_direct row for row (and the oracle hash-checks both),
+    which is what lets a 100 TB pipeline keep per-day register tables
+    and answer any date range by merging 256-row tables instead of
+    re-reading events.  Scale shape: three register aggregations (each
+    ≤ types·256 rows out), one union-max merge, estimates in fixed-point
+    integer arithmetic as t38."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 % 2").alias(
+            "day_par"
+        ),
+    )
+    m, rcap, alpha = _HLL_M, _HLL_RCAP, _HLL_ALPHA_E4
+
+    def registers(df):
+        h = h60_col(F.col("user_id").cast("string"))
+        v = F.expr(f"hv div {m}")
+        rho = (
+            F.when(v == 0, rcap)
+            .otherwise(
+                F.least(F.bit_count((v.bitwiseAND(-v)) - 1) + 1, F.lit(rcap))
+            )
+        )
+        return (
+            df.select("event_type", h.alias("hv"))
+            .select("event_type", F.expr(f"hv % {m}").alias("bucket"),
+                    rho.alias("rho"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("r"))
+        )
+
+    def estimate(reg, out):
+        s = reg.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rcap} - r)")).alias(
+                "sp"
+            ),
+        )
+        return s.select(
+            "event_type",
+            F.expr(
+                f"CASE WHEN ({m} - nb) > 0 AND 2 * ((shiftleft(CAST({m * m} AS"
+                f" BIGINT), {rcap}) div (sp + ({m} - nb) *"
+                f" shiftleft(CAST(1 AS BIGINT), {rcap}))) * {alpha} div 10000)"
+                f" <= 5 * {m}"
+                f" THEN CAST(round({m} * ln({m} / CAST({m} - nb AS DOUBLE)))"
+                f"      AS BIGINT)"
+                f" ELSE (shiftleft(CAST({m * m} AS BIGINT), {rcap})"
+                f"       div (sp + ({m} - nb) *"
+                f"            shiftleft(CAST(1 AS BIGINT), {rcap})))"
+                f"      * {alpha} div 10000 END"
+            ).alias(out),
+        )
+
+    ra = registers(ev.where(F.col("day_par") == 0))
+    rb = registers(ev.where(F.col("day_par") == 1))
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    direct = registers(ev)
+    em = estimate(merged, "est_merged")
+    ed = estimate(direct, "est_direct")
+    return em.join(ed, "event_type").select(
+        "event_type",
+        F.col("est_merged").cast("bigint").alias("est_merged"),
+        F.col("est_direct").cast("bigint").alias("est_direct"),
+    )
+
+
+#: v12's oracle replays the WHOLE IVF-PQ pipeline: the v8 closed-form PQ
+#: codebook/codes/LUT plus the closed-form coarse centroids, corpus cell
+#: assignment, query nprobe-cell selection, and the candidate mask.
+_V12_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS i, unnest(emb) AS v
+      FROM e),
+zi AS (SELECT vec_id, i,
+              CAST(floor(v * 100000e0 + 0.5e0) AS BIGINT) AS qv
+       FROM u),
+z AS (SELECT vec_id, i // 16 AS a, i % 16 AS j, qv FROM zi),
+cc AS (SELECT cell, i,
+              ((((cell * 40503 + i * 69621 + 11) % 2017) % 17) - 8) * 12500
+                AS w
+       FROM range(8) t1(cell) CROSS JOIN range(64) t2(i)),
+d2c AS (SELECT zi.vec_id, cc.cell,
+               sum((zi.qv - cc.w) * (zi.qv - cc.w)) AS d2
+        FROM zi JOIN cc USING (i) GROUP BY 1, 2),
+asg AS (SELECT vec_id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cell) AS rn
+          FROM d2c) x WHERE rn = 1),
+probe AS (SELECT vec_id AS qid, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cell) AS rn
+            FROM d2c WHERE vec_id % 100 = 0) x WHERE rn <= 2),
+cb AS (SELECT a, c, j,
+              ((((a * 73856093 + c * 19349663 + j * 83492791 + 7) % 2039)
+                % 17) - 8) * 12500 AS w
+       FROM range(4) t1(a) CROSS JOIN range(16) t2(c)
+            CROSS JOIN range(16) t3(j)),
+dist AS (SELECT z.vec_id, z.a, cb.c,
+                sum((z.qv - cb.w) * (z.qv - cb.w)) AS d2
+         FROM z JOIN cb ON cb.a = z.a AND cb.j = z.j
+         GROUP BY 1, 2, 3),
+code AS (SELECT vec_id, a, c FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, a
+                                        ORDER BY d2, c) AS rn
+           FROM dist) x
+         WHERE rn = 1),
+qq AS (SELECT vec_id AS qid, a, j, qv FROM z WHERE vec_id % 100 = 0),
+lut AS (SELECT qq.qid, cb.a, cb.c, sum(qq.qv * cb.w) AS dot
+        FROM qq JOIN cb ON cb.a = qq.a AND cb.j = qq.j
+        GROUP BY 1, 2, 3),
+adc AS (SELECT l.qid, code.vec_id, sum(l.dot) AS score
+        FROM code
+        JOIN asg ON asg.vec_id = code.vec_id
+        JOIN lut l ON l.a = code.a AND l.c = code.c
+        JOIN probe p ON p.qid = l.qid AND p.cell = asg.cell
+        WHERE code.vec_id <> l.qid
+        GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, vec_id) AS rn
+      FROM adc)
+SELECT qid AS q_vec_id, vec_id AS neighbor_id, CAST(score AS BIGINT) AS adc_score
+FROM r WHERE rn <= 10
+"""
+
+
+@_register("v12_ivfpq_topk", _V12_ORACLE)
+def v12_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ ANN tier (FAISS IndexIVFPQ shape): an 8-cell
+    coarse quantizer prunes candidates to each query's 2 nearest cells,
+    then v8's PQ-ADC table-lookup scoring runs over the survivors only —
+    prune THEN approximate, the architecture every billion-scale vector
+    index uses.  Coarse centroids are closed-form integers (production
+    trains them, like v3/v8 — the assignment/mask machinery is what's
+    exercised), so cells, codes, LUTs, and scores are all engine-exact
+    int64 and the oracle replays the full pipeline.  See
+    ``operators/similarity.py:ivf_pq_topk`` for the 100 TB shape
+    (cell-partitioned inverted lists; the candidate mask here is that
+    partition pruning in single-scan form)."""
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_pq_topk(
+        emb, q, "vec_id", "embedding", "vec_id", "embedding", k=10, nprobe=2
+    )
+
+
+_A19_ORACLE = """
+WITH os AS (SELECT l_orderkey, l_suppkey,
+                   max(epoch_us(l_shipdate) // 86400000000) AS smax
+            FROM lineitem GROUP BY 1, 2),
+o AS (SELECT l_orderkey, count(*) AS n_supp, max(smax) AS omax
+      FROM os GROUP BY 1),
+am AS (SELECT os.l_orderkey, count(*) AS n_at_max
+       FROM os JOIN o USING (l_orderkey)
+       WHERE os.smax = o.omax GROUP BY 1),
+win AS (SELECT os.l_suppkey
+        FROM os JOIN o USING (l_orderkey) JOIN am USING (l_orderkey)
+        WHERE o.n_supp >= 2 AND am.n_at_max = 1 AND os.smax = o.omax)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM win JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY 1, 2
+"""
+
+
+@_register("a19_blocking_supplier", _A19_ORACLE)
+def a19_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped double-correlated EXISTS/NOT-EXISTS: per order
+    with lineitems from ≥2 suppliers, the UNIQUE supplier whose shipment
+    came last (others shipped, nobody tied) — 'who is everyone waiting
+    on', counted per supplier.  Both correlated subqueries decorrelate
+    into window functions over ONE (order, supplier)-grained aggregate:
+    max-ship over the order, supplier count over the order, and
+    tied-at-max count, all sharing a single l_orderkey exchange after
+    the per-(order,supplier) combine.  The supplier-name join broadcasts
+    the dim.  Ship dates ride as integer epoch-days, so max/tie
+    comparisons are exact in both engines."""
+    from pyspark.sql import Window
+
+    os_ = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.expr(
+                "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"
+            ).alias("sday"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("sday").alias("smax"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    dec = os_.select(
+        "l_orderkey",
+        "l_suppkey",
+        "smax",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.max("smax").over(w).alias("omax"),
+    ).withColumn(
+        "n_at_max",
+        F.sum(F.when(F.col("smax") == F.col("omax"), 1).otherwise(0)).over(w),
+    )
+    win = dec.where(
+        (F.col("n_supp") >= 2)
+        & (F.col("n_at_max") == 1)
+        & (F.col("smax") == F.col("omax"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        win.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_T41_ORACLE = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents),
+cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+agg AS (SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS len_chars,
+               CAST(sum(CAST(round(1000000.0e0 * n
+                                   * ln(CAST(n AS DOUBLE))) AS BIGINT))
+                 AS BIGINT) AS s_nlogn_e6
+        FROM cc GROUP BY doc_id)
+SELECT doc_id, len_chars, s_nlogn_e6,
+       CAST(round(1000.0e0
+                  * (ln(CAST(len_chars AS DOUBLE))
+                     - (CAST(s_nlogn_e6 AS DOUBLE) / 1000000.0e0)
+                       / CAST(len_chars AS DOUBLE))
+                  / ln(2.0e0)) AS BIGINT) AS h_mbit
+FROM agg
+"""
+
+
+@_register("t41_char_entropy", _T41_ORACLE)
+def t41_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (millibits/char) — the
+    randomness quality signal that separates natural text from key mash,
+    base64 blobs, and repeated-character padding, used as a pretraining
+    filter alongside t3's ratio features.  H = ln L − (Σ n_c·ln n_c)/L,
+    computed ORDER-INDEPENDENTLY: each per-character term rounds to an
+    e6-scaled BIGINT before summation, so the aggregate is exact under
+    any partitioning (a double Σ would drift with Spark's nondeterministic
+    combine order and could never hash-match the oracle).  Scale shape:
+    the char explode shrinks in the map-side combine to one row per
+    (doc, distinct char) — alphabet-bounded, ~100 rows/doc — so the
+    shuffle carries O(docs·alphabet), never O(characters)."""
+    ch = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("len_chars"),
+        F.sum(
+            F.expr(
+                "CAST(round(1000000.0e0 * n * ln(CAST(n AS DOUBLE)))"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("s_nlogn_e6"),
+    )
+    return agg.select(
+        "doc_id",
+        "len_chars",
+        "s_nlogn_e6",
+        F.expr(
+            "CAST(round(1000.0e0 * (ln(CAST(len_chars AS DOUBLE))"
+            " - (CAST(s_nlogn_e6 AS DOUBLE) / 1000000.0e0)"
+            " / CAST(len_chars AS DOUBLE)) / ln(2.0e0)) AS BIGINT)"
+        ).alias("h_mbit"),
+    )
+
+
+#: event-point synthesis for the trace query — multipliers distinct from
+#: the customer/supplier grids so traces are not colocated with either
+_EVT_LON_SQL = "(event_id * 6007 % 3600) / 10.0 - 180.0"
+_EVT_LAT_SQL = "(event_id * 4241 % 1200) / 10.0 - 60.0"
+
+_J28_ORACLE = f"""
+WITH pts AS (SELECT user_id, event_id,
+                    {_EVT_LON_SQL} AS lon, {_EVT_LAT_SQL} AS lat
+             FROM events),
+seg AS (SELECT user_id,
+               lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+               lon, lat
+        FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+SELECT user_id,
+       CAST(count(plon) AS BIGINT) AS n_seg,
+       CAST(coalesce(sum(CAST(round({{hav}}) AS BIGINT)), 0) AS BIGINT)
+         AS trace_m
+FROM seg GROUP BY user_id
+""".format(hav=haversine_sql("plon", "plat", "lon", "lat"))
+
+
+@_register("j28_trace_length", _J28_ORACLE)
+def j28_trace_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user GPS trace length: order each user's event points by
+    sequence id, haversine each consecutive segment, round to integer
+    meters PER SEGMENT (so the sum is integer-exact in both engines),
+    and total per user — the trajectory-mileage query every telemetry
+    pipeline runs.  The lag window and the per-user rollup share ONE
+    user_id exchange (Catalyst reuses the window's partitioning for the
+    groupBy); trig stays in whole-stage codegen via
+    :func:`haversine_expr`.  At 100 TB traces shard by user — no
+    cross-user data motion exists in the plan.  Ordering is by the
+    integer sequence id, not the timestamp: the driver's parquet carries
+    nano timestamps that Spark truncates to micros (tables.py:25-38), so
+    a ts order could tie-break differently across engines."""
+    from pyspark.sql.window import Window
+
+    from spark_ml_spatialjointransformer_spark.functions.geodesic import (
+        haversine_expr,
+    )
+
+    pts = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr(_EVT_LON_SQL).alias("lon"),
+        F.expr(_EVT_LAT_SQL).alias("lat"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seg = pts.select(
+        "user_id",
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+        "lon",
+        "lat",
+    )
+    hav = haversine_expr(
+        F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat")
+    )
+    return seg.groupBy("user_id").agg(
+        F.count("plon").alias("n_seg"),
+        F.coalesce(F.sum(F.round(hav).cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("trace_m"),
+    )
+
+
+_A17_ORACLE = """
+WITH pf AS (SELECT p_partkey FROM part
+            WHERE p_brand = 'Brand#13' AND p_size <= 10),
+li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+              CAST(floor(l_extendedprice * 100e0 + 0.5e0) AS BIGINT) AS cents
+       FROM lineitem JOIN pf ON l_partkey = p_partkey),
+st AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sumq,
+              count(*) AS cnt
+       FROM li GROUP BY l_partkey)
+SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS rev_e2,
+       count(*) AS n_small
+FROM li JOIN st USING (l_partkey)
+WHERE 5 * qty * cnt < sumq
+"""
+
+
+@_register("a17_small_qty_revenue", _A17_ORACLE)
+def a17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-average filter: revenue from lineitems
+    whose quantity sits below 20% of the PART's own average quantity —
+    the decorrelation pattern where the scalar subquery becomes a
+    per-key aggregate joined back to the fact.  The tiny filtered part
+    list broadcasts into the lineitem scan FIRST, so the per-part
+    average is computed over the ~1/25th of lineitem that survives, not
+    the whole fact; the avg comparison is integer-exact
+    (``5·qty·cnt < sum(qty)`` ⟺ ``qty < 0.2·avg``, quantities are
+    integral) so the oracle replays bit-for-bit.  At 100 TB the shape
+    holds: one broadcast prune, one partial-agg shuffle on the pruned
+    partkeys, one AQE-broadcast stats join back.  Reference surface:
+    theta conditions (SpatialJoinTransformer's `condition` param) never
+    reach correlated subqueries — this is the beyond-reference
+    relational tier."""
+    pf = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.expr(
+                "CAST(floor(l_extendedprice * 100e0 + 0.5e0) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    st = li.groupBy("l_partkey").agg(
+        F.sum("qty").cast("bigint").alias("sumq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = li.join(st, "l_partkey").where(
+        F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sumq")
+    )
+    return small.agg(
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("rev_e2"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+_A18_ORACLE = """
+WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(l_quantity) > 250)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS oday,
+       CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT) AS total_e2,
+       total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+@_register("a18_large_volume_customers", _A18_ORACLE)
+def a18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped HAVING-driven semi-enrichment: orders whose total
+    lineitem quantity exceeds 250, decorated with the customer.  The
+    selective HAVING runs FIRST (one partial-agg shuffle on l_orderkey,
+    map-side combine does most of the work), and the survivor set —
+    a fraction of a percent of orders — then drives both joins, which
+    AQE turns into broadcasts of the TINY aggregated side against the
+    big dims, never the reverse.  That inversion (aggregate-then-join,
+    small side broadcast) is exactly what makes Q18 scale: the orders
+    and customer facts are probed once each and never shuffled."""
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        ).alias("oday"),
+        F.expr("CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)").alias(
+            "total_e2"
+        ),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "oday", "total_e2",
+            "total_qty",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -7195,7 +7847,10 @@ _DRIVER_UNCHECKED_FIRST = [
     "j26_polygon_area", "m7_scene_change", "p6_partitioned_export",
     "a15_volume_shipping", "v10_sq8_rerank", "g4_kcore", "t39_sliding_chunks",
     "e16_sliding_stream", "p7_split_leakage", "a16_balance_deciles",
-    "m8_crossformat_dedup", "v11_lsh_recall",
+    "m8_crossformat_dedup", "v11_lsh_recall", "j27_spatial_antijoin",
+    "t40_hll_merge", "a17_small_qty_revenue", "a18_large_volume_customers",
+    "j28_trace_length", "e17_chained_windows_stream", "d16_ewma",
+    "t41_char_entropy", "a19_blocking_supplier", "v12_ivfpq_topk",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",

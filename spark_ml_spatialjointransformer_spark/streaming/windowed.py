@@ -124,6 +124,54 @@ def sliding_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chained_window_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED time-window aggregations (two stateful operators in one
+    streaming query): tumbling 1-hour counts per event_type, then a
+    second windowed aggregation that rolls the CLOSED hourly windows up
+    into 6-hour buckets via ``window_time`` — the hierarchical-rollup
+    shape (minute→hour→day dashboards) that pre-Spark-3.4 engines had to
+    split across two queries with an intermediate sink.
+
+    Multiple stateful operators require APPEND mode, and append only
+    emits windows the watermark has closed — so the source directory
+    carries `_flushed_events_dir`'s far-future sentinel files, whose
+    rows land in windows of their own (callers drop every bucket that
+    starts after the real data's max timestamp, AFTER materialization).
+    Scale shape: the hourly stage's state is 1 live window per (hour,
+    type); the rollup stage consumes ~type-cardinality rows per closed
+    hour — its input is the first stage's OUTPUT volume, orders of
+    magnitude below event volume, which is exactly why chaining beats
+    re-aggregating raw events at a coarser grain."""
+    d, n_data = _flushed_events_dir(spark, sf_dir)
+    hourly = (
+        events_stream(spark, d, max_files_per_trigger=n_data)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("s"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "6 hours").alias("w6"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("s").cast("long").alias("sum_value_e4"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w6.start")).alias("w6_start_ts"),
+            "event_type",
+            "n_events",
+            "sum_value_e4",
+        )
+    )
+
+
 _SESSION_STATE_SCHEMA = "n LONG, total_e4 LONG"
 _SESSION_OUT_SCHEMA = "user_id LONG, n_events LONG, total_value_e4 LONG"
 
