@@ -389,6 +389,56 @@ def image_ahash(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def tile_images(
+    df: DataFrame,
+    binary_col: str,
+    nx: int,
+    ny: int,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Split each decoded image into an ``nx × ny`` grid of equal tiles and
+    emit one ROW PER TILE (original columns + ``tx``/``ty`` grid position +
+    the tile re-encoded as PPM) — the patch extraction step behind
+    region-level dedup, boilerplate/watermark detection, and ViT-style
+    patch pipelines.  Images whose dimensions don't divide evenly (or that
+    fail to decode) are dropped, like every undecodable row in this module.
+    Scale shape: one Arrow pass, partition-preserving (a row fans out to
+    nx·ny rows in place, no shuffle); downstream ops hash tiles to small
+    ints before anything moves."""
+    ensure_udf_portability()
+    fields = [f for f in df.schema.fields] + [
+        T.StructField("tx", T.IntegerType()),
+        T.StructField("ty", T.IntegerType()),
+        T.StructField(out_col, T.BinaryType()),
+    ]
+    out_schema = T.StructType(fields)
+    base_cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = decode_image(r[binary_col])
+                if img is None:
+                    continue
+                h, w = img.shape[:2]
+                if w % nx or h % ny:
+                    continue
+                tw, th = w // nx, h // ny
+                for ty in range(ny):
+                    for tx in range(nx):
+                        tile = img[
+                            ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw
+                        ]
+                        rows.append(
+                            tuple(r[c] for c in base_cols)
+                            + (tx, ty, encode_ppm(tile))
+                        )
+            yield pd.DataFrame(rows, columns=base_cols + ["tx", "ty", out_col])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def synth_ppm_images(
     df: DataFrame, id_col: str, width: int, height: int, out_col: str = "img"
 ) -> DataFrame:

@@ -7431,6 +7431,449 @@ def t40_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V13_CAND = 40
+_V13_K = 10
+_V13_PREFIX = 16
+
+_V13_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS i,
+             CAST(floor(unnest(emb) * 100000e0 + 0.5e0) AS BIGINT) AS qv
+      FROM e),
+q AS (SELECT vec_id AS qid, i, qv FROM u WHERE vec_id % 100 = 0),
+approx AS (SELECT q.qid, u.vec_id, sum(q.qv * u.qv) AS a_score
+           FROM q JOIN u ON u.i = q.i AND u.vec_id <> q.qid
+           WHERE q.i < {_V13_PREFIX}
+           GROUP BY 1, 2),
+cand AS (SELECT qid, vec_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+                     ORDER BY a_score DESC, vec_id) AS rn
+           FROM approx) x
+         WHERE rn <= {_V13_CAND}),
+exact AS (SELECT cand.qid, cand.vec_id, sum(q.qv * u.qv) AS score
+          FROM cand JOIN u ON u.vec_id = cand.vec_id
+                    JOIN q ON q.qid = cand.qid AND q.i = u.i
+          GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, vec_id) AS rn
+      FROM exact)
+SELECT qid AS q_vec_id, vec_id AS neighbor_id, CAST(score AS BIGINT) AS dot_e10
+FROM r WHERE rn <= {_V13_K}
+"""
+
+
+@_register("v13_matryoshka_rerank", _V13_ORACLE)
+def v13_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) prefix retrieval: the candidate tier scores only
+    the FIRST 16 of 64 dimensions — the nested-representation trick
+    where a prefix of the embedding is itself a usable embedding — then
+    the 40 survivors re-rank against full vectors for the exact top-10.
+    Beside v10 (int8 rows) and v8/v12 (codebooks), this is the third
+    compression axis: truncate DIMENSIONS, keep precision.  All tiers
+    are JVM ``slice``/``zip_with``/``aggregate`` folds over quantized
+    int64 components (engine-exact), queries broadcast, and the re-rank
+    joins only the queries×40 candidate pairs back to full vectors.  At
+    100 TB the prefix tier reads a quarter of the vector bytes — with a
+    columnar prefix layout, a quarter of the I/O — and the full-width
+    scan happens for candidate rows only."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(floor(v * 100000e0 + 0.5e0) AS BIGINT))"
+        ).alias("qv"),
+    )
+    pre = emb.select(
+        "vec_id", F.expr(f"slice(qv, 1, {_V13_PREFIX})").alias("pv")
+    )
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("q_qv"),
+        F.expr(f"slice(qv, 1, {_V13_PREFIX})").alias("q_pv"),
+    )
+    from pyspark.sql import Window
+
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (s, t) -> s + t)"
+    )
+    approx = (
+        pre.crossJoin(F.broadcast(q.select("qid", "q_pv")))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(dot.format(a="q_pv", b="pv")).alias("a_score"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("a_score").desc(), F.col("vec_id")
+    )
+    cand = (
+        approx.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _V13_CAND)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q.select("qid", "q_qv")), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(dot.format(a="q_qv", b="qv")).alias("score"),
+        )
+    )
+    we = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= _V13_K)
+        .select(
+            F.col("qid").alias("q_vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("score").cast("bigint").alias("dot_e10"),
+        )
+    )
+
+
+#: m9 replays synth pixels (m5's formulas), quadrant split (qx = x//8,
+#: qy = y//6, local bit k = (y%6)·8 + (x%8)), the per-quadrant 48-pixel
+#: ahash via exact cross-multiplication, bucket sizes per (pos, hash),
+#: and the per-doc dup-quadrant profile.
+_M9_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+xo AS (SELECT unnest(range(16)) AS x), yo AS (SELECT unnest(range(12)) AS y),
+p AS (SELECT doc_id, x // 8 AS qx, y // 6 AS qy,
+             (y % 6) * 8 + (x % 8) AS k,
+             (3 * x + 5 * y + doc_id) % 256
+             + (x + 2 * y) % 256
+             + (doc_id + x * y) % 256 AS v
+      FROM d CROSS JOIN xo CROSS JOIN yo),
+t AS (SELECT doc_id, qx, qy, CAST(sum(v) AS BIGINT) AS tot
+      FROM p GROUP BY 1, 2, 3),
+h AS (SELECT p.doc_id, p.qx, p.qy,
+             CAST(sum(CASE WHEN p.v * 48 >= t.tot
+                           THEN CAST(1 AS BIGINT) << p.k ELSE 0 END)
+               AS BIGINT) AS qh
+      FROM p JOIN t USING (doc_id, qx, qy) GROUP BY 1, 2, 3),
+b AS (SELECT qx, qy, qh, count(*) AS n_share FROM h GROUP BY 1, 2, 3)
+SELECT h.doc_id,
+       CAST(count(CASE WHEN b.n_share >= 2 THEN 1 END) AS INTEGER)
+         AS n_dup_q,
+       CAST(max(b.n_share) AS BIGINT) AS max_share
+FROM h JOIN b USING (qx, qy, qh)
+GROUP BY h.doc_id
+"""
+
+
+@_register("m9_region_dedup", _M9_ORACLE)
+def m9_region_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-region (boilerplate) detection: tile every image into 2×2
+    quadrants, ahash each quadrant, and profile per document how many of
+    its regions also appear in OTHER images — the watermark / template /
+    header-strip signal that whole-image hashing (m5) washes out, since
+    a shared corner changes the global hash.  Deliberately emits per-DOC
+    profiles, not pairs: region buckets in a deduped corpus can hold
+    hundreds of members, and pair enumeration inside them is quadratic —
+    bucket sizes join back linearly instead (the same groups-not-pairs
+    rule as t2's exact dedup).  Scale shape: synth → tile → hash are
+    three partition-preserving Arrow passes (tiles fan out in place,
+    pixels never shuffle); only (doc, pos, 8-byte hash) rows reach the
+    bucket exchange."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        image_ahash,
+        synth_ppm_images,
+        tile_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = synth_ppm_images(docs, "doc_id", width=16, height=12, out_col="img")
+    tiles = tile_images(imgs, "img", nx=2, ny=2, out_col="tile").select(
+        "doc_id", "tx", "ty", "tile"
+    )
+    hashed = image_ahash(tiles, "tile", out_col="qh").select(
+        "doc_id",
+        F.col("tx").alias("qx"),
+        F.col("ty").alias("qy"),
+        "qh",
+    )
+    from pyspark.sql import Window
+
+    # bucket sizes as a count-over-window, NOT groupBy + join-back: the
+    # join form re-executes the synth→tile→hash Arrow chain for the
+    # second branch (6 Python nodes); the window reads it once
+    wb = Window.partitionBy("qx", "qy", "qh")
+    prof = hashed.withColumn("n_share", F.count(F.lit(1)).over(wb))
+    return prof.groupBy("doc_id").agg(
+        F.count(F.when(F.col("n_share") >= 2, 1)).cast("int").alias("n_dup_q"),
+        F.max("n_share").cast("bigint").alias("max_share"),
+    )
+
+
+_T42_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+             FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (SELECT tf.doc_id, tf.w,
+              CAST(round(tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                    / CAST(df.df AS DOUBLE)) * 1000000e0)
+                AS BIGINT) AS score_e6
+       FROM tf JOIN df USING (w) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_e6 DESC, w) AS rn
+      FROM sc)
+SELECT doc_id, CAST(rn AS INTEGER) AS rank, w AS term, score_e6
+FROM r WHERE rn <= 3
+"""
+
+
+@_register("t42_tfidf_topterms", _T42_ORACLE)
+def t42_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 TF-IDF terms — the
+    metadata-enrichment step (search keys, topic tags, routing hints)
+    training-data catalogs attach to every document.  TF and DF are the
+    engine's t14 vocabulary machinery; the score rounds
+    ``tf · ln(N/df)`` to an e6 BIGINT per term (deterministic double
+    tree from two integers, same cross-engine contract as t41), and the
+    per-doc top-3 is a rank window with the (score desc, term) tie
+    rule.  Scale shape: the token explode combines map-side into
+    (doc, term, tf); DF is term-keyed with combine; the DF join carries
+    8-byte term stats, not text; the final window partitions by doc —
+    nothing global except the one-row corpus count, which broadcasts."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"),
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    sc = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            F.expr(
+                "CAST(round(tf * ln(CAST(n_docs AS DOUBLE)"
+                " / CAST(df AS DOUBLE)) * 1000000e0) AS BIGINT)"
+            ).alias("score_e6"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("w")
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("w").alias("term"),
+            "score_e6",
+        )
+    )
+
+
+_J29_ORACLE = f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d FROM c CROSS JOIN s),
+f AS (SELECT c_custkey, s_suppkey, CAST(round(d) AS INTEGER) AS dist_m
+      FROM p WHERE CAST(round(d) AS INTEGER) <= 300000),
+m AS (SELECT c_custkey, s_suppkey AS supp_key, dist_m FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY dist_m, s_suppkey) AS rn
+        FROM f) x WHERE rn = 1)
+SELECT c.c_custkey, m.supp_key, m.dist_m
+FROM c LEFT JOIN m USING (c_custkey)
+"""
+
+
+@_register("j29_bounded_nearest", _J29_ORACLE)
+def j29_bounded_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded nearest with outer semantics: each customer's closest
+    supplier WITHIN 300 km, or NULLs if none is in range — the
+    'nearest, but only if it's actually nearby' variant that pure
+    `nearest` (always matches, j7) and pure `withindist` (all pairs,
+    j6) each miss half of.  Composition: the j6 two-phase radius join
+    (grid prefilter + exact Int-meter refine, so the candidate set is
+    radius-bounded BEFORE any per-customer work), a (dist, key)
+    min-struct partial aggregation — never a window over all in-range
+    pairs — and one LEFT OUTER attach that preserves matchless
+    customers.  At scale the expensive stage inherits j6's shape
+    (shuffle on grid keys only); the outer join keys on c_custkey.
+    Reference: SpatialJoinTransformer's nearest is unbounded inner
+    (SpatialJoin.scala:100-118); the bounded-outer form is the
+    beyond-reference variant real geofencing asks for."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="withindist 300000",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+    )
+    pairs = spatial_join(cust, supp, plan).select(
+        "c_custkey", "supp_key", "dist_m"
+    )
+    best = pairs.groupBy("c_custkey").agg(
+        F.min(F.struct(F.col("dist_m"), F.col("supp_key"))).alias("b")
+    )
+    best = best.select(
+        "c_custkey",
+        F.col("b.supp_key").alias("supp_key"),
+        F.col("b.dist_m").alias("dist_m"),
+    )
+    return cust.select("c_custkey").join(best, "c_custkey", "left_outer")
+
+
+_P8_ORACLE = """
+SELECT CAST(grouping(source) AS INTEGER) AS g_src,
+       CAST(grouping(lang) AS INTEGER) AS g_lang,
+       coalesce(source, '') AS source,
+       coalesce(lang, '') AS lang,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_uniq,
+       CAST((count(*) - count(DISTINCT text)) * 1000000 // count(*)
+         AS BIGINT) AS dup_ppm,
+       CAST(sum(length(trim(text)) - length(replace(trim(text), ' ', ''))
+                + 1) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY ROLLUP(source, lang)
+"""
+
+
+@_register("p8_dataset_card", _P8_ORACLE)
+def p8_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card report a training run is documented with: per
+    (source, lang) ROLLUP — cell, per-source, and corpus-total rows —
+    doc counts, DISTINCT-text counts (the exact-dup rate as ppm), and
+    token totals (t1's whitespace definition).  The plan shape worth
+    pinning is DISTINCT-under-ROLLUP: Spark expands grouping sets and
+    two-phase-aggregates the distinct on (grouping-set, text) partials,
+    so the report still costs one exchange of partially-deduped rows —
+    not one scan per granularity, and never a text shuffle per row
+    beyond the distinct's combine."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = F.expr(
+        "length(trim(text)) - length(replace(trim(text), ' ', '')) + 1"
+    )
+    agg = (
+        doc.rollup("source", "lang")
+        .agg(
+            F.grouping("source").cast("int").alias("g_src"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").cast("bigint").alias("n_uniq"),
+            F.sum(toks).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        "g_src",
+        "g_lang",
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        "n_docs",
+        "n_uniq",
+        F.expr(
+            "CAST((n_docs - n_uniq) * 1000000 div n_docs AS BIGINT)"
+        ).alias("dup_ppm"),
+        "n_tokens",
+    )
+
+
+def _g5_oracle() -> str:
+    return f"""
+WITH pairs AS ({_v2_oracle()}),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+cn AS (SELECT e1.src AS x, e2.src AS y, count(*) AS n_common
+       FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+       GROUP BY 1, 2),
+nl AS (SELECT cn.x, cn.y, cn.n_common FROM cn
+       WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                         WHERE p.id_a = cn.x AND p.id_b = cn.y))
+SELECT nl.x AS vec_a, nl.y AS vec_b,
+       CAST(nl.n_common AS BIGINT) AS n_common,
+       CAST(nl.n_common * 1000000 // (dx.d + dy.d - nl.n_common) AS BIGINT)
+         AS jac_ppm
+FROM nl
+JOIN deg dx ON dx.src = nl.x
+JOIN deg dy ON dy.src = nl.y
+"""
+
+
+@_register("g5_link_prediction", _g5_oracle())
+def g5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the v2 near-duplicate graph:
+    node pairs NOT currently connected, scored by neighborhood-Jaccard
+    (|N(x)∩N(y)| / |N(x)∪N(y)| as ppm) — the 'these two clusters are
+    probably the same near-dup family' signal that LSH band collisions
+    miss (two docs can share many neighbors yet never share a band).
+    The wedge self-join is the same degree-bounded expansion g2's
+    triangle count uses; everything downstream is node-id-keyed
+    join-aggregate with integer-exact scoring (non-negative ``div`` ==
+    floor).  Scale shape: shuffles carry (node, node) int pairs only —
+    the text/embedding payloads never enter the graph stage."""
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    ).select("id_a", "id_b")
+    e = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    cn = (
+        e1.join(
+            e2,
+            (F.col("e1.dst") == F.col("e2.dst"))
+            & (F.col("e1.src") < F.col("e2.src")),
+        )
+        .groupBy(
+            F.col("e1.src").alias("x"), F.col("e2.src").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nl = cn.join(
+        pairs,
+        (F.col("x") == F.col("id_a")) & (F.col("y") == F.col("id_b")),
+        "left_anti",
+    )
+    dx = deg.select(F.col("src").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("src").alias("y"), F.col("d").alias("dy"))
+    return (
+        nl.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("x").alias("vec_a"),
+            F.col("y").alias("vec_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.expr(
+                "CAST(n_common * 1000000 div (dx + dy - n_common) AS BIGINT)"
+            ).alias("jac_ppm"),
+        )
+    )
+
+
 #: v12's oracle replays the WHOLE IVF-PQ pipeline: the v8 closed-form PQ
 #: codebook/codes/LUT plus the closed-form coarse centroids, corpus cell
 #: assignment, query nprobe-cell selection, and the candidate mask.
@@ -7851,6 +8294,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "t40_hll_merge", "a17_small_qty_revenue", "a18_large_volume_customers",
     "j28_trace_length", "e17_chained_windows_stream", "d16_ewma",
     "t41_char_entropy", "a19_blocking_supplier", "v12_ivfpq_topk",
+    "p8_dataset_card", "g5_link_prediction", "j29_bounded_nearest",
+    "t42_tfidf_topterms", "m9_region_dedup", "v13_matryoshka_rerank",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
