@@ -8270,6 +8270,358 @@ def a18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A20_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0e0 - l_discount) * 100e0
+                           + 0.5e0) AS BIGINT)) AS BIGINT) AS rev_e2,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY rev_e2 DESC, c_custkey
+LIMIT 20
+"""
+
+
+@_register("a20_returned_items", _A20_ORACLE)
+def a20_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: the top-20 customers by
+    revenue lost to returns in one quarter, decorated with their nation.
+    Scale shape: the quarter filter prunes orders FIRST (at 100 TB with
+    date-partitioned orders this is partition pruning, not a scan), the
+    pruned orders then key one shuffle join against the returned slice
+    of lineitem, the customer/nation dims attach by broadcast, and the
+    top-20 is TakeOrderedAndProject — per-partition heaps, only 20 rows
+    per partition travel to the driver, never a global sort.  Ties break
+    on c_custkey so the cut is engine-independent."""
+    cents = F.expr(
+        "CAST(floor(l_extendedprice * (1.0e0 - l_discount) * 100e0"
+        " + 0.5e0) AS BIGINT)"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", cents.alias("cents"))
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum("cents").cast("bigint").alias("rev_e2"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("rev_e2").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_A21_ORACLE = """
+WITH oc AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus <> 'F'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM oc GROUP BY c_count
+"""
+
+
+@_register("a21_customer_distribution", _A21_ORACLE)
+def a21_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer distribution: a histogram of customers
+    by how many (non-finished) orders they placed, INCLUDING the
+    zero-order bucket — the left-outer-join-then-double-aggregate
+    pattern where the filter must live in the JOIN CONDITION, not a
+    WHERE, or the empty-side customers vanish.  Scale shape: one
+    custkey-keyed outer-join shuffle where map-side partial counts on
+    the orders side collapse the fact before it moves, then the
+    second aggregate runs on ≤|distinct counts| rows — essentially
+    free.  The orderstatus filter prunes the orders scan."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") != "F")
+        .select("o_custkey", "o_orderkey")
+    )
+    oc = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return oc.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_A22_ORACLE = """
+WITH sel AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT) AS bal_e2
+  FROM customer WHERE c_nationkey % 2 = 1
+),
+pos AS (
+  SELECT CAST(sum(bal_e2) AS BIGINT) AS tot, count(*) AS n
+  FROM sel WHERE bal_e2 > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(bal_e2) AS BIGINT) AS totbal_e2
+FROM sel, pos
+WHERE bal_e2 * n > tot
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+@_register("a22_sales_opportunity", _A22_ORACLE)
+def a22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped global sales opportunity: customers in a target
+    nation set with above-average positive balances and NO RECENT
+    orders (none since 2000 — "lapsed but liquid"; in this synthetic
+    corpus every customer has SOME order, so recency is what the
+    original's no-orders-at-all filter becomes), counted per nation.
+    Two classic decorrelations in one query: the
+    scalar AVG subquery becomes a 1-row aggregate broadcast into a
+    cross join, and NOT EXISTS becomes a left-anti join on custkey.
+    The average compare is integer-exact (``bal·n > tot`` ⟺
+    ``bal > avg``), so no double summation order can split the
+    engines.  Scale shape: the nation filter prunes the customer scan,
+    the 1-row stats frame broadcasts, and the anti-join shuffles only
+    the filtered candidates against order custkeys (at 100 TB the
+    orders side would pre-aggregate to distinct o_custkey — AQE sees
+    the semi-join structure; candidates are a sliver of customers)."""
+    sel = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") % 2 == 1)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.expr(
+                "CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT)"
+            ).alias("bal_e2"),
+        )
+    )
+    pos = sel.where(F.col("bal_e2") > 0).agg(
+        F.sum("bal_e2").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    cand = (
+        sel.crossJoin(F.broadcast(pos))
+        .where(F.col("bal_e2") * F.col("n") > F.col("tot"))
+        .join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+    )
+    return cand.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_e2").cast("bigint").alias("totbal_e2"),
+    )
+
+
+_A23_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@_register("a23_late_ship_priority", _A23_ORACLE)
+def a23_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped priority check: orders in one quarter that had at
+    least one lineitem shipped more than 90 days after the order date,
+    counted per priority class.  The EXISTS decorrelates to a LEFT SEMI
+    join whose condition mixes the equi key with a theta predicate
+    (``l_shipdate > o_orderdate + 90 days``) — Spark keeps the equi
+    part as the shuffle key and evaluates the theta residual post-match,
+    so each order is emitted at most once no matter how many late
+    lineitems it has (the semantics count DISTINCT orders, which a plain
+    inner join would get wrong).  Scale shape: quarter filter prunes
+    orders first, one custkey-free orderkey shuffle, five-row result."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_D17_ORACLE = """
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 3600 + 60) * 1000000 AS e
+  FROM events
+),
+b AS (
+  SELECT event_type, s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS delta FROM iv
+),
+r AS (
+  SELECT event_type, delta,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM b
+)
+SELECT event_type, CAST(max(conc) AS BIGINT) AS max_conc,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_iv
+FROM r GROUP BY event_type
+"""
+
+
+@_register("d17_concurrent_intervals", _D17_ORACLE)
+def d17_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: the peak number of simultaneously
+    open intervals per event type — the classic ±1 boundary trick
+    (session-overlap / resource-contention analysis) where each interval
+    emits a +1 at its start and a −1 at its end and a running sum over
+    the time-ordered boundary stream reads off the concurrency.
+    Interval length derives deterministically from event_id; half-open
+    ``[s, e)`` semantics come from ordering −1 before +1 at equal
+    timestamps.  The peak is tie-robust: within a same-timestamp run the
+    sum moves monotonically, so every intermediate value is dominated by
+    the run's endpoints in both engines.  Scale shape: the union fans
+    each row to two 16-byte boundary rows in place (no shuffle), then
+    ONE exchange on event_type feeds both the running-sum window and —
+    via ReuseExchange — the final aggregate; at 100 TB the partition key
+    would widen to (event_type, day) with per-day carry-in, the standard
+    sweep-line sharding."""
+    from pyspark.sql.window import Window
+
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        us.alias("s"),
+        (us + (F.col("event_id") % 3600 + 60) * F.lit(1000000)).alias("e"),
+    )
+    b = ev.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type", F.col("e").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = b.select(
+        "event_type", "delta", F.sum("delta").over(w).alias("conc")
+    )
+    return r.groupBy("event_type").agg(
+        F.max("conc").cast("bigint").alias("max_conc"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_iv"),
+    )
+
+
+_T43_ORACLE = f"""
+WITH tok AS (SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM tok),
+ng AS (SELECT doc_id, array_to_string(w[i : i + 7], ' ') AS g FROM pos),
+h AS (SELECT DISTINCT doc_id, {h60_sql('g')} AS gh FROM ng),
+c AS (SELECT doc_id, gh,
+             count(*) OVER (PARTITION BY gh) AS nd
+      FROM h)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000.0
+                  / count(*)) AS BIGINT) AS dup_ratio_e6
+FROM c GROUP BY doc_id
+"""
+
+
+@_register("t43_dup_ngram_spans", _T43_ORACLE)
+def t43_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring coverage at word-8-gram
+    granularity: for each document, the fraction of its distinct
+    8-grams that also appear in at least one OTHER document (or twice
+    in itself) — the per-doc signal behind substring-level corpus
+    dedup (Lee et al.-style "dedup at the span level", scored here
+    rather than cut).  Docs shorter than 8 words have no 8-grams and
+    drop out in both engines.  Scale shape: 8-grams hash to 60-bit
+    ints IN the scan pass (the text never survives the projection),
+    the distinct and the gh-window each shuffle only (doc_id, gh)
+    int pairs, and the per-doc rollup reuses nothing heavier; at
+    100 TB the gh space is uniform md5, so no salting needed."""
+    from pyspark.sql.window import Window
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .where(F.size("w") >= 8)
+    )
+    ng = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 7),"
+                " i -> array_join(slice(w, i, 8), ' '))"
+            )
+        ).alias("g"),
+    )
+    h = ng.select("doc_id", h60_col(F.col("g")).alias("gh")).distinct()
+    c = h.select(
+        "doc_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("gh"))
+        .alias("nd"),
+    )
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return c.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        dup.cast("bigint").alias("n_dup"),
+        F.round(dup * 1000000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("dup_ratio_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -8296,6 +8648,9 @@ _DRIVER_UNCHECKED_FIRST = [
     "t41_char_entropy", "a19_blocking_supplier", "v12_ivfpq_topk",
     "p8_dataset_card", "g5_link_prediction", "j29_bounded_nearest",
     "t42_tfidf_topterms", "m9_region_dedup", "v13_matryoshka_rerank",
+    "a20_returned_items", "a21_customer_distribution",
+    "a22_sales_opportunity", "a23_late_ship_priority",
+    "d17_concurrent_intervals", "t43_dup_ngram_spans",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
