@@ -253,3 +253,63 @@ def kcore(
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("src").alias("id"), "deg"
     )
+
+
+def sssp_int(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    weight_col: str,
+    seeds: DataFrame,
+    id_col: str,
+    iters: int = 4,
+) -> DataFrame:
+    """Bounded multi-source WEIGHTED shortest paths (Bellman-Ford rounds)
+    over the undirected pair graph: minimum path cost from every node to
+    its cheapest SEED using at most ``iters`` edges — the weighted
+    generalization of ``bfs_hops`` (hop counts are the ``weight = 1``
+    special case), and the fourth iterative graph pattern in this module
+    (fixed-point recurrence / frontier relaxation / peeling / now
+    distance relaxation).
+
+    ``weight_col`` must be a non-negative int64 on the CANONICAL pair
+    (attached before the direction flip, so both directions of an edge
+    share it) — integer path costs make every round's min engine-exact.
+
+    Round ``i``: dist_i(v) = min(dist_{i-1}(v), min over edges u→v of
+    dist_{i-1}(u) + w(u,v)) — one src-keyed hash join + one min
+    aggregation per round, int64 node-id/cost shuffles only.  Like
+    ``bfs_hops`` the oracle replays as an unrolled CTE chain, unreached
+    nodes never appear, and each round's table is lazily checkpointed
+    because the union + join arms both read it (lineage would double
+    per round otherwise).
+
+    Output: (id, cost) for every node within ``iters`` edges of a seed;
+    seeds at 0, even when isolated.
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    e = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "__w"
+        )
+    ).localCheckpoint(eager=False)
+    d = seeds.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.lit(0).cast("long").alias("cost"),
+    )
+    for _ in range(iters):
+        nxt = e.join(d, F.col("src") == F.col("id")).select(
+            F.col("dst").alias("id"),
+            (F.col("cost") + F.col("__w")).alias("cost"),
+        )
+        d = (
+            d.unionByName(nxt)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=False)
+        )
+    return d

@@ -782,3 +782,51 @@ def transcode_images(
             yield pdf.assign(**{out_col: out})
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def image_channel_stats(
+    df: DataFrame, binary_col: str, prefix: str = "ch_"
+) -> DataFrame:
+    """Per-image per-channel moment accumulators — the map side of the
+    dataset normalization-constant computation every vision training
+    pipeline runs (channel means/stds for the input-normalization
+    transform).  Each decoded image emits ONE ROW PER CHANNEL carrying
+    exact integer Σv and Σv² plus the pixel count; the caller reduces
+    them to global means/variances with a plain aggregate (sums of
+    int64s — associative, engine-exact), so the float division happens
+    exactly once at the very end.  Undecodable rows are dropped.
+    Scale shape: one Arrow pass, partition-preserving; what shuffles is
+    3 rows of 3 int64s per image, never pixels."""
+    ensure_udf_portability()
+    fields = [f for f in df.schema.fields] + [
+        T.StructField(f"{prefix}channel", T.IntegerType()),
+        T.StructField(f"{prefix}n", T.LongType()),
+        T.StructField(f"{prefix}sum", T.LongType()),
+        T.StructField(f"{prefix}sumsq", T.LongType()),
+    ]
+    out_schema = T.StructType(fields)
+    base_cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = decode_image(r[binary_col])
+                if img is None:
+                    continue
+                v = img.astype(np.int64)
+                for c in range(v.shape[-1]):
+                    ch = v[..., c]
+                    rows.append(
+                        tuple(r[b] for b in base_cols)
+                        + (c, int(ch.size), int(ch.sum()),
+                           int((ch * ch).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=base_cols
+                + [f"{prefix}channel", f"{prefix}n", f"{prefix}sum",
+                   f"{prefix}sumsq"],
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

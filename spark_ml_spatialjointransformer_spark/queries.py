@@ -8622,6 +8622,387 @@ def t43_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g6_oracle() -> str:
+    """Unrolled 4-round weighted SSSP over the v2 pair graph: each round
+    relaxes dist through one more edge; the per-canonical-pair integer
+    weight (id_a·31 + id_b·17) mod 99 + 1 rides both directions."""
+    ctes, prev = [], "d0"
+    for i in range(1, 5):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT id, CAST(min(cost) AS BIGINT) AS cost FROM (
+    SELECT id, cost FROM {prev}
+    UNION ALL
+    SELECT e.dst AS id, {prev}.cost + e.w AS cost
+    FROM e JOIN {prev} ON {prev}.id = e.src
+  ) GROUP BY id)"""
+        )
+        prev = f"d{i}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH pairs AS ({_v2_oracle()}),
+wp AS (SELECT id_a, id_b, (id_a * 31 + id_b * 17) % 99 + 1 AS w FROM pairs),
+e AS (SELECT id_a AS src, id_b AS dst, w FROM wp
+      UNION ALL SELECT id_b, id_a, w FROM wp),
+d0 AS (SELECT vec_id AS id, CAST(0 AS BIGINT) AS cost FROM embeddings
+       WHERE vec_id % 500 = 0),
+{chain}
+SELECT id AS vec_id, cost FROM d4
+"""
+
+
+@_register("g6_weighted_sssp", _g6_oracle())
+def g6_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (bounded Bellman-Ford) over the near-dup
+    graph: minimum path COST from every embedding to its cheapest anchor
+    (vec_id % 500 = 0) within 4 edges, where each edge carries a
+    deterministic integer weight — the weighted generalization of g3's
+    hop counting ("how cheaply does this example connect to vetted
+    data", with edge costs standing in for dissimilarity).  Scale shape:
+    per round one src-keyed hash join + one min aggregation with
+    map-side combine, int64 id/cost shuffles only; per-round lazy
+    checkpoints stop the union+join lineage doubling (see
+    ``operators/graph.py:sssp_int``)."""
+    from spark_ml_spatialjointransformer_spark.operators.graph import sssp_int
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    ).withColumn(
+        "w", (F.col("id_a") * 31 + F.col("id_b") * 17) % 99 + 1
+    )
+    seeds = emb.where(F.col("vec_id") % 500 == 0).select("vec_id")
+    return sssp_int(
+        pairs, "id_a", "id_b", "w", seeds, "vec_id", iters=4
+    ).select(F.col("id").alias("vec_id"), "cost")
+
+
+#: the same double expression text runs in both engines so the one float
+#: step (moments → mean/variance) is a fixed IEEE op sequence
+_M10_MEAN = "CAST(round(sum_v * 10000e0 / n_px) AS BIGINT)"
+_M10_VAR = (
+    "CAST(round((sumsq_v * 1.0e0 / n_px"
+    " - (sum_v * 1.0e0 / n_px) * (sum_v * 1.0e0 / n_px)) * 10000e0)"
+    " AS BIGINT)"
+)
+
+_M10_ORACLE = f"""
+WITH d AS (SELECT doc_id FROM documents),
+xo AS (SELECT unnest(range(16)) AS x), yo AS (SELECT unnest(range(12)) AS y),
+px AS (SELECT doc_id, x, y,
+              (3 * x + 5 * y + doc_id) % 256 AS c0,
+              (x + 2 * y) % 256 AS c1,
+              (doc_id + x * y) % 256 AS c2
+       FROM d CROSS JOIN xo CROSS JOIN yo),
+ch AS (SELECT 0 AS channel, c0 AS v FROM px
+       UNION ALL SELECT 1, c1 FROM px
+       UNION ALL SELECT 2, c2 FROM px),
+agg AS (SELECT channel, count(*) AS n_px,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum(v * v) AS BIGINT) AS sumsq_v
+        FROM ch GROUP BY channel)
+SELECT channel, n_px, sum_v, sumsq_v,
+       {_M10_MEAN} AS mean_e4,
+       {_M10_VAR} AS var_e4
+FROM agg
+"""
+
+
+@_register("m10_channel_stats", _M10_ORACLE)
+def m10_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset normalization constants for the vision pipeline: global
+    per-channel pixel mean and variance over every decoded image — the
+    numbers that parameterize the input-normalization transform of any
+    image training run.  The Arrow pass emits exact integer moment rows
+    (3 per image: n, Σv, Σv²), a plain aggregate reduces them (int64
+    sums — associative, order-free), and the single float step happens
+    once on the 3-row result with an expression both engines evaluate
+    identically.  Scale shape: one partition-preserving mapInPandas
+    chain (synth → moments), then a 3-group map-combined aggregate —
+    pixels never shuffle; at 100 TB the reduce moves 3 rows per
+    partition.  See ``operators/multimodal.py:image_channel_stats``."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        image_channel_stats,
+        synth_ppm_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = synth_ppm_images(docs, "doc_id", width=16, height=12, out_col="img")
+    stats = image_channel_stats(imgs, "img", prefix="ch_")
+    agg = stats.groupBy(F.col("ch_channel").alias("channel")).agg(
+        F.sum("ch_n").cast("bigint").alias("n_px"),
+        F.sum("ch_sum").cast("bigint").alias("sum_v"),
+        F.sum("ch_sumsq").cast("bigint").alias("sumsq_v"),
+    )
+    return agg.select(
+        "channel", "n_px", "sum_v", "sumsq_v",
+        F.expr(_M10_MEAN).alias("mean_e4"),
+        F.expr(_M10_VAR).alias("var_e4"),
+    )
+
+
+_V14_ORACLE = """
+WITH e AS (SELECT vec_id, label,
+                  generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS i,
+                  unnest(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings),
+q AS (SELECT vec_id, label, i,
+             CAST(floor(v * 100000e0 + 0.5e0) AS BIGINT) + 100000 AS qv
+      FROM e),
+c AS (SELECT label, i, CAST(sum(qv) // count(*) AS BIGINT) AS cv,
+             count(*) AS n
+      FROM q GROUP BY label, i),
+d AS (SELECT q.vec_id, q.label,
+             CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2
+      FROM q JOIN c ON q.label = c.label AND q.i = c.i
+      GROUP BY q.vec_id, q.label),
+intra AS (SELECT label, count(*) AS n_members,
+                 CAST(sum(d2) // count(*) AS BIGINT) AS avg_intra_d2
+          FROM d GROUP BY label),
+cd AS (SELECT a.label AS la, b.label AS lb,
+              CAST(sum((a.cv - b.cv) * (a.cv - b.cv)) AS BIGINT) AS d2
+       FROM c a JOIN c b ON a.i = b.i AND a.label <> b.label
+       GROUP BY a.label, b.label),
+nn AS (SELECT la AS label, lb, d2,
+              row_number() OVER (PARTITION BY la ORDER BY d2, lb) AS rn
+       FROM cd)
+SELECT i.label, i.n_members, i.avg_intra_d2,
+       nn.lb AS nn_label, nn.d2 AS nn_d2
+FROM intra i JOIN nn ON nn.label = i.label AND nn.rn = 1
+"""
+
+
+@_register("v14_label_centroid_metrics", _V14_ORACLE)
+def v14_label_centroid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cluster quality audit: per class label, the member
+    count, the mean squared distance to the class centroid (compactness)
+    and the nearest OTHER centroid with its distance (separation) — the
+    integer-exact core of a silhouette-style label-quality report, the
+    signal that flags mislabeled or collapsed classes before training.
+    Quantize + shift (v9's move) keeps every component non-negative so
+    centroid means truncate identically in both engines.  Scale shape:
+    one (label, dim) aggregation builds the tiny centroid table, which
+    BROADCASTS back for the per-vector distance pass (map-side combine
+    on (vec, label)); the labels² × dim centroid self-join never touches
+    the corpus."""
+    from pyspark.sql.window import Window
+
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "v"
+            ),
+        )
+        .select(
+            "vec_id", "label", "i",
+            (
+                F.expr("CAST(floor(v * 100000e0 + 0.5e0) AS BIGINT)")
+                + 100000
+            ).alias("qv"),
+        )
+    )
+    c = q.groupBy("label", "i").agg(
+        F.expr("CAST(sum(qv) div count(1) AS BIGINT)").alias("cv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    d = (
+        q.join(F.broadcast(c.select("label", "i", "cv")), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    intra = d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr("CAST(sum(d2) div count(1) AS BIGINT)").alias("avg_intra_d2"),
+    )
+    a = c.select(
+        F.col("label").alias("la"), F.col("i").alias("ia"),
+        F.col("cv").alias("cva"),
+    )
+    b = c.select(
+        F.col("label").alias("lb"), F.col("i").alias("ib"),
+        F.col("cv").alias("cvb"),
+    )
+    cd = (
+        a.join(
+            b,
+            (F.col("ia") == F.col("ib")) & (F.col("la") != F.col("lb")),
+        )
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(
+                (F.col("cva") - F.col("cvb")) * (F.col("cva") - F.col("cvb"))
+            )
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("la").orderBy("d2", "lb")
+    nn = (
+        cd.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("la").alias("label"),
+            F.col("lb").alias("nn_label"),
+            F.col("d2").alias("nn_d2"),
+        )
+    )
+    return intra.join(nn, "label").select(
+        "label", "n_members", "avg_intra_d2", "nn_label", "nn_d2"
+    )
+
+
+_P9_ORACLE = """
+WITH cells AS (SELECT source, lang, count(*) AS n_docs
+               FROM documents GROUP BY source, lang),
+wts AS (SELECT source, lang, n_docs,
+               CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000e0)
+                    AS BIGINT) AS w_e6
+        FROM cells),
+tot AS (SELECT CAST(sum(w_e6) AS BIGINT) AS tw FROM wts)
+SELECT source, lang, n_docs, w_e6,
+       CAST(round(10000e0 * w_e6 / tw) AS BIGINT) AS quota,
+       CAST(round(round(10000e0 * w_e6 / tw) * 1000000e0 / n_docs)
+            AS BIGINT) AS sample_ratio_e6
+FROM wts, tot
+"""
+
+
+@_register("p9_temperature_mixture", _P9_ORACLE)
+def p9_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weighting (the multilingual-sampling
+    α = 0.5 recipe): per (source, language) cell, the sampling quota out
+    of a 10 000-example budget proportional to √n — upweighting
+    low-resource cells exactly the way multilingual pretraining balances
+    corpora — plus the per-cell sampling ratio the sampler applies.
+    √n scales to an integer weight per cell BEFORE the normalizing sum,
+    so the total is order-free (sqrt and one division are each single
+    correctly-rounded IEEE ops, identical in both engines).  Scale
+    shape: one map-combined (source, lang) count, a 1-row total
+    broadcast back over the ≤|cells| frame — the corpus is read once."""
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    wts = cells.select(
+        "source", "lang", "n_docs",
+        F.expr(
+            "CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000e0) AS BIGINT)"
+        ).alias("w_e6"),
+    )
+    tot = wts.agg(F.sum("w_e6").cast("bigint").alias("tw"))
+    quota = F.expr("CAST(round(10000e0 * w_e6 / tw) AS BIGINT)")
+    return wts.crossJoin(F.broadcast(tot)).select(
+        "source", "lang", "n_docs", "w_e6",
+        quota.alias("quota"),
+        F.expr(
+            "CAST(round(round(10000e0 * w_e6 / tw) * 1000000e0 / n_docs)"
+            " AS BIGINT)"
+        ).alias("sample_ratio_e6"),
+    )
+
+
+_J30_ORACLE = """
+WITH pts AS (SELECT (c_custkey * 9973 % 3600) // 100 AS cx,
+                    (c_custkey * 7919 % 1700) // 100 AS cy
+             FROM customer),
+cells AS (SELECT cx, cy, count(*) AS n_raw FROM pts GROUP BY cx, cy),
+off AS (SELECT unnest(range(-1, 2)) AS o),
+sm AS (SELECT c.cx + ox.o AS cx, c.cy + oy.o AS cy,
+              CAST(sum(c.n_raw) AS BIGINT) AS n_smooth
+       FROM cells c CROSS JOIN off ox CROSS JOIN off oy
+       GROUP BY c.cx + ox.o, c.cy + oy.o)
+SELECT cells.cx, cells.cy, cells.n_raw, sm.n_smooth
+FROM cells JOIN sm ON sm.cx = cells.cx AND sm.cy = cells.cy
+"""
+
+
+@_register("j30_grid_density_smooth", _J30_ORACLE)
+def j30_grid_density_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-kernel density smoothing: customer points bucketed onto a
+    36×17 integer grid, each occupied cell reporting its raw count and
+    its 3×3-neighborhood box-kernel sum — the density surface behind
+    spatial hotspot maps and KDE heatmap tiles (j23's heatmap with a
+    smoothing kernel on top).  Cell ids derive from pure integer
+    arithmetic on the key (no float round-trip to disagree on a cell
+    boundary).  Scale shape: points collapse to per-cell counts FIRST
+    (map-side combine — the only corpus-sized pass), then the 9-way
+    offset fan-out runs on the ≤|cells| frame; at finer grids the
+    neighbor join stays cell-count-bound, never point-bound."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 9973 % 3600).cast("long").alias("mx"),
+        (F.col("c_custkey") * 7919 % 1700).cast("long").alias("my"),
+    ).select(
+        F.expr("mx div 100").alias("cx"), F.expr("my div 100").alias("cy")
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n_raw"))
+    fan = (
+        cells.select(
+            "cx", "cy", "n_raw",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("ox"),
+        )
+        .select(
+            "cx", "cy", "n_raw", "ox",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("oy"),
+        )
+        .select(
+            (F.col("cx") + F.col("ox")).alias("sx"),
+            (F.col("cy") + F.col("oy")).alias("sy"),
+            "n_raw",
+        )
+    )
+    sm = fan.groupBy("sx", "sy").agg(
+        F.sum("n_raw").cast("bigint").alias("n_smooth")
+    )
+    return cells.join(
+        sm,
+        (F.col("sx") == F.col("cx")) & (F.col("sy") == F.col("cy")),
+    ).select("cx", "cy", "n_raw", "n_smooth")
+
+
+_E18_ORACLE = """
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS value_e4,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts_us, event_id, event_type, value_e4
+FROM r WHERE rn = 1
+"""
+
+
+@_register("e18_latest_state_stream", _E18_ORACLE)
+def e18_latest_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE/upsert sink via ``foreachBatch``: maintain a
+    "latest event per user" table across micro-batches with the
+    write-new-snapshot-then-swap move that makes the sink idempotent
+    under batch replay — the streaming twin of d9's batch MERGE and the
+    e-family's exactly-once-sink pattern (every other e-query sinks to
+    memory/append; real pipelines sink to keyed tables).  The per-batch
+    reduce is an argmax (max_by on the unique (ts_us, event_id) order);
+    max is associative, so the final table is independent of the
+    micro-batch split — which is exactly what the batch argmax oracle
+    checks.  See ``streaming/windowed.py:latest_state_upsert_stream``
+    for the 100 TB shape (MERGE INTO a keyed transactional table)."""
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        latest_state_upsert_stream,
+    )
+
+    return latest_state_upsert_stream(spark, f"{sf_dir}/events.parquet")
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -8651,6 +9032,9 @@ _DRIVER_UNCHECKED_FIRST = [
     "a20_returned_items", "a21_customer_distribution",
     "a22_sales_opportunity", "a23_late_ship_priority",
     "d17_concurrent_intervals", "t43_dup_ngram_spans",
+    "g6_weighted_sssp", "m10_channel_stats", "v14_label_centroid_metrics",
+    "p9_temperature_mixture", "j30_grid_density_smooth",
+    "e18_latest_state_stream",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",

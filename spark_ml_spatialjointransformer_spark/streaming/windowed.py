@@ -923,3 +923,72 @@ def user_totals_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def latest_state_upsert_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """foreachBatch idempotent MERGE sink: maintain a "latest event per
+    user" state table across micro-batches — the streaming-upsert /
+    CDC-apply pattern (the streaming twin of d9's batch MERGE).  Each
+    micro-batch reduces to its per-user argmax (max_by on the unique
+    (ts_us, event_id) order), full-outer-merges with the accumulated
+    state, and writes a NEW versioned parquet snapshot; the version
+    pointer only advances after a successful write, which is exactly the
+    write-new-then-swap move that makes the sink idempotent under batch
+    replay (a re-run of batch k rewrites v(k) identically and re-swaps —
+    at-least-once delivery converges to the same table).  max is
+    associative, so the final state is independent of how the input was
+    split into micro-batches — the property the batch oracle checks.
+
+    At 100 TB this is MERGE INTO a keyed table (Delta/Iceberg) per
+    batch — state shuffles on user_id only; here the snapshot rewrite
+    stands in for the transactional format the container lacks.
+
+    Returns the FINAL state table as a batch DataFrame:
+    (user_id, ts_us, event_id, event_type, value_e4).
+    """
+    import hashlib
+    import shutil
+
+    base = "/tmp/sjt_upsert_" + hashlib.md5(events_path.encode()).hexdigest()[:12]
+    shutil.rmtree(base, ignore_errors=True)
+
+    cols = ["user_id", "ts_us", "event_id", "event_type", "value_e4"]
+    arg = F.struct("ts_us", "event_id", "event_type", "value_e4")
+
+    def reduce_latest(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(F.max(arg).alias("__s")).select(
+            "user_id", "__s.ts_us", "__s.event_id", "__s.event_type",
+            "__s.value_e4",
+        )
+
+    current: list[str] = []  # [path of the live snapshot], empty before v0
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upd = reduce_latest(batch_df)
+        if current:
+            state = batch_df.sparkSession.read.parquet(current[0])
+            upd = reduce_latest(state.unionByName(upd))
+        out = f"{base}/v{batch_id}"
+        upd.write.mode("overwrite").parquet(out)
+        current.clear()
+        current.append(out)
+
+    ev = events_stream(spark, events_path).select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)").alias(
+            "value_e4"
+        ),
+    )
+    q = ev.writeStream.outputMode("append").foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if not current:  # empty source: no batch ever fired
+        return spark.createDataFrame([], "user_id LONG, ts_us LONG, "
+                                         "event_id LONG, event_type STRING, "
+                                         "value_e4 LONG")
+    return spark.read.parquet(current[0]).select(*cols)
