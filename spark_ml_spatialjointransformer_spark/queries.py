@@ -9003,6 +9003,283 @@ def e18_latest_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_state_upsert_stream(spark, f"{sf_dir}/events.parquet")
 
 
+_F3_ORACLE = f"""
+WITH {_GEO_CTE},
+nf AS (SELECT n_nationkey, n_name,
+              {", ".join(f"{sql} AS {k}" for k, sql in NATION_RECT_SQL.items())}
+       FROM nation WHERE n_regionkey IN (0, 1, 2))
+SELECT c.c_custkey, nf.n_nationkey AS nat_key, nf.n_name AS nat_name
+FROM c JOIN nf
+  ON c.lon > nf.x0 AND c.lon < nf.x1 AND c.lat > nf.y0 AND c.lat < nf.y1
+ AND nf.n_nationkey <> c.c_nationkey
+"""
+
+
+@_register("f3_transformer_within_filtered", _F3_ORACLE)
+def f3_transformer_within_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full reference parameter surface in ONE Transformer call, on
+    the WKT-polygon path: catalog dataset (S1) + pre-join `filter` (F1,
+    region prune) + `dataColumns` aliases (P2) + `within` over a
+    dataset WKT column (J2/X2) + extra theta `condition` (J8, visiting
+    a FOREIGN nation's box) + `numPartitions` repartition (X1) — f1
+    exercises the point/nearest half of the surface, this covers the
+    polygon/predicate/condition half.  Reference parity:
+    SpatialJoinTransformer.scala's param list drives exactly this
+    combination; the oracle is the plain relational join.  Scale shape:
+    25 filtered polygons broadcast; the theta condition evaluates as a
+    post-match residual on the bbox-prefiltered pairs."""
+    from spark_ml_spatialjointransformer_spark.transformer import (
+        BroadcastSpatialJoin,
+    )
+
+    nations_rect(spark, sf_dir).createOrReplaceTempView("sjt_nations_rect")
+    cust = customers_geo(spark, sf_dir).select(
+        "c_custkey", "c_nationkey", "lon", "lat"
+    )
+    t = BroadcastSpatialJoin(
+        dataset="sjt_nations_rect",
+        dataColumns="n_nationkey as nat_key, n_name as nat_name",
+        datasetWKT="wkt",
+        inputPoint="lon, lat",
+        predicate="within",
+        broadcast="dataset",
+        filter="n_regionkey IN (0, 1, 2)",
+        condition="left.n_nationkey != right.c_nationkey",
+        numPartitions="7",
+    )
+    out = t.transform(cust)
+    assert out.rdd.getNumPartitions() == 7  # X1 contract rides along
+    return out.select("c_custkey", "nat_key", "nat_name")
+
+
+#: Karp-Rabin-style window hash: Σ ascii(ch)·31^k over the 8 chars ending
+#: at the position — pure int64 (max ≈ 5.6e13), no modulus needed, so both
+#: engines compute it bit-for-bit; a boundary falls where H % 64 == 0
+#: (expected chunk ≈ 64 chars — the content-defined chunking contract:
+#: insertions only reshuffle boundaries locally).
+_T44_HASH = " + ".join(
+    f"CAST(ascii(substr(text, i - {7 - k}, 1)) AS BIGINT) * {31 ** k}"
+    for k in range(8)
+)
+
+_T44_ORACLE = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i FROM d),
+bnd AS (SELECT doc_id, text, n, i AS p FROM pos
+        WHERE ({_T44_HASH}) % 64 = 0),
+ends AS (SELECT doc_id, text, n, p FROM bnd
+         UNION SELECT doc_id, text, n, n AS p FROM d),
+ch AS (SELECT doc_id, p,
+              substr(text,
+                     COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                              0) + 1,
+                     p - COALESCE(lag(p) OVER (PARTITION BY doc_id
+                                               ORDER BY p), 0)) AS chunk
+       FROM ends),
+h AS (SELECT doc_id, {h60_sql('chunk')} AS ch FROM ch),
+u AS (SELECT DISTINCT doc_id, ch FROM h),
+c AS (SELECT doc_id, ch, count(*) OVER (PARTITION BY ch) AS nd FROM u)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000.0
+                  / count(*)) AS BIGINT) AS shared_ratio_e6
+FROM c GROUP BY doc_id
+"""
+
+
+@_register("t44_cdc_chunk_dedup", _T44_ORACLE)
+def t44_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-doc chunk dedup: split every
+    document at rolling-hash boundaries (the rsync/LBFS/CDC move — a
+    boundary falls wherever the 8-char window hash ≡ 0 mod 64, so an
+    insertion only moves boundaries LOCALLY, unlike t39's fixed-width
+    chunks which all shift), then report per document how many of its
+    distinct chunks appear elsewhere in the corpus — storage-dedup-
+    grade substring sharing, the CDC complement to t43's n-gram spans.
+    Scale shape: the whole text→chunks step happens IN PLACE per row
+    with higher-order functions — the char codes extract once per doc
+    (a naive per-position ``substr`` re-scans the UTF-8 string from the
+    start each call: O(len²) per doc, measured 10× slower), boundary
+    detection is an O(len) array filter, and only then do rows fan out
+    one-per-chunk; chunk dedup shuffles 60-bit ints — the text column
+    never moves past its own partition."""
+    from pyspark.sql.window import Window
+
+    arr_hash = " + ".join(
+        f"CAST(element_at(codes, i - {7 - k}) AS BIGINT) * {31 ** k}"
+        for k in range(8)
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("codes"),
+    )
+    ends = d.select(
+        "doc_id", "text",
+        F.expr(
+            "array_distinct(concat(CASE WHEN n >= 8 THEN"
+            f" filter(sequence(8, n), i -> ({arr_hash}) % 64 = 0)"
+            " ELSE CAST(array() AS ARRAY<INT>) END, array(n)))"
+        ).alias("ends"),
+    )
+    ch = ends.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(ends, (p, k) -> substring(text,"
+                " CASE WHEN k = 0 THEN 1"
+                " ELSE element_at(ends, k) + 1 END,"
+                " p - CASE WHEN k = 0 THEN 0"
+                " ELSE element_at(ends, k) END))"
+            )
+        ).alias("chunk"),
+    )
+    u = ch.select("doc_id", h60_col(F.col("chunk")).alias("ch")).distinct()
+    c = u.select(
+        "doc_id",
+        F.count(F.lit(1)).over(Window.partitionBy("ch")).alias("nd"),
+    )
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return c.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        shared.cast("bigint").alias("n_shared"),
+        F.round(shared * 1000000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("shared_ratio_e6"),
+    )
+
+
+#: each position's surprisal rounds to an integer BEFORE the per-doc sum
+#: (t41's order-independence move); the ratio inside the log is exact
+#: int64 arithmetic, so the one libm call sees identical input in both
+#: engines
+_T45_TERM = (
+    "CAST(round(1000000e0 * log10((c1 + vocab) * 1.0e0 / (c2 + 1)))"
+    " AS BIGINT)"
+)
+
+_T45_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w,
+         generate_subscripts(str_split(lower(text), ' '), 1) AS i
+  FROM documents
+),
+bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+c2t AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1t AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w),
+v AS (SELECT count(DISTINCT w) AS vocab FROM tok),
+s AS (SELECT bg.doc_id, {_T45_TERM} AS t_e6
+      FROM bg JOIN c2t USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(t_e6) AS BIGINT) AS surprisal_e6,
+       CAST(sum(t_e6) // count(*) AS BIGINT) AS avg_surprisal_e6
+FROM s GROUP BY doc_id
+"""
+
+
+@_register("t45_bigram_surprisal", _T45_ORACLE)
+def t45_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: train add-one-smoothed bigram
+    statistics on the corpus itself and charge every document its total
+    and mean surprisal −log p(w2|w1) — the classic LM-perplexity
+    quality filter (high surprisal = unnatural word sequences; the
+    statistical complement to t3's surface ratios and t18's unigram
+    corpus frequencies).  Each position's surprisal rounds to an int64
+    BEFORE summing, so no floating accumulation order exists.  Scale
+    shape: bigrams come from one lag window per doc; the count tables
+    shuffle (word, count) pairs with map-side combine; the stats join
+    back keys on words — at 100 TB the c1/c2 tables are vocab-bound
+    (Zipf), far smaller than the corpus, and AQE broadcasts them."""
+    from pyspark.sql.window import Window
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("i", "w"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    bg = (
+        tok.select("doc_id", F.col("w").alias("w2"), "i")
+        .withColumn("w1", F.lag("w2").over(wd))
+        .where(F.col("w1").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    c2t = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1t = tok.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    v = tok.agg(F.countDistinct("w").alias("vocab"))
+    s = (
+        bg.join(c2t, ["w1", "w2"])
+        .join(c1t, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", F.expr(_T45_TERM).alias("t_e6"))
+    )
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("t_e6").cast("bigint").alias("surprisal_e6"),
+        F.expr("CAST(sum(t_e6) div count(1) AS BIGINT)").alias(
+            "avg_surprisal_e6"
+        ),
+    )
+
+
+_A24_ORACLE = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY year(l_shipdate)
+"""
+
+
+@_register("a24_late_priority_mix", _A24_ORACLE)
+def a24_late_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped two-class conditional aggregation: among
+    lineitems shipped more than 60 days after ordering, how many belong
+    to critical-priority orders vs everything else, per shipping year —
+    the CASE-bucketed dual count that monitors whether slow logistics
+    hit urgent orders.  Scale shape: ONE orderkey-keyed join (the theta
+    date residual evaluates post-match), then a map-combined aggregate
+    on ≤|years| groups; the priority column is the only orders payload
+    that travels."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+    )
+    return j.groupBy(
+        F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(
+        F.sum(F.when(hi, 1).otherwise(0))
+        .cast("bigint")
+        .alias("high_line_count"),
+        F.sum(F.when(hi, 0).otherwise(1))
+        .cast("bigint")
+        .alias("low_line_count"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -9035,6 +9312,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "g6_weighted_sssp", "m10_channel_stats", "v14_label_centroid_metrics",
     "p9_temperature_mixture", "j30_grid_density_smooth",
     "e18_latest_state_stream",
+    "f3_transformer_within_filtered", "t44_cdc_chunk_dedup",
+    "t45_bigram_surprisal", "a24_late_priority_mix",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
