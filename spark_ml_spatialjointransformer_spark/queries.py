@@ -9280,6 +9280,244 @@ def a24_late_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D18_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 3600 + 60) * 1000000 AS e
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_pairs,
+       CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+         AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+ AND a.s < b.e AND b.s < a.e
+GROUP BY a.event_type, b.event_type
+"""
+
+
+@_register("d18_interval_overlap", _D18_ORACLE)
+def d18_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: for every pair of event types, how often and
+    for how long a user had BOTH types' intervals open simultaneously —
+    the temporal co-occurrence matrix (feature interaction / contention
+    analysis) built on d17's derived intervals.  The classic interval
+    join shape: equi key on user_id carries the shuffle, the overlap
+    predicate (``a.s < b.e AND b.s < a.e``) evaluates as a post-match
+    residual, and overlap duration is the exact integer
+    ``least(ends) − greatest(starts)``.  Scale shape: per-user
+    self-join — fanout bounded by events-per-user, never corpus²; at
+    100 TB the key widens to (user, day-bucket) with boundary-spanning
+    intervals replicated into both buckets, the standard interval-join
+    sharding."""
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        us.alias("s"),
+        (us + (F.col("event_id") % 3600 + 60) * F.lit(1000000)).alias("e"),
+    )
+    a = iv.select(
+        F.col("user_id").alias("ua"), F.col("event_type").alias("type_a"),
+        F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("ub"), F.col("event_type").alias("type_b"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    j = a.join(
+        b,
+        (F.col("ua") == F.col("ub"))
+        & (F.col("type_a") < F.col("type_b"))
+        & (F.col("sa") < F.col("eb"))
+        & (F.col("sb") < F.col("ea")),
+    )
+    return j.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.least("ea", "eb") - F.greatest("sa", "sb")
+        ).cast("bigint").alias("overlap_us"),
+    )
+
+
+_T46_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_lang_score('the')} AS s_en,
+         {_lang_score('el')} AS s_es,
+         {_lang_score('der')} AS s_de,
+         {_lang_score('le')} AS s_fr
+  FROM documents
+),
+p AS (
+  SELECT doc_id, lang,
+         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+              WHEN s_de >= s_fr THEN 'de'
+              ELSE 'fr' END AS pred_lang
+  FROM s
+)
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM p GROUP BY lang, pred_lang
+"""
+QUERIES["t46_langid_confusion"] = QueryDef(
+    _sql_query(("documents",), _T46_SQL), _T46_SQL
+)
+#: t46: the language-metadata AUDIT on top of t4's n-gram language ID —
+#: the (labeled lang × predicted lang) confusion matrix that flags
+#: mislabeled-language corpora before they poison a multilingual mix.
+#: Identical SQL runs on both engines (one scan, one map-combined
+#: count); at 100 TB the matrix is |langs|² rows.
+
+
+_P10_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, source, lang, text,
+         {h60_sql("array_to_string((str_split(lower(text), ' '))[1:8], ' ')")}
+           AS fp,
+         length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+           AS ntok,
+         (length(text) - length(replace(text, ' the ', ''))) / 5 AS n_the
+  FROM documents
+),
+hold AS (SELECT DISTINCT fp FROM f WHERE doc_id % 23 = 0),
+t AS (
+  SELECT f.*, (doc_id % 23 = 0) AS is_hold,
+         fp IN (SELECT fp FROM hold) AS fp_hot
+  FROM f
+),
+pool AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper
+  FROM t WHERE NOT is_hold AND NOT fp_hot
+),
+lab AS (
+  SELECT doc_id, source, lang, text,
+         CASE WHEN doc_id != keeper THEN 'dup'
+              WHEN ntok < 40 OR n_the = 0 THEN 'low_quality'
+              ELSE 'pool' END AS st
+  FROM pool
+),
+surv AS (SELECT * FROM lab WHERE st = 'pool'),
+cells AS (SELECT source, lang, count(*) AS nc FROM surv
+          GROUP BY source, lang),
+wts AS (SELECT source, lang, nc,
+               CAST(round(sqrt(CAST(nc AS DOUBLE)) * 1000000e0) AS BIGINT)
+                 AS w
+        FROM cells),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+               CAST(sum(nc) AS BIGINT) AS ns FROM wts),
+q AS (SELECT wts.source, wts.lang,
+             CAST(round((2 * ns // 5) * 1.0e0 * w / tw) AS BIGINT) AS quota
+      FROM wts, tot),
+rk AS (SELECT surv.doc_id, surv.source, surv.lang, q.quota,
+             row_number() OVER (PARTITION BY surv.source, surv.lang
+                                ORDER BY {h60_sql('surv.text')}, surv.doc_id)
+               AS rn
+      FROM surv JOIN q ON q.source = surv.source AND q.lang = surv.lang)
+SELECT doc_id, source, lang,
+       CASE WHEN rn <= quota THEN 'kept' ELSE 'sampled_out' END AS decision
+FROM rk
+UNION ALL
+SELECT doc_id, source, lang, st AS decision FROM lab WHERE st != 'pool'
+UNION ALL
+SELECT doc_id, source, lang,
+       CASE WHEN is_hold THEN 'holdout' ELSE 'contaminated' END AS decision
+FROM t WHERE is_hold OR fp_hot
+"""
+
+
+@_register("p10_curation_decisions", _P10_ORACLE)
+def p10_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation verdict — ONE row per document with its
+    final training-mix decision and the reason, composing the stages
+    the registry proves one-by-one: holdout carve-out (the benchmark
+    set itself), contamination (template-fingerprint collision with the
+    holdout — t15's concern at t2's granularity), template dedup
+    (first-8-words fingerprint keeper election), quality gating (t3's
+    token/stopword signals), and √n temperature sampling within
+    (source, lang) cells against a 40%-of-survivors budget (p9's
+    quotas), with the sample chosen by deterministic hash rank.
+    Precedence: holdout > contaminated > dup > low_quality >
+    kept/sampled_out.  Scale shape: ONE labeled frame carries every
+    per-doc signal (no per-decision union arms re-scanning the corpus);
+    the dup keeper is a CONDITIONAL min window (eligible docs only) so
+    it runs on the unfiltered frame, and the within-cell sample rank is
+    a conditional running count — both tricks keep the plan a single
+    pass plus small-key exchanges.  The holdout fingerprint set and the
+    ≤|cells| quota table broadcast.  This is the query a data team
+    actually ships — the audit trail FOR the mix."""
+    from pyspark.sql.window import Window
+
+    f = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text",
+        h60_col(
+            F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 8))
+        ).alias("fp"),
+        F.expr(
+            "length(trim(text)) - length(replace(trim(text), ' ', '')) + 1"
+        ).alias("ntok"),
+        F.expr(
+            "(length(text) - length(replace(text, ' the ', ''))) / 5"
+        ).alias("n_the"),
+        (F.col("doc_id") % 23 == 0).alias("is_hold"),
+    )
+    hold = f.where("is_hold").select("fp").distinct()
+    t = f.join(
+        F.broadcast(hold.withColumn("fp_hot", F.lit(True))), "fp", "left"
+    ).withColumn("fp_hot", F.coalesce("fp_hot", F.lit(False)))
+    elig = ~F.col("is_hold") & ~F.col("fp_hot")
+    keeper = F.min(F.when(elig, F.col("doc_id"))).over(
+        Window.partitionBy("fp")
+    )
+    lab = t.select(
+        "doc_id", "source", "lang", "text",
+        F.when(F.col("is_hold"), "holdout")
+        .when(F.col("fp_hot"), "contaminated")
+        .when(F.col("doc_id") != keeper, "dup")
+        .when((F.col("ntok") < 40) | (F.col("n_the") == 0), "low_quality")
+        .otherwise("pool")
+        .alias("st"),
+    ).localCheckpoint(eager=False)
+    cells = (
+        lab.where(F.col("st") == "pool")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    wts = cells.select(
+        "source", "lang", "nc",
+        F.expr(
+            "CAST(round(sqrt(CAST(nc AS DOUBLE)) * 1000000e0) AS BIGINT)"
+        ).alias("w"),
+    )
+    tot = wts.agg(
+        F.sum("w").cast("bigint").alias("tw"),
+        F.sum("nc").cast("bigint").alias("ns"),
+    )
+    q = wts.crossJoin(F.broadcast(tot)).select(
+        "source", "lang",
+        F.expr(
+            "CAST(round((2 * ns div 5) * 1.0e0 * w / tw) AS BIGINT)"
+        ).alias("quota"),
+    )
+    wr = (
+        Window.partitionBy("source", "lang")
+        .orderBy(h60_col(F.col("text")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rn = F.sum(F.when(F.col("st") == "pool", 1).otherwise(0)).over(wr)
+    return (
+        lab.join(F.broadcast(q), ["source", "lang"], "left")
+        .withColumn("rn", rn)
+        .select(
+            "doc_id", "source", "lang",
+            F.when(F.col("st") != "pool", F.col("st"))
+            .when(F.col("rn") <= F.col("quota"), "kept")
+            .otherwise("sampled_out")
+            .alias("decision"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -9314,6 +9552,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "e18_latest_state_stream",
     "f3_transformer_within_filtered", "t44_cdc_chunk_dedup",
     "t45_bigram_surprisal", "a24_late_priority_mix",
+    "d18_interval_overlap", "t46_langid_confusion",
+    "p10_curation_decisions",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
