@@ -9518,6 +9518,201 @@ def p10_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T47_ORACLE = f"""
+SELECT doc_id, source, CAST(length(text) AS BIGINT) AS text_len,
+       {h60_sql('text')} AS text_h60
+FROM documents
+"""
+
+
+@_register("t47_csv_roundtrip", _T47_ORACLE)
+def t47_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format fidelity, CSV edition (t36's JSONL twin, but
+    CSV is the format where quoting/escaping actually bites): export the
+    documents table with explicit quote+escape options, re-import with
+    an explicit schema and the SAME options, and hash the re-imported
+    text against the oracle's hash of the ORIGINAL parquet — a comma,
+    quote, or newline mangled anywhere in the writer→reader path breaks
+    the value hash.  ``multiLine`` on the read side so quoted embedded
+    newlines survive.  Scale shape: per-partition files, no shuffle, no
+    driver data; explicit schema because CSV inference is a full extra
+    pass (and type-lossy) at 100 TB."""
+    import hashlib
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = (
+        tempfile.gettempdir()
+        + "/sjt_t47_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    opts = {"header": "true", "quote": '"', "escape": '"'}
+    docs.write.mode("overwrite").options(**opts).csv(out_dir)
+    back = (
+        spark.read.schema(docs.schema)
+        .options(**opts, multiLine="true")
+        .csv(out_dir)
+    )
+    return back.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("text_len"),
+        h60_col(F.col("text")).alias("text_h60"),
+    )
+
+
+_T48_ORACLE = """
+SELECT event_id, user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS value_e4
+FROM events
+"""
+
+
+@_register("t48_orc_roundtrip", _T48_ORACLE)
+def t48_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format fidelity, ORC edition — the columnar warehouse
+    format on the typed table (timestamps + doubles, where encoder
+    precision loss would show): export events to ORC, re-import, and
+    emit microsecond timestamps and e4-scaled values; the oracle reads
+    the ORIGINAL parquet, so any timestamp-zone shift or double
+    round-trip error in the ORC path breaks the hash.  Scale shape:
+    per-partition files, predicate-pushdown-capable on re-read, no
+    shuffle."""
+    import hashlib
+    import tempfile
+
+    ev = load_events(spark, sf_dir)
+    out_dir = (
+        tempfile.gettempdir()
+        + "/sjt_t48_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    ev.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+        F.expr("CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)").alias(
+            "value_e4"
+        ),
+    )
+
+
+_A25_ORACLE = """
+WITH m AS (
+  SELECT n_name,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS month_idx,
+         CAST(sum(CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT))
+              AS BIGINT) AS rev_e2
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name, year(o_orderdate) * 12 + month(o_orderdate) - 1
+)
+SELECT n_name, month_idx, rev_e2,
+       CAST(COALESCE(lag(rev_e2) OVER (PARTITION BY n_name
+                                       ORDER BY month_idx), 0) AS BIGINT)
+         AS prev_rev_e2,
+       CAST(sum(rev_e2) OVER (PARTITION BY n_name ORDER BY month_idx
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS mom3_e2
+FROM m
+"""
+
+
+@_register("a25_revenue_momentum", _A25_ORACLE)
+def a25_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue momentum per nation: the calendar-month
+    rollup decorated with the previous month's figure and the trailing
+    3-month sum — the lag + bounded-frame window combination every
+    revenue dashboard runs (gaps in the calendar simply shorten the
+    frame: ROWS, not RANGE, is the contract here — compare d14's
+    RANGE-frame variant).  Scale shape: one (nation, month)-keyed
+    map-combined aggregation collapses the fact, then both windows
+    share one nation-keyed exchange over the ≤ nations×months frame;
+    the dims broadcast."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1"
+            " AS BIGINT)"
+        ).alias("month_idx"),
+        F.expr("CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    m = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "month_idx")
+        .agg(F.sum("cents").cast("bigint").alias("rev_e2"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month_idx")
+    return m.select(
+        "n_name", "month_idx", "rev_e2",
+        F.coalesce(F.lag("rev_e2").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("prev_rev_e2"),
+        F.sum("rev_e2")
+        .over(w.rowsBetween(-2, Window.currentRow))
+        .cast("bigint")
+        .alias("mom3_e2"),
+    )
+
+
+#: every signal is a length/replace identity that both engines evaluate
+#: identically; byte length is the one per-engine spelling
+#: (Spark octet_length(string) / DuckDB strlen)
+_T49_SIGNALS = """
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum({BYTES}) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN {BYTES} > length(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_multibyte_docs,
+       CAST(sum(CASE WHEN length(regexp_replace(text, '[0-9]', ''))
+                          < length(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_digit_docs,
+       CAST(sum(CASE WHEN length(text)
+                          > length(replace(text, '  ', '')) + 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_doublespace_docs,
+       CAST(sum(CASE WHEN length(text) > length(replace(text, chr(9), ''))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tab_docs
+"""
+
+_T49_ORACLE = (
+    "SELECT source,"
+    + _T49_SIGNALS.replace("{BYTES}", "strlen(text)")
+    + "FROM documents GROUP BY source"
+)
+
+_T49_SPARK = (
+    "SELECT source,"
+    + _T49_SIGNALS.replace("{BYTES}", "octet_length(text)")
+    + "FROM documents GROUP BY source"
+)
+
+QUERIES["t49_charset_profile"] = QueryDef(
+    _sql_query(("documents",), _T49_SPARK), _T49_ORACLE
+)
+#: t49: per-source corpus hygiene profile — byte-vs-char divergence
+#: (multibyte/UTF-8 presence), digit incidence, double-space and tab
+#: contamination — the pre-tokenizer sanity report every ingest runs.
+#: One scan, map-combined per-source aggregate; all signals are
+#: length/replace identities that stay in whole-stage codegen.
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -9553,7 +9748,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "f3_transformer_within_filtered", "t44_cdc_chunk_dedup",
     "t45_bigram_surprisal", "a24_late_priority_mix",
     "d18_interval_overlap", "t46_langid_confusion",
-    "p10_curation_decisions",
+    "p10_curation_decisions", "t47_csv_roundtrip", "t48_orc_roundtrip",
+    "a25_revenue_momentum", "t49_charset_profile",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
