@@ -569,6 +569,58 @@ def audio_stats(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def audio_frame_energy(
+    df: DataFrame,
+    binary_col: str,
+    frame_len: int = 64,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Audio framing: decode WAV payloads and explode each into fixed-length
+    frames with integer Σ amplitude² energy — the front half of every
+    VAD / diarization / audio-event pipeline (frame, then classify frames).
+    One-to-many mapInPandas over the scan, partition-preserving: the audio
+    bytes never shuffle, only (id, frame_idx, energy int64) rows continue
+    downstream.  Multi-channel audio sums energy across channels; a trailing
+    partial frame is kept (its energy is just a shorter sum); undecodable
+    payloads are dropped (poison rows must not kill the 100 TB job)."""
+    ensure_udf_portability()
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name in id_cols]
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_energy", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in id_cols}
+            idxs, energies = [], []
+            for row in pdf.itertuples(index=False):
+                dec = decode_wav(getattr(row, binary_col))
+                if dec is None:
+                    continue
+                arr, _sr = dec
+                sq = (arr.astype(np.int64) ** 2).sum(axis=1)
+                n_frames = (len(sq) + frame_len - 1) // frame_len
+                for k in range(n_frames):
+                    for c in id_cols:
+                        out[c].append(getattr(row, c))
+                    idxs.append(k)
+                    energies.append(
+                        int(sq[k * frame_len : (k + 1) * frame_len].sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    **out,
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "frame_energy": pd.array(energies, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def audio_fingerprint(
     df: DataFrame,
     binary_col: str,

@@ -9713,6 +9713,521 @@ QUERIES["t49_charset_profile"] = QueryDef(
 #: length/replace identities that stay in whole-stage codegen.
 
 
+_G7_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+deg AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+tot AS (SELECT count(DISTINCT user_id) AS nu FROM ut),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_shared
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_shared,
+       CAST(round(p.n_shared * tot.nu * 1000000e0 * 1.0e0
+                  / (da.n * db.n)) AS BIGINT) AS lift_e6
+FROM pairs p
+JOIN deg da ON da.event_type = p.type_a
+JOIN deg db ON db.event_type = p.type_b
+CROSS JOIN tot
+"""
+
+
+@_register("g7_coengagement_lift", _G7_ORACLE)
+def g7_coengagement_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection with lift: project the user↔event-type
+    bipartite graph onto event types — for every type pair, how many
+    users touched BOTH, scored by observed/expected lift
+    (``n_shared·N / (n_a·n_b)``) — the co-engagement / market-basket
+    signal (d18 measures pairs in TIME; this measures them in SET
+    membership).  The distinct collapse runs FIRST, so the self-join
+    sees one row per (user, type) — fanout bounded by types-per-user
+    (≤5), never events-per-user.  Scale shape: one distinct exchange
+    builds the (user, type) incidence list ONCE (checkpointed — four
+    branches read it: both wedge arms, the degrees, and the user
+    total), one user-keyed wedge join, then joins against the
+    |types|-row degree/total frames, which broadcast."""
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = ut.agg(F.countDistinct("user_id").alias("nu"))
+    a = ut.select(
+        F.col("user_id").alias("ua"), F.col("event_type").alias("type_a")
+    )
+    b = ut.select(
+        F.col("user_id").alias("ub"), F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    da = deg.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    db = deg.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(da), "type_a")
+        .join(F.broadcast(db), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a", "type_b", "n_shared",
+            F.expr(
+                "CAST(round(n_shared * nu * 1000000e0 * 1.0e0"
+                " / (na * nb)) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+    )
+
+
+#: day-of-week and hour derive from integer epoch arithmetic, not the
+#: engines' calendar functions — Spark's dayofweek() is 1=Sunday while
+#: DuckDB's dayofweek is 0=Sunday; ``day mod 7`` sidesteps the convention
+#: split entirely (0 = the epoch's weekday, Thursday)
+_D19_SQL_BODY = """
+SELECT CAST(({EPOCH_US} // 86400000000) % 7 AS BIGINT) AS dow,
+       CAST(({EPOCH_US} % 86400000000) // 3600000000 AS BIGINT) AS hod,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+         AS sum_value_e4
+FROM events
+GROUP BY 1, 2
+"""
+
+_D19_ORACLE = _D19_SQL_BODY.replace("{EPOCH_US}", "epoch_us(ts)")
+_D19_SPARK = _D19_SQL_BODY.replace(
+    "{EPOCH_US}", "unix_micros(CAST(ts AS TIMESTAMP))"
+).replace("//", "div")
+
+QUERIES["d19_seasonality_profile"] = QueryDef(
+    _sql_query(("events",), _D19_SPARK), _D19_ORACLE
+)
+#: d19: the (weekday × hour) seasonality matrix — traffic shape every
+#: capacity plan and anomaly baseline starts from.  One scan, one
+#: map-combined ≤168-group aggregate; integer day/hour math keeps the
+#: two engines' calendar conventions out of the result.
+
+
+_A26_SQL = """
+WITH v AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, n.n_name,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100e0 + 0.5e0)
+              AS BIGINT) AS vol
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n  ON s_nationkey = n.n_nationkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region   ON nc.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+)
+SELECT o_year, n_name, CAST(sum(vol) AS BIGINT) AS volume_e2,
+       CAST(floor(sum(vol) * 1000000e0
+                  / sum(sum(vol)) OVER (PARTITION BY o_year) + 0.5e0)
+            AS BIGINT) AS share_e6
+FROM v GROUP BY o_year, n_name
+"""
+QUERIES["a26_market_share"] = QueryDef(
+    _sql_query(
+        ("lineitem", "orders", "part", "supplier", "nation", "customer",
+         "region"), _A26_SQL
+    ),
+    _A26_SQL,
+)
+#: a26: TPC-H Q8 generalized — supplier-nation market share of STANDARD-part
+#: volume sold into AMERICA, per order year (the classic two-nation-role
+#: query: supplier nation for the share axis, customer nation for the market
+#: scope).  Scale shape: lineitem joins orders on orderkey (the one big
+#: exchange pair; AQE broadcasts the date-pruned orders side at small SF),
+#: every dimension (part/supplier/nation×2/customer/region) broadcasts, one
+#: (year, nation) combine, and the share window repartitions ≤50 rows.
+
+_A27_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100e0
+                             + 0.5e0) AS BIGINT)) AS BIGINT)
+           AS total_revenue_e2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+),
+r2 AS (SELECT *, max(total_revenue_e2) OVER () AS mx FROM revenue)
+SELECT s_suppkey, s_name, total_revenue_e2
+FROM supplier JOIN r2 ON s_suppkey = supplier_no
+WHERE total_revenue_e2 = mx
+"""
+QUERIES["a27_top_supplier"] = QueryDef(
+    _sql_query(("lineitem", "supplier"), _A27_SQL), _A27_SQL
+)
+#: a27: TPC-H Q15 — the quarter's top-revenue supplier(s).  The max is a
+#: window over the ALREADY-AGGREGATED per-supplier revenue (|suppliers|
+#: rows, one single-partition window exchange) instead of Q15's scalar
+#: subquery, so lineitem is scanned exactly once; the shipdate range prunes
+#: at the parquet scan and the supplier dim broadcasts.
+
+_A28_SQL = """
+SELECT CASE WHEN p_brand = 'Brand#12' AND p_size <= 25
+                 AND l_quantity BETWEEN 1 AND 24 THEN 1
+            WHEN p_brand = 'Brand#23' AND p_size <= 35
+                 AND l_quantity BETWEEN 10 AND 35 THEN 2
+            ELSE 3 END AS bracket,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100e0
+                           + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_e2,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#7')
+  AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 1 AND 50
+  AND ((p_brand = 'Brand#12' AND p_size <= 25
+        AND l_quantity BETWEEN 1 AND 24)
+    OR (p_brand = 'Brand#23' AND p_size <= 35
+        AND l_quantity BETWEEN 10 AND 35)
+    OR (p_brand = 'Brand#7' AND p_size <= 50
+        AND l_quantity BETWEEN 20 AND 50))
+GROUP BY 1
+"""
+QUERIES["a28_bracket_revenue"] = QueryDef(
+    _sql_query(("lineitem", "part"), _A28_SQL), _A28_SQL
+)
+#: a28: TPC-H Q19 (shipmode columns absent in this schema, so the brackets
+#: key on brand/size/quantity only) — OR-of-ANDs bracket revenue.  The
+#: classic Q19 rewrite is spelled explicitly: the brand-IN / size / quantity
+#: conjuncts common to all three disjuncts are hoisted so they PUSH DOWN to
+#: the parquet scans (the disjunction alone straddles both tables and can't),
+#: then the residual OR filters post-join.  Part broadcasts; one 3-group
+#: map-combined aggregate.
+
+_G8_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       CAST(floor(n * 1000000e0 / sum(n) OVER (PARTITION BY prev_type)
+                  + 0.5e0) AS BIGINT) AS p_e6
+FROM t
+"""
+QUERIES["g8_markov_transitions"] = QueryDef(
+    _sql_query(("events",), _G8_SQL), _G8_SQL
+)
+#: g8: first-order Markov transition matrix over per-user event streams —
+#: the behavioral-model / next-event-prediction baseline (g7 projects SET
+#: co-membership; this captures ORDER).  One user-keyed window exchange
+#: builds the lag pairs, a map-combined |types|² aggregate, and the
+#: row-normalization window runs on ≤25 rows.  Deterministic: ties on ts
+#: break by event_id.
+
+
+_D20_SQL = """
+WITH e AS (SELECT event_type, event_id, ts,
+                  CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS v
+           FROM events),
+w AS (SELECT event_type, event_id,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS k,
+        sum(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+        count(*) OVER (PARTITION BY event_type) AS n,
+        sum(v) OVER (PARTITION BY event_type) AS tot
+      FROM e),
+d AS (SELECT event_type, event_id, k,
+             abs(n * pre - k * tot) AS dev FROM w),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dev DESC, k) AS rn FROM d)
+SELECT event_type, CAST(k AS BIGINT) AS cp_index,
+       event_id AS cp_event_id, CAST(dev AS BIGINT) AS cusum_dev
+FROM r WHERE rn = 1
+"""
+QUERIES["d20_cusum_changepoint"] = QueryDef(
+    _sql_query(("events",), _D20_SQL), _D20_SQL
+)
+#: d20: CUSUM changepoint per event-type stream — the argmax over k of
+#: |n·prefix_k − k·total| (the mean-shift statistic cross-multiplied by n
+#: so NO division or float enters; the winning k is where the running mean
+#: breaks from the global mean).  One event_type window exchange serves all
+#: four windows AND the rank window (same partition spec).  Integer bound:
+#: n²·v_max must fit int64 — ~5.6e16 at sf0.1·5× (n≈1e5/type, v_e4≤5.6e6);
+#: beyond n≈4e7 rows/type switch the statistic to DECIMAL(38,0).
+
+
+_J31_ORACLE = """
+WITH RECURSIVE cells AS (
+  SELECT ((c_custkey * 9973) % 3600) // 300 AS cx,
+         ((c_custkey * 7919) % 1700) // 300 AS cy,
+         count(*) AS n
+  FROM customer GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS t, count(*) AS oc FROM cells),
+dense AS (SELECT cx, cy, n, cx * 100 + cy AS cid
+          FROM cells, tot WHERE n * oc > t),
+edges AS (SELECT a.cid AS s, b.cid AS d FROM dense a JOIN dense b
+          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+             AND a.cid <> b.cid),
+reach(v, lbl) AS (
+  SELECT cid, cid FROM dense
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.v)
+SELECT d.cx AS cell_x, d.cy AS cell_y, CAST(d.n AS BIGINT) AS n_points,
+       CAST(min(r.lbl) AS BIGINT) AS cluster_id
+FROM dense d JOIN reach r ON r.v = d.cid
+GROUP BY d.cx, d.cy, d.n
+"""
+
+
+@_register("j31_grid_dbscan", _J31_ORACLE)
+def j31_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN: density clustering of customer points — bucket to 30°
+    grid cells (pure-integer cell keys from the key-derived tenth-degree
+    coordinates, so no float enters), keep cells with ABOVE-AVERAGE count
+    (the relative threshold `n·occupied > total` is scale-invariant —
+    cross-multiplied, integer-exact), connect 8-adjacent dense cells, and
+    label each connected component with its minimum cell id (DBSCAN with
+    eps = one cell, minPts = the corpus average).  Scale shape: ONE
+    point→cell combine is the only corpus-sized exchange; everything after
+    runs on the grid-bounded dense-cell set (≤72 cells at this grid, ≤#cells
+    at any), whose 8-adjacency self-join broadcasts and whose closure runs
+    as a driver-side union-find over the GRID-BOUNDED dense-cell id list
+    (a hard guard raises past 4096 ids; for finer grids swap in the
+    distributed `dedup_connected_components` closure — same (id_a, id_b)
+    contract, checkpointed Hash-Min rounds — which costs ~3 s of fixed
+    loop overhead this avoids).  Oracle: DuckDB recursive label-reach CTE."""
+    cells = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.expr("CAST(((c_custkey * 9973) % 3600) DIV 300 AS BIGINT)")
+            .alias("cx"),
+            F.expr("CAST(((c_custkey * 7919) % 1700) DIV 300 AS BIGINT)")
+            .alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("oc")
+    )
+    dense = (
+        cells.crossJoin(F.broadcast(tot))
+        .where(F.col("n") * F.col("oc") > F.col("t"))
+        .select("cx", "cy", "n", (F.col("cx") * 100 + F.col("cy")).alias("cid"))
+        .localCheckpoint(eager=False)
+    )
+    a = dense.select(
+        F.col("cx").alias("ax"), F.col("cy").alias("ay"),
+        F.col("cid").alias("id_a"),
+    )
+    b = dense.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+        F.col("cid").alias("id_b"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.abs(F.col("ax") - F.col("bx")) <= 1)
+        & (F.abs(F.col("ay") - F.col("by")) <= 1)
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b")
+    ids = [r[0] for r in dense.select("cid").collect()]
+    if len(ids) > 4096:  # grid-bounded by construction; loud if regridded
+        raise ValueError(
+            f"j31_grid_dbscan: {len(ids)} dense cells exceed the driver "
+            "union-find bound (4096) — use dedup_connected_components"
+        )
+    parent = {i: i for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ra, rb in pairs.collect():
+        a_, b_ = find(ra), find(rb)
+        if a_ != b_:
+            parent[max(a_, b_)] = min(a_, b_)
+    # min id per component: path-compress to roots, then re-minimize via
+    # the root (roots are already the component min by the max→min union)
+    label_rows = [(i, find(i)) for i in ids]
+    lut = spark.createDataFrame(label_rows, "cid: bigint, cluster: bigint")
+    return (
+        dense.join(F.broadcast(lut), "cid")
+        .select(
+            F.col("cx").alias("cell_x"),
+            F.col("cy").alias("cell_y"),
+            F.col("n").cast("bigint").alias("n_points"),
+            F.col("cluster").cast("bigint").alias("cluster_id"),
+        )
+    )
+
+
+#: m11 waveform is m4's synth (sample t of doc id = ((id·7919 + t·M) mod
+#: 65536) − 32768), framed at 64 samples; a frame is ACTIVE when its Σv²
+#: clears 64·E[v²] ≈ 2.29e10 (the flat-noise expectation — the synth is a
+#: full-period LCG, so activity is pseudo-random per frame and real multi-
+#: frame segments occur).  Islands: frame_idx − row_number over active
+#: frames is constant per run.
+_M11_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+t AS (SELECT unnest(range(1024)) AS t),
+s AS (SELECT doc_id, t // 64 AS f,
+             ((doc_id * 7919 + t * 2654435761) % 65536) - 32768 AS v
+      FROM d CROSS JOIN t),
+fe AS (SELECT doc_id, f, sum(v * v) AS energy FROM s GROUP BY doc_id, f),
+act AS (SELECT doc_id, f, energy,
+               f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        FROM fe WHERE energy >= 22900000000)
+SELECT doc_id, CAST(min(f) AS INTEGER) AS seg_start,
+       CAST(max(f) AS INTEGER) AS seg_end,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(energy) AS BIGINT) AS sum_energy
+FROM act GROUP BY doc_id, grp
+"""
+
+
+@_register("m11_audio_vad", _M11_ORACLE)
+def m11_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over REAL WAV payloads: synthesize a
+    1024-sample PCM16 waveform per document, encode→decode through the
+    RIFF codec, frame at 64 samples with integer Σv² energy
+    (`audio_frame_energy` — the new framing operator), threshold at the
+    flat-noise expectation, and merge consecutive active frames into
+    segments with the gaps-and-islands window — the speech-segment
+    extraction every audio curation pipeline runs before transcription.
+    Scale shape: synth + framing are two chained mapInPandas passes over
+    the scan (audio bytes never shuffle; 16 integer frame rows per doc
+    continue), then ONE doc-keyed window exchange serves both the island
+    grouping and the per-segment aggregate."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        audio_frame_energy,
+        synth_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = synth_wav(docs, "doc_id", n_samples=1024, sample_rate=16000)
+    frames = audio_frame_energy(wavs, "wav", frame_len=64, id_cols=("doc_id",))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    act = (
+        frames.where(F.col("frame_energy") >= F.lit(22_900_000_000))
+        .withColumn(
+            "grp", F.col("frame_idx").cast("long") - F.row_number().over(w)
+        )
+    )
+    return act.groupBy("doc_id", "grp").agg(
+        F.min("frame_idx").alias("seg_start"),
+        F.max("frame_idx").alias("seg_end"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_energy").cast("bigint").alias("sum_energy"),
+    ).drop("grp")
+
+
+#: x is days since 2023-01-01 (events live in 2024, so x is always
+#: POSITIVE — integer division floors in DuckDB but truncates toward zero
+#: in Spark, and positivity makes them agree; the offset also keeps
+#: n·Σxy ≈ 4e17 at 5× inside int64, where raw epoch-day x would overflow).
+_D21_SQL_BODY = """
+WITH e AS (
+  SELECT event_type,
+         ({EPOCH_US} - 1672531200000000) // 86400000000 AS x,
+         CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS y
+  FROM events),
+s AS (SELECT event_type, count(*) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * y) AS BIGINT) AS sxy,
+        CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM e GROUP BY event_type)
+SELECT event_type, n, sy AS sum_y_e2,
+       CAST(floor((n * sxy - sx * sy) * 1000000e0
+                  / (n * sxx - sx * sx) + 0.5e0) AS BIGINT) AS slope_e6
+FROM s
+"""
+_D21_ORACLE = _D21_SQL_BODY.replace("{EPOCH_US}", "epoch_us(ts)")
+_D21_SPARK = _D21_SQL_BODY.replace(
+    "{EPOCH_US}", "unix_micros(CAST(ts AS TIMESTAMP))"
+).replace("//", "div")
+
+QUERIES["d21_trend_slope"] = QueryDef(
+    _sql_query(("events",), _D21_SPARK), _D21_ORACLE
+)
+#: d21: per-stream OLS trend — slope of value-per-day via the cross-
+#: multiplied normal equations (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²): every
+#: moment is an integer sum (one map-combined 5-group aggregate, ONE
+#: exchange), the division happens once per GROUP on bigints whose double
+#: images are identical in both engines.  The drift/decay detector for
+#: metric monitoring — and the shape showing regression fits as pure
+#: combinable aggregates (no iterative solver for 1-D).
+
+
+_F4_GEO_CTE = f"""
+c AS (SELECT c_custkey, c_acctbal, {CUST_LON_SQL} AS lon, {CUST_LAT_SQL} AS lat
+      FROM customer),
+s AS (SELECT s_suppkey, s_name, s_acctbal,
+             {SUPP_LON_SQL} AS lon, {SUPP_LAT_SQL} AS lat
+      FROM supplier)
+"""
+
+_F4_ORACLE = f"""
+WITH {_F4_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, s.s_name, {_HAV} AS d
+      FROM c CROSS JOIN s
+      WHERE s.s_acctbal > c.c_acctbal)
+SELECT c_custkey, s_suppkey AS supp_key, s_name AS supp_name,
+       CAST(round(d) AS INTEGER) AS dist_m
+FROM p WHERE CAST(round(d) AS INTEGER) <= 800000
+"""
+
+
+@_register("f4_transformer_withindist_condition", _F4_ORACLE)
+def f4_transformer_withindist_condition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full ML-Transformer surface, withindist flavor: catalog dataset (S1)
+    + `withindist 800000` two-phase join (J6) + extra theta condition
+    comparing attributes across sides (J8: ``left.s_acctbal >
+    right.c_acctbal``) + aliasing (P2) + Int-meter distance column (P3) +
+    output repartition (X1) — the one predicate×condition×repartition combo
+    f1–f3 don't cover through the string-param API.  Scale shape: the grid
+    equi-key pre-join bounds candidates to neighbor cells; the theta
+    condition and exact Int-meter re-filter run post-pair, never widening
+    the shuffle."""
+    from spark_ml_spatialjointransformer_spark.transformer import (
+        BroadcastSpatialJoin,
+    )
+
+    suppliers_geo(spark, sf_dir).createOrReplaceTempView("sjt_suppliers_f4")
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "c_acctbal", "lon", "lat")
+    t = BroadcastSpatialJoin(
+        dataset="sjt_suppliers_f4",
+        dataColumns="s_suppkey as supp_key, s_name as supp_name",
+        datasetPoint="lon, lat",
+        inputPoint="lon, lat",
+        predicate="withindist 800000",
+        condition="left.s_acctbal > right.c_acctbal",
+        broadcast="dataset",
+        distanceColumnAlias="dist_m",
+        distanceKernel="haversine",
+        numPartitions="8",
+    )
+    return t.transform(cust).select(
+        "c_custkey", "supp_key", "supp_name", "dist_m"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -9750,6 +10265,10 @@ _DRIVER_UNCHECKED_FIRST = [
     "d18_interval_overlap", "t46_langid_confusion",
     "p10_curation_decisions", "t47_csv_roundtrip", "t48_orc_roundtrip",
     "a25_revenue_momentum", "t49_charset_profile",
+    "g7_coengagement_lift", "d19_seasonality_profile",
+    "a26_market_share", "a27_top_supplier", "a28_bracket_revenue",
+    "g8_markov_transitions", "d20_cusum_changepoint", "j31_grid_dbscan",
+    "m11_audio_vad", "d21_trend_slope", "f4_transformer_withindist_condition",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
