@@ -10228,6 +10228,27 @@ def f4_transformer_withindist_condition(
     )
 
 
+_A29_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000e0 + 0.5e0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+QUERIES["a29_forecast_revenue"] = QueryDef(
+    _sql_query(("lineitem",), _A29_SQL), _A29_SQL
+)
+#: a29: TPC-H Q6 (forecasting revenue change) — the canonical
+#: scan-predicate-aggregate: every predicate reaches the parquet scan as a
+#: PushedFilter, the single global sum map-combines, and exactly ONE row
+#: crosses the final exchange.  With Q6 in, every TPC-H query expressible
+#: over this schema's 7-table subset (no partsupp ⇒ Q2/Q9/Q11/Q16/Q20 are
+#: out of reach) is implemented: Q1,3-8,10,12-15,17-19,21,22.
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -10269,6 +10290,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "a26_market_share", "a27_top_supplier", "a28_bracket_revenue",
     "g8_markov_transitions", "d20_cusum_changepoint", "j31_grid_dbscan",
     "m11_audio_vad", "d21_trend_slope", "f4_transformer_withindist_condition",
+    "a29_forecast_revenue",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
