@@ -36,6 +36,16 @@ def clear_session_state(spark) -> None:
 
     spark.catalog.clearCache()
     try:
+        # unload every loaded streaming state-store provider (HDFS-backed
+        # stores keep their full version maps on-heap per (operator,
+        # partition) — 19 streaming queries × reps pile up hundreds of
+        # providers; r6 showed e2/e12 drifting 2-2.6× across the growing
+        # session).  StateStore lazily restarts on next streaming use.
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass
+    try:
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().valuesIterator()
         while it.hasNext():
             # blocking: a non-blocking unpersist can leave the blocks of 100+

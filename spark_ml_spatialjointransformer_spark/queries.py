@@ -10188,7 +10188,7 @@ p AS (SELECT c.c_custkey, s.s_suppkey, s.s_name, {_HAV} AS d
       WHERE s.s_acctbal > c.c_acctbal)
 SELECT c_custkey, s_suppkey AS supp_key, s_name AS supp_name,
        CAST(round(d) AS INTEGER) AS dist_m
-FROM p WHERE CAST(round(d) AS INTEGER) <= 800000
+FROM p WHERE CAST(round(d) AS INTEGER) <= 400000
 """
 
 
@@ -10197,7 +10197,7 @@ def f4_transformer_withindist_condition(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Full ML-Transformer surface, withindist flavor: catalog dataset (S1)
-    + `withindist 800000` two-phase join (J6) + extra theta condition
+    + `withindist 400000` two-phase join (J6) + extra theta condition
     comparing attributes across sides (J8: ``left.s_acctbal >
     right.c_acctbal``) + aliasing (P2) + Int-meter distance column (P3) +
     output repartition (X1) — the one predicate×condition×repartition combo
@@ -10216,7 +10216,7 @@ def f4_transformer_withindist_condition(
         dataColumns="s_suppkey as supp_key, s_name as supp_name",
         datasetPoint="lon, lat",
         inputPoint="lon, lat",
-        predicate="withindist 800000",
+        predicate="withindist 400000",
         condition="left.s_acctbal > right.c_acctbal",
         broadcast="dataset",
         distanceColumnAlias="dist_m",
@@ -10247,6 +10247,156 @@ QUERIES["a29_forecast_revenue"] = QueryDef(
 #: crosses the final exchange.  With Q6 in, every TPC-H query expressible
 #: over this schema's 7-table subset (no partsupp ⇒ Q2/Q9/Q11/Q16/Q20 are
 #: out of reach) is implemented: Q1,3-8,10,12-15,17-19,21,22.
+
+
+#: the leading digit comes from a bounded integer CASE chain (v_e4 ≤ 5.7e6
+#: has ≤ 7 digits), not log10/string casts — log10 is float (ulp-unsafe at
+#: powers of ten) and CAST-to-string type names differ across engines.
+_D22_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS x
+  FROM events WHERE value > 0
+),
+d AS (
+  SELECT event_type,
+         CASE WHEN x >= 1000000 THEN x / 1000000
+              WHEN x >= 100000 THEN x / 100000
+              WHEN x >= 10000 THEN x / 10000
+              WHEN x >= 1000 THEN x / 1000
+              WHEN x >= 100 THEN x / 100
+              WHEN x >= 10 THEN x / 10
+              ELSE x END AS digit
+  FROM v WHERE x > 0
+),
+c AS (SELECT event_type, CAST(digit AS INTEGER) AS digit, count(*) AS n
+      FROM d GROUP BY 1, 2)
+SELECT event_type, digit, n,
+       CAST(floor(n * 1000000e0
+                  / sum(n) OVER (PARTITION BY event_type) + 0.5e0)
+            AS BIGINT) AS obs_e6,
+       CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                  WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757
+       END AS benford_e6
+FROM c
+"""
+QUERIES["d22_benford_audit"] = QueryDef(
+    _sql_query(("events",), _D22_SQL.replace(" x / ", " x DIV ")),
+    _D22_SQL.replace(" x / ", " x // "),
+)
+#: d22: Benford first-digit audit per event stream — the classic
+#: fabricated-data / unit-mix detector: observed leading-digit shares
+#: (e6-scaled) against Benford's log10(1+1/d) expectation (precomputed
+#: integer constants, so no float enters either engine).  One scan, one
+#: map-combined ≤45-group combine, share window on ≤45 rows.  The only
+#: engine-split spelling is integer division (Spark DIV vs DuckDB //) on
+#: the always-positive mantissa.
+
+
+#: moments go through wide integers: n·Σdy² reaches ~5.6e19 at 5× (type
+#: activity ≈ |events|/5), past int64 — Spark spells the wide tier as
+#: DECIMAL(38,0) (exact, 100 TB-safe, the step above d21's int64
+#: cross-multiplication), DuckDB as its native HUGEINT (int128; a
+#: DECIMAL(38,0)×DECIMAL(38,0) product would exceed DuckDB's max decimal
+#: width).  Both drop to double exactly once, on identical values.
+_G9_BODY = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+du AS (SELECT user_id, count(*) AS dx FROM events GROUP BY 1),
+dt AS (SELECT event_type, count(*) AS dy FROM events GROUP BY 1),
+e AS (SELECT dx, dy FROM ut
+      JOIN du ON ut.user_id = du.user_id
+      JOIN dt ON ut.event_type = dt.event_type),
+s AS (SELECT CAST(count(*) AS {BIG}) AS n,
+             CAST(sum(dx) AS {BIG}) AS sx,
+             CAST(sum(dy) AS {BIG}) AS sy,
+             CAST(sum(dx * dy) AS {BIG}) AS sxy,
+             CAST(sum(dx * dx) AS {BIG}) AS sxx,
+             CAST(sum(dy * dy) AS {BIG}) AS syy
+      FROM e)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000e0
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)) + 0.5e0)
+            AS BIGINT) AS assortativity_e6
+FROM s
+"""
+QUERIES["g9_degree_assortativity"] = QueryDef(
+    _sql_query(("events",), _G9_BODY.replace("{BIG}", "DECIMAL(38, 0)")),
+    _G9_BODY.replace("{BIG}", "HUGEINT"),
+)
+#: g9: activity assortativity of the user↔event-type bipartite graph —
+#: Pearson correlation between endpoint ACTIVITY (total event counts; the
+#: distinct-degree variant is degenerate here — every user touches all 5
+#: types, zero variance) over every incidence edge: do heavy users favor
+#: busy event types?  One distinct exchange builds the edge list; the two
+#: weight frames join back (type side broadcasts, user side reuses the
+#: user partitioning); ONE global moment combine; a single row crosses
+#: the last exchange.
+
+
+_M12_ORACLE = """
+WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
+c AS (SELECT CASE m WHEN 0 THEN 'wav' WHEN 1 THEN 'ppm'
+                    ELSE 'unknown' END AS fmt,
+             CASE m WHEN 0 THEN 108 WHEN 1 THEN 589 ELSE 17 END AS nb
+      FROM d)
+SELECT fmt, count(*) AS n_docs, CAST(sum(nb) AS BIGINT) AS total_bytes
+FROM c GROUP BY fmt
+"""
+
+
+@_register("m12_format_sniff", _M12_ORACLE)
+def m12_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container sniffing over a MIXED-modality corpus: a third of the
+    payloads are real RIFF/WAVE files, a third real PPM P6 images, a third
+    opaque 16-byte blobs; the sniffer classifies by MAGIC BYTES with pure
+    JVM expressions (binary substring vs X'' literals — no Python touches
+    the payload) and rolls up count + byte volume per detected container —
+    the routing/triage step in front of every multimodal decode fan-out
+    (m3/m4 downstream assume their container; this is what dispatches
+    them, and 'unknown' is the poison-row quarantine lane).  Byte sizes
+    come from the typed metadata struct (`with_media_meta`), oracled by
+    the closed-form container arithmetic: WAV = 44-byte header + 2·32
+    samples = 108, PPM 16×12 = 13-byte header + 576 = 589, blob = 17."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        synth_ppm_images,
+        synth_wav,
+        with_media_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wav = synth_wav(
+        docs.where(F.col("doc_id") % 3 == 0), "doc_id", n_samples=32
+    ).withColumnRenamed("wav", "payload")
+    ppm = synth_ppm_images(
+        docs.where(F.col("doc_id") % 3 == 1), "doc_id",
+        width=16, height=12, out_col="payload",
+    )
+    raw = docs.where(F.col("doc_id") % 3 == 2).withColumn(
+        "payload",
+        # 0x00 prefix: md5 bytes are pseudo-random, so 1-in-65536 blobs
+        # would START with a real magic ('BM'/'P6') and sniff as that
+        # container — correct behavior, but the oracle needs the lane
+        # closed-form; a leading NUL matches no magic ever
+        F.expr("concat(X'00', unhex(md5(CAST(doc_id AS STRING))))")
+    )
+    mixed = wav.unionByName(ppm).unionByName(raw)
+    sniffed = mixed.withColumn(
+        "fmt",
+        F.expr(
+            "CASE WHEN substring(payload, 1, 4) = X'52494646'"
+            "      AND substring(payload, 9, 4) = X'57415645' THEN 'wav'"
+            "     WHEN substring(payload, 1, 2) = X'5036' THEN 'ppm'"
+            "     WHEN substring(payload, 1, 2) = X'424D' THEN 'bmp'"
+            "     ELSE 'unknown' END"
+        ),
+    )
+    meta = with_media_meta(sniffed, "payload", mime="application/octet-stream")
+    return meta.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("payload_meta.n_bytes")).cast("bigint")
+        .alias("total_bytes"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10290,7 +10440,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "a26_market_share", "a27_top_supplier", "a28_bracket_revenue",
     "g8_markov_transitions", "d20_cusum_changepoint", "j31_grid_dbscan",
     "m11_audio_vad", "d21_trend_slope", "f4_transformer_withindist_condition",
-    "a29_forecast_revenue",
+    "a29_forecast_revenue", "d22_benford_audit", "g9_degree_assortativity",
+    "m12_format_sniff",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
