@@ -80,7 +80,12 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "96g"))
+        # 32g, NOT the box's full 128g: on a 96g heap the checkpoint-loop
+        # queries (partitioned kNN, closure) ran 2-8x slower with wild
+        # variance (13-43s for a 5.4s query) — G1 defers collection on a
+        # huge heap until mixed cycles land mid-query; at 24-32g the same
+        # queries are stable.  Measured r6: j18 96g=13-43s, 24g=5.4s warm.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
