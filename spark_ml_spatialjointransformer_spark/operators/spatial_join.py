@@ -601,7 +601,14 @@ def prepare_external(df: DataFrame, plan: SpatialJoinPlan) -> DataFrame:
         if side.is_wkt
         else [side.point_columns.lon, side.point_columns.lat]
     )
-    for c in geom_cols + condition_external_columns(plan.condition):
+    # tie_break columns survive pruning even when not projected out —
+    # nearest-ties are broken on them BEFORE the data_columns projection,
+    # and dropping them here surfaced as an unresolved `__sjt_e__<col>`
+    # (r6: j32 asked for k=3 nearest keeping only s_nationkey).  tie_break
+    # names BROADCAST-side columns, which is the INPUT side under
+    # broadcast="input" — keep only the ones that live on this frame.
+    tb_here = [c for c in plan.tie_break if c in df.columns]
+    for c in geom_cols + tb_here + condition_external_columns(plan.condition):
         if c and c not in keep:
             keep.append(c)
     df = df.select(*keep)

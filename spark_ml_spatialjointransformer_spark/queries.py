@@ -10399,6 +10399,144 @@ def m12_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V15_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i
+      FROM e),
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM u GROUP BY vec_id),
+q AS (SELECT vec_id AS q_vec_id, v, i FROM u WHERE vec_id % 500 = 0),
+d AS (SELECT q.q_vec_id, u.vec_id, sum(u.v * q.v) AS dot
+      FROM u JOIN q ON u.i = q.i GROUP BY 1, 2),
+c AS (SELECT d.q_vec_id, d.vec_id, d.dot / sqrt(nq.nn * nv.nn) AS sim,
+             ea.label AS ql, eb.label AS vl
+      FROM d JOIN nrm nq ON nq.vec_id = d.q_vec_id
+             JOIN nrm nv ON nv.vec_id = d.vec_id
+             JOIN e ea ON ea.vec_id = d.q_vec_id
+             JOIN e eb ON eb.vec_id = d.vec_id
+      WHERE d.vec_id != d.q_vec_id)
+SELECT q_vec_id,
+       CAST(round(min(CASE WHEN ql = vl THEN sim END) * 1000000) AS BIGINT)
+         AS hard_pos_e6,
+       CAST(round(max(CASE WHEN ql <> vl THEN sim END) * 1000000) AS BIGINT)
+         AS hard_neg_e6,
+       CAST(round((min(CASE WHEN ql = vl THEN sim END)
+                   - max(CASE WHEN ql <> vl THEN sim END)) * 1000000)
+            AS BIGINT) AS margin_e6
+FROM c GROUP BY q_vec_id
+"""
+
+
+@_register("v15_triplet_mining", _V15_ORACLE)
+def v15_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for metric-learning curation: per anchor (every
+    500th vector), the HARDEST positive (lowest cosine among same-label
+    vectors) and HARDEST negative (highest cosine among other-label
+    vectors), plus the margin between them — the triplet-selection pass
+    that decides which examples are worth a contrastive gradient, and the
+    per-anchor health report for an embedding space (negative margin ⇒ an
+    imposter sits inside the class boundary).  Scale shape: identical to
+    v1's exact-kNN contract — anchors broadcast (bounded set), dot
+    products stay JVM-side (zip_with fold), and the per-anchor reduction
+    is a CONDITIONAL min/max aggregate (map-side combinable, no rank
+    window, and min/max over doubles has no tie-order sensitivity)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    norms = emb.withColumn("nn", dot(F.col("emb"), F.col("emb")))
+    q = (
+        norms.filter(F.col("vec_id") % 500 == 0)
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("label").alias("ql"),
+            F.col("emb").alias("qemb"),
+            F.col("nn").alias("qnn"),
+        )
+    )
+    sims = (
+        norms.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id", "ql", "label",
+            (dot(F.col("emb"), F.col("qemb"))
+             / F.sqrt(F.col("qnn") * F.col("nn"))).alias("sim"),
+        )
+    )
+    hp = F.min(F.when(F.col("ql") == F.col("label"), F.col("sim")))
+    hn = F.max(F.when(F.col("ql") != F.col("label"), F.col("sim")))
+    return sims.groupBy("q_vec_id").agg(
+        F.round(hp * 1000000).cast("bigint").alias("hard_pos_e6"),
+        F.round(hn * 1000000).cast("bigint").alias("hard_neg_e6"),
+        F.round((hp - hn) * 1000000).cast("bigint").alias("margin_e6"),
+    )
+
+
+@_register(
+    "j32_knn_classify",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, s.s_nationkey, {_HAV} AS d
+      FROM c CROSS JOIN s),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY d, s_suppkey) AS rn
+      FROM p),
+v AS (SELECT c_custkey, s_nationkey, count(*) AS n_votes
+      FROM r WHERE rn <= 3 GROUP BY 1, 2),
+m AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY n_votes DESC, s_nationkey) AS mr
+      FROM v)
+SELECT c_custkey, CAST(s_nationkey AS INTEGER) AS pred_nation,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM m WHERE mr = 1
+""",
+)
+def j32_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial kNN CLASSIFICATION: label every customer with the majority
+    nation among its 3 nearest suppliers (ties → smallest nation id) —
+    the inference shape of a geo kNN classifier (the join is the model).
+    Scale shape: the k=3 retrieval is the zero-shuffle broadcast-kNN fast
+    path (j16's contract); the vote is a (customer, nation) combine whose
+    rank window re-partitions ≤3 rows per customer."""
+    from pyspark.sql.window import Window
+
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_nationkey", "supp_nation"),),
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("s_suppkey",),
+        k=3,
+    )
+    knn = spatial_join(cust, supp, plan)
+    votes = knn.groupBy("c_custkey", "supp_nation").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("n_votes").desc(), F.col("supp_nation")
+    )
+    return (
+        votes.withColumn("mr", F.row_number().over(w))
+        .where(F.col("mr") == 1)
+        .select(
+            "c_custkey",
+            F.col("supp_nation").cast("int").alias("pred_nation"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -10441,7 +10579,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "g8_markov_transitions", "d20_cusum_changepoint", "j31_grid_dbscan",
     "m11_audio_vad", "d21_trend_slope", "f4_transformer_withindist_condition",
     "a29_forecast_revenue", "d22_benford_audit", "g9_degree_assortativity",
-    "m12_format_sniff",
+    "m12_format_sniff", "v15_triplet_mining", "j32_knn_classify",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",

@@ -808,3 +808,39 @@ def test_transformer_num_neighbors_k3(spark):
         t.save(d + "/m")
         loaded = BroadcastSpatialJoin.load(d + "/m")
         assert loaded.getOrDefault(loaded.numNeighbors) == "3"
+
+
+def test_tie_break_column_survives_pruning(spark):
+    """A tie_break column NOT projected via data_columns must still be
+    available for ordering (r6 regression: the external-side pruning
+    dropped it, failing with an unresolved `__sjt_e__<col>`)."""
+    from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from spark_ml_spatialjointransformer_spark.plans.config import (
+        PointColumns,
+        SideConfig,
+        SpatialJoinPlan,
+    )
+    from spark_ml_spatialjointransformer_spark.sources.tables import (
+        customers_geo,
+        suppliers_geo,
+    )
+
+    P = SideConfig(point_columns=PointColumns("lon", "lat"))
+    sf = "/root/testdata/sf0.001"
+    cust = customers_geo(spark, sf).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=P,
+        input_side=P,
+        data_columns=(("s_nationkey", "supp_nation"),),  # no s_suppkey
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("s_suppkey",),
+        k=3,
+    )
+    out = spatial_join(cust, supp, plan)
+    assert out.count() == cust.count() * 3
+    assert "supp_nation" in out.columns and "s_suppkey" not in out.columns
