@@ -346,6 +346,45 @@ def image_stats(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def image_sharpness(
+    df: DataFrame, binary_col: str, prefix: str = "img_"
+) -> DataFrame:
+    """Blur/quality metric: decode each payload and emit the integer sum of
+    |horizontal second differences| of the per-pixel luma (R+G+B) — the
+    1-D Laplacian-energy proxy every image-curation pipeline thresholds to
+    drop blurry/flat frames (a blurred image has small second differences;
+    all-integer, so a SQL oracle replays it exactly).  mapInPandas over the
+    scan, partition-preserving; undecodable payloads yield NULL."""
+    ensure_udf_portability()
+    fields = df.schema.fields + [
+        T.StructField(f"{prefix}sharpness", T.LongType()),
+        T.StructField(f"{prefix}n_px", T.IntegerType()),
+    ]
+    out_schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sharps, npx = [], []
+            for b in pdf[binary_col]:
+                img = decode_image(b)
+                if img is None:
+                    sharps.append(None)
+                    npx.append(None)
+                    continue
+                luma = img.astype(np.int64).sum(axis=2)
+                d2 = luma[:, :-2] - 2 * luma[:, 1:-1] + luma[:, 2:]
+                sharps.append(int(np.abs(d2).sum()))
+                npx.append(int(luma.size))
+            yield pdf.assign(
+                **{
+                    f"{prefix}sharpness": pd.array(sharps, dtype="Int64"),
+                    f"{prefix}n_px": pd.array(npx, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def image_ahash(
     df: DataFrame, binary_col: str, out_col: str = "ahash"
 ) -> DataFrame:

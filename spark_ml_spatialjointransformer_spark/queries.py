@@ -10537,6 +10537,120 @@ def j32_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j33_reverse_knn",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d FROM c CROSS JOIN s),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY d, s_suppkey) AS rn
+      FROM p),
+cnt AS (SELECT s_suppkey, count(*) AS n FROM r WHERE rn = 1 GROUP BY 1)
+SELECT s.s_suppkey, s.s_name AS supp_name,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_customers
+FROM s LEFT JOIN cnt ON cnt.s_suppkey = s.s_suppkey
+""",
+)
+def j33_reverse_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVERSE nearest neighbor: for every supplier, how many customers
+    have it as their #1 nearest — the coverage/cannibalization report
+    behind facility placement and assignment balancing (zero-count rows
+    matter most: suppliers no customer would route to).  Scale shape: the
+    forward kNN is the zero-shuffle broadcast fast path; the inversion is
+    a |suppliers|-group combine; the zero-fill joins the supplier dim
+    (broadcast) LEFT against the counts."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("s_suppkey",),
+    )
+    cnt = (
+        spatial_join(cust, supp, plan)
+        .groupBy("supp_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        supp.select("s_suppkey", "s_name")
+        .join(cnt, supp["s_suppkey"] == cnt["supp_key"], "left")
+        .select(
+            "s_suppkey",
+            F.col("s_name").alias("supp_name"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+            .alias("n_customers"),
+        )
+    )
+
+
+_T50_SQL = """
+SELECT doc_id,
+       CAST(floor((length(text)
+                   - length(translate(text, '{}();=<>[]#', '')))
+                  * 1000000e0 / length(text) + 0.5e0) AS BIGINT) AS sym_e6,
+       CASE WHEN (length(text)
+                  - length(translate(text, '{}();=<>[]#', '')))
+                 * 1000000 >= 30000 * length(text)
+            THEN 1 ELSE 0 END AS is_code
+FROM documents WHERE length(text) > 0
+"""
+QUERIES["t50_code_detection"] = QueryDef(
+    _sql_query(("documents",), _T50_SQL), _T50_SQL
+)
+#: t50: code-vs-prose routing — the symbol-density heuristic ({}();=<>[]#
+#: share of characters, e6-scaled) that decides which documents go to the
+#: code pipeline vs the prose one; the flag itself is the exact integer
+#: cross-multiplication (3% threshold), so no ratio rounding leaks into
+#: the routing decision.  One scan, pure length/translate codegen
+#: identities, zero shuffles before the driver-bound result.
+
+
+#: m13 replays the synth pixels in SQL: luma(x,y) = R+G+B with the m3/m5
+#: formulas, and the sharpness is Σ|luma(x−1,y) − 2·luma(x,y) + luma(x+1,y)|
+#: — three shifted copies of the SAME closed form joined on (doc, y, x).
+_M13_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+xo AS (SELECT unnest(range(16)) AS x), yo AS (SELECT unnest(range(12)) AS y),
+p AS (SELECT doc_id, x, y,
+             (3 * x + 5 * y + doc_id) % 256
+             + (x + 2 * y) % 256
+             + (doc_id + x * y) % 256 AS luma
+      FROM d CROSS JOIN xo CROSS JOIN yo)
+SELECT a.doc_id,
+       CAST(sum(abs(a.luma - 2 * b.luma + c.luma)) AS BIGINT) AS sharpness,
+       CAST(192 AS INTEGER) AS n_px
+FROM p a
+JOIN p b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+JOIN p c ON c.doc_id = a.doc_id AND c.y = a.y AND c.x = a.x + 2
+GROUP BY a.doc_id
+"""
+
+
+@_register("m13_blur_metric", _M13_ORACLE)
+def m13_blur_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image blur/quality gate over REAL codec round-trips: synthesize a
+    16×12 PPM per document, decode it, and score sharpness as the integer
+    sum of |horizontal second differences| of the per-pixel luma
+    (`image_sharpness` — the 1-D Laplacian-energy proxy that image
+    curation thresholds to drop blurry/flat frames).  Scale shape: two
+    chained mapInPandas passes over the scan (synth, then decode+score),
+    partition-preserving, pixels never shuffle — only (doc_id, int64)
+    continues; the oracle replays the pixels from first principles."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        image_sharpness,
+        synth_ppm_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = synth_ppm_images(docs, "doc_id", width=16, height=12)
+    scored = image_sharpness(imgs, "img", prefix="")
+    return scored.select("doc_id", "sharpness", "n_px")
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -10580,6 +10694,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "m11_audio_vad", "d21_trend_slope", "f4_transformer_withindist_condition",
     "a29_forecast_revenue", "d22_benford_audit", "g9_degree_assortativity",
     "m12_format_sniff", "v15_triplet_mining", "j32_knn_classify",
+    "j33_reverse_knn", "t50_code_detection", "m13_blur_metric",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
