@@ -10651,6 +10651,124 @@ def m13_blur_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "sharpness", "n_px")
 
 
+_E19_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+         AS sum_value_e4
+FROM events WHERE user_id % 11 <> 0
+GROUP BY event_type
+"""
+
+
+@_register("e19_bloom_stream", _E19_ORACLE)
+def e19_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination: Bloom-bitmap pre-prune (Arrow kernel
+    over a broadcast 128 KiB bitmap) inside the micro-batch pipeline,
+    with Bloom-positives confirmed by an exact stream-static join — the
+    live twin of batch t31's prune-then-confirm contract, held to the
+    plain batch anti-join oracle (Bloom false positives are cleared by
+    the exact join; false negatives are impossible)."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        bloom_decontaminated_stream,
+        run_to_memory,
+    )
+
+    name = "q_e19_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return run_to_memory(
+        bloom_decontaminated_stream(spark, f"{sf_dir}/events.parquet"), name,
+        output_mode="complete",
+    )
+
+
+#: EPOCH_US(col) resolves to epoch_us(col) on DuckDB and
+#: unix_micros(CAST(col AS TIMESTAMP)) on Spark; IDIV to `//` / `DIV`.
+#: Order days are positive, so floor-div and trunc-div agree.
+_D23_BODY = """
+WITH o AS (SELECT o_custkey,
+                  EPOCH_US(o_orderdate) IDIV 86400000000 AS day
+           FROM orders),
+cnt AS (SELECT o_custkey, count(*) AS n_orders FROM o GROUP BY 1),
+cust AS (SELECT c_custkey, n_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey),
+rr AS (SELECT n_name, count(*) AS n_buyers,
+              CAST(floor(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                         * 1000000e0 / count(*) + 0.5e0) AS BIGINT)
+                AS repeat_rate_e6
+       FROM cnt JOIN cust ON o_custkey = c_custkey GROUP BY 1),
+g AS (SELECT n_name, gap FROM (
+        SELECT o_custkey,
+               day - lag(day) OVER (PARTITION BY o_custkey
+                                    ORDER BY day) AS gap
+        FROM o) x
+      JOIN cust ON x.o_custkey = cust.c_custkey WHERE gap IS NOT NULL),
+r AS (SELECT n_name, gap,
+             row_number() OVER (PARTITION BY n_name ORDER BY gap) AS rn,
+             count(*) OVER (PARTITION BY n_name) AS n FROM g),
+q AS (SELECT n_name,
+             CAST(max(CASE WHEN rn = (n + 1) IDIV 2 THEN gap END)
+                  AS BIGINT) AS median_gap_days,
+             CAST(max(CASE WHEN rn = (9 * n + 9) IDIV 10 THEN gap END)
+                  AS BIGINT) AS p90_gap_days
+      FROM r GROUP BY 1)
+SELECT rr.n_name, rr.n_buyers, rr.repeat_rate_e6,
+       q.median_gap_days, q.p90_gap_days
+FROM rr JOIN q ON rr.n_name = q.n_name
+"""
+_D23_ORACLE = _D23_BODY.replace(
+    "EPOCH_US(o_orderdate)", "epoch_us(o_orderdate)"
+).replace(" IDIV ", " // ")
+_D23_SPARK = _D23_BODY.replace(
+    "EPOCH_US(o_orderdate)", "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+).replace(" IDIV ", " DIV ")
+
+QUERIES["d23_repeat_cadence"] = QueryDef(
+    _sql_query(("orders", "customer", "nation"), _D23_SPARK), _D23_ORACLE
+)
+#: d23: repeat-purchase cadence per nation — repeat rate (integer
+#: cross-multiplied e6) plus EXACT lower-median and p90 inter-order gaps
+#: via order statistics (row_number against (n+1)/2 and ceil(0.9n) —
+#: order statistics of a multiset are tie-permutation invariant, so no
+#: approx-percentile nondeterminism).  One customer-keyed window builds
+#: gaps; the per-nation rank window sorts gap rows per nation once.
+
+
+_A30_SQL = """
+WITH s AS (SELECT o_custkey,
+                  CAST(sum(CAST(floor(o_totalprice * 100e0 + 0.5e0)
+                                AS BIGINT)) AS BIGINT) AS rev
+           FROM orders GROUP BY 1),
+j AS (SELECT n_name, rev, c_custkey
+      FROM s JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey),
+r AS (SELECT n_name, rev,
+             sum(rev) OVER (PARTITION BY n_name
+                            ORDER BY rev DESC, c_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(rev) OVER (PARTITION BY n_name) AS tot,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY rev DESC, c_custkey) AS rn,
+             count(*) OVER (PARTITION BY n_name) AS n
+      FROM j)
+SELECT n_name,
+       CAST(min(CASE WHEN cum * 100 >= tot * 80 THEN rn END) AS BIGINT)
+         AS top_n_for_80pct,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(floor(min(CASE WHEN cum * 100 >= tot * 80 THEN rn END)
+                  * 1000000e0 / max(n) + 0.5e0) AS BIGINT) AS share_e6
+FROM r GROUP BY n_name
+"""
+QUERIES["a30_revenue_pareto"] = QueryDef(
+    _sql_query(("orders", "customer", "nation"), _A30_SQL), _A30_SQL
+)
+#: a30: Pareto concentration per market — the smallest customer set
+#: covering 80% of revenue (cumulative window over the per-customer
+#: rollup, integer cross-multiplied threshold).  ONE nation exchange
+#: serves the running sum, the totals, and the rank; the per-customer
+#: rollup map-combines on o_custkey before anything sorts.
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -10695,6 +10813,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "a29_forecast_revenue", "d22_benford_audit", "g9_degree_assortativity",
     "m12_format_sniff", "v15_triplet_mining", "j32_knn_classify",
     "j33_reverse_knn", "t50_code_detection", "m13_blur_metric",
+    "e19_bloom_stream", "d23_repeat_cadence", "a30_revenue_pareto",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",

@@ -992,3 +992,59 @@ def latest_state_upsert_stream(spark: SparkSession, events_path: str) -> DataFra
                                          "event_id LONG, event_type STRING, "
                                          "value_e4 LONG")
     return spark.read.parquet(current[0]).select(*cols)
+
+
+def bloom_decontaminated_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination with a Bloom pre-prune: events whose
+    user_id sits on a denylist must be dropped from the live aggregate.
+    The fast lane tests each micro-batch row against a broadcast 128 KiB
+    Bloom bitmap (vectorized Arrow kernel — `operators/bloom.py`, the same
+    filter the batch t31 path uses); definite non-members skip the join
+    entirely, and only Bloom-positive rows (the denylist and its ~1% false
+    positives) take the EXACT stream-static left join that confirms or
+    clears them.  False negatives are impossible, so the stream's final
+    per-type totals must equal the batch anti-join oracle hash-for-hash.
+
+    Scale shape: the denylist collect is bounded by the user dimension
+    (ids only, with an explicit guard) and builds a constant-size bitmap;
+    the per-batch cost is one Arrow pass + a broadcast join probed by
+    ~denylist-rate of the stream, not by the stream itself."""
+    from spark_ml_spatialjointransformer_spark.operators.bloom import (
+        bloom_member_col,
+    )
+
+    ensure_udf_portability()
+    d = _as_stream_dir(sf_dir)
+    bad = (
+        spark.read.parquet(d)
+        .select("user_id")
+        .where(F.col("user_id") % 11 == 0)
+        .distinct()
+    )
+    bad_ids = [r[0] for r in bad.collect()]
+    if len(bad_ids) > 2_000_000:  # ids-only dimension; loud past ~16 MB
+        raise ValueError(
+            f"bloom_decontaminated_stream: denylist {len(bad_ids)} ids "
+            "exceeds the driver build bound — build the bitmap "
+            "distributed (treeAggregate over partitions) instead"
+        )
+    member = bloom_member_col(spark, bad_ids)
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "__maybe", member(F.col("user_id"))
+    )
+    clean_fast = ev.where(~F.col("__maybe"))
+    confirmed = (
+        ev.where(F.col("__maybe"))
+        .join(bad.withColumn("__bad", F.lit(1)), "user_id", "left_outer")
+        .where(F.col("__bad").isNull())
+        .drop("__bad")
+    )
+    kept = clean_fast.unionByName(confirmed)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "CAST(sum(CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("sum_value_e4"),
+    )
