@@ -10769,6 +10769,133 @@ QUERIES["a30_revenue_pareto"] = QueryDef(
 #: rollup map-combines on o_custkey before anything sorts.
 
 
+#: sign bits pack into TWO 32-bit halves per 64-d vector — a single 64-bit
+#: word would need `1 << 63`, which overflows int64 in both engines; two
+#: halves keep every shift value positive and the Hamming distance is just
+#: the sum of the two popcounts.
+_V16_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i
+      FROM e),
+w AS (SELECT vec_id,
+        bit_or(CASE WHEN i <= 32 AND v > 0
+                    THEN 1::BIGINT << (i - 1) ELSE 0 END) AS lo,
+        bit_or(CASE WHEN i > 32 AND v > 0
+                    THEN 1::BIGINT << (i - 33) ELSE 0 END) AS hi
+      FROM u GROUP BY vec_id),
+q AS (SELECT vec_id AS q_vec_id, lo AS qlo, hi AS qhi FROM w
+      WHERE vec_id % 500 = 0),
+h AS (SELECT q.q_vec_id, w.vec_id,
+             bit_count(xor(w.lo, q.qlo)) + bit_count(xor(w.hi, q.qhi)) AS ham
+      FROM w CROSS JOIN q WHERE w.vec_id != q.q_vec_id),
+cand AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                      ORDER BY ham, vec_id) AS hrn
+         FROM h),
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM u GROUP BY vec_id),
+qd AS (SELECT vec_id AS q_vec_id, v, i FROM u WHERE vec_id % 500 = 0),
+dots AS (SELECT c.q_vec_id, c.vec_id, c.ham, sum(u.v * qd.v) AS dot
+         FROM cand c
+         JOIN u ON u.vec_id = c.vec_id
+         JOIN qd ON qd.q_vec_id = c.q_vec_id AND qd.i = u.i
+         WHERE c.hrn <= 50
+         GROUP BY c.q_vec_id, c.vec_id, c.ham),
+sims AS (SELECT d.q_vec_id, d.vec_id, d.ham,
+                d.dot / sqrt(nq.nn * nv.nn) AS sim
+         FROM dots d
+         JOIN nrm nq ON nq.vec_id = d.q_vec_id
+         JOIN nrm nv ON nv.vec_id = d.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY sim DESC, vec_id) AS rn
+      FROM sims)
+SELECT q_vec_id, vec_id AS neighbor_id, CAST(ham AS INTEGER) AS hamming,
+       CAST(round(sim * 1000000) AS BIGINT) AS cos_e6
+FROM r WHERE rn <= 10
+"""
+
+_PACK = (
+    "aggregate(zip_with(slice(emb, {off}, 32), sequence(0, 31),"
+    " (v, i) -> IF(v > 0D, shiftleft(CAST(1 AS BIGINT), i),"
+    " CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a | x)"
+)
+
+
+@_register("v16_binary_quant_rerank", _V16_ORACLE)
+def v16_binary_quant_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval with exact rerank — the 1-bit tier of
+    the quantization ladder (v10 SQ8, v8/v12 PQ): each 64-d vector
+    collapses to its 64 SIGN BITS (two 32-bit words, packed JVM-side with
+    a fold of shifts — 32 B/vector, a 8× compression over float32), the
+    candidate stage ranks by HAMMING distance (two XOR+popcounts — the
+    reason this tier wins at 100 TB: no float touches the scan), and only
+    the top-50 candidates per query pay the exact-cosine rerank.  Output
+    pins both the Hamming and the reranked cosine, so the oracle checks
+    the full two-stage contract."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    w = emb.select(
+        "vec_id", "emb",
+        F.expr(_PACK.format(off=1)).alias("lo"),
+        F.expr(_PACK.format(off=33)).alias("hi"),
+    )
+    q = (
+        w.filter(F.col("vec_id") % 500 == 0)
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("emb").alias("qemb"),
+            F.col("lo").alias("qlo"), F.col("hi").alias("qhi"),
+        )
+    )
+    ham = (
+        w.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id", "vec_id", "emb", "qemb",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            ).alias("ham"),
+        )
+    )
+    hw = Window.partitionBy("q_vec_id").orderBy("ham", "vec_id")
+    cand = ham.withColumn("hrn", F.row_number().over(hw)).filter(
+        F.col("hrn") <= 50
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    sims = cand.select(
+        "q_vec_id", "vec_id", "ham",
+        (
+            dot(F.col("emb"), F.col("qemb"))
+            / F.sqrt(
+                dot(F.col("emb"), F.col("emb"))
+                * dot(F.col("qemb"), F.col("qemb"))
+            )
+        ).alias("sim"),
+    )
+    rw = Window.partitionBy("q_vec_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("ham").cast("int").alias("hamming"),
+            F.round(F.col("sim") * 1000000).cast("bigint").alias("cos_e6"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -10814,6 +10941,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "m12_format_sniff", "v15_triplet_mining", "j32_knn_classify",
     "j33_reverse_knn", "t50_code_detection", "m13_blur_metric",
     "e19_bloom_stream", "d23_repeat_cadence", "a30_revenue_pareto",
+    "v16_binary_quant_rerank",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
