@@ -10896,6 +10896,41 @@ def v16_binary_quant_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: signed flow: purchase/signup credit, everything else debits — value
+#: alone is non-negative, so the raw cumulative sum is monotone and its
+#: drawdown degenerately zero; the signed series is the real shape.
+_D24_BODY = """
+WITH e AS (SELECT user_id, ts, event_id,
+                  CASE WHEN event_type IN ('purchase', 'signup')
+                       THEN CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)
+                       ELSE -CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)
+                  END AS v
+           FROM events),
+c AS (SELECT user_id,
+             sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             ts, event_id
+      FROM e),
+r AS (SELECT user_id, cum,
+             max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM c)
+SELECT user_id,
+       CAST(max(peak) AS BIGINT) AS peak_e4,
+       CAST(max(peak - cum) AS BIGINT) AS max_drawdown_e4,
+       count(*) AS n_events
+FROM r GROUP BY user_id
+"""
+QUERIES["d24_user_drawdown"] = QueryDef(
+    _sql_query(("events",), _D24_BODY), _D24_BODY
+)
+#: d24: running peak-to-trough drawdown per user over the signed event
+#: flow — the exposure/churn-risk statistic (how far below their high-water
+#: mark did each user sink).  ONE user-keyed exchange serves the cumulative
+#: sum, the running max, and the final rollup (same partition spec, three
+#: Window passes, no re-shuffle).
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -10941,7 +10976,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "m12_format_sniff", "v15_triplet_mining", "j32_knn_classify",
     "j33_reverse_knn", "t50_code_detection", "m13_blur_metric",
     "e19_bloom_stream", "d23_repeat_cadence", "a30_revenue_pareto",
-    "v16_binary_quant_rerank",
+    "v16_binary_quant_rerank", "d24_user_drawdown",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
