@@ -1084,8 +1084,13 @@ def _broadcast_knn(
     lgx, lgy = f"__sjt_{lt}_gx", f"__sjt_{lt}_gy"
     distance_column = plan.distance_column
     is_geodesic = plan.distance_kernel != "haversine"
-    # bound the B×R temp matrices (vincenty allocates ~10 temporaries)
-    max_cells = 2_000_000 if is_geodesic else 8_000_000
+    # bound the B×R temp matrices.  Sized for CACHE, not just memory: the
+    # haversine chain allocates ~8 full-size temporaries, and at 8M cells
+    # (64 MB each) every op round-trips DRAM — measured r6: 8M-cell chunks
+    # ran the same task 5x slower than 1M-cell chunks (6.5 s vs 1.3 s for
+    # 11.7M pairs; vincenty's iterated temporaries: 76 s at 2M vs 45 s at
+    # 125k cells).
+    max_cells = 125_000 if is_geodesic else 1_000_000
 
     k = plan.k
 

@@ -10931,6 +10931,93 @@ QUERIES["d24_user_drawdown"] = QueryDef(
 #: Window passes, no re-shuffle).
 
 
+_T51_ORACLE = f"""
+WITH p AS (SELECT doc_id, {h60_sql("substring(text, 1, 200)")} AS ph
+           FROM documents),
+k AS (SELECT ph, min(doc_id) AS keeper FROM p GROUP BY ph)
+SELECT p.doc_id, k.keeper,
+       CASE WHEN p.doc_id = k.keeper THEN 0 ELSE 1 END AS is_dup
+FROM p JOIN k ON p.ph = k.ph
+"""
+
+
+@_register("t51_prefix_dedup", _T51_ORACLE)
+def t51_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup — the web-crawl heuristic for same-page-different-tail
+    duplicates (boilerplate headers, truncated mirrors, pagination): docs
+    sharing an identical 200-char prefix collapse to the minimum-id
+    keeper.  Scale shape: the shuffle key is the 8-byte h60 of the prefix
+    (text never shuffles — the classic trap here is grouping on the raw
+    200-char string); one fingerprint combine + a min-window back-join.
+    Complements t2 (whole-content fingerprint) and t25 (chunk-level):
+    prefix dedup catches pairs whose TAILS differ, which both miss."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", h60_col(F.substring("text", 1, 200)).alias("ph")
+    )
+    w = Window.partitionBy("ph")
+    return (
+        docs.withColumn("keeper", F.min("doc_id").over(w))
+        .select(
+            "doc_id", "keeper",
+            F.when(F.col("doc_id") == F.col("keeper"), 0)
+            .otherwise(1).alias("is_dup"),
+        )
+    )
+
+
+@_register(
+    "j34_assignment_margin",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, {_HAV} AS d FROM c CROSS JOIN s),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY d, s_suppkey) AS rn
+      FROM p)
+SELECT c_custkey,
+       CAST(max(CASE WHEN rn = 1 THEN round(d) END) AS INTEGER) AS d1_m,
+       CAST(max(CASE WHEN rn = 2 THEN round(d) END) AS INTEGER) AS d2_m,
+       CAST(max(CASE WHEN rn = 2 THEN round(d) END)
+            - max(CASE WHEN rn = 1 THEN round(d) END) AS BIGINT) AS margin_m
+FROM r WHERE rn <= 2 GROUP BY c_custkey
+"""
+)
+def j34_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment-confidence margin: per customer, the Int-meter distance
+    to its 1st and 2nd nearest supplier and the gap between them — the
+    spatial twin of v15's triplet margin (a small margin means the
+    nearest-facility assignment flips under tiny position error; siting
+    and territory tools threshold exactly this).  Scale shape: one k=2
+    broadcast-kNN retrieval, then a per-customer conditional-max pivot
+    (map-side combinable; no second window)."""
+    from pyspark.sql.window import Window
+
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("s_suppkey",),
+        k=2,
+    )
+    knn = spatial_join(cust, supp, plan)
+    w = Window.partitionBy("c_custkey").orderBy("dist_m", "supp_key")
+    ranked = knn.withColumn("rn", F.row_number().over(w))
+    d1 = F.max(F.when(F.col("rn") == 1, F.col("dist_m")))
+    d2 = F.max(F.when(F.col("rn") == 2, F.col("dist_m")))
+    return ranked.groupBy("c_custkey").agg(
+        d1.cast("int").alias("d1_m"),
+        d2.cast("int").alias("d2_m"),
+        (d2.cast("bigint") - d1.cast("bigint")).alias("margin_m"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: queries the driver has never green-lit are surfaced
 # FIRST so a truncating or time-budgeted driver checks them before the
@@ -10976,7 +11063,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "m12_format_sniff", "v15_triplet_mining", "j32_knn_classify",
     "j33_reverse_knn", "t50_code_detection", "m13_blur_metric",
     "e19_bloom_stream", "d23_repeat_cadence", "a30_revenue_pareto",
-    "v16_binary_quant_rerank", "d24_user_drawdown",
+    "v16_binary_quant_rerank", "d24_user_drawdown", "t51_prefix_dedup",
+    "j34_assignment_margin",
     "a10_grouping_sets", "t34_pmi_collocations", "t35_containment_dedup",
     "j24_bucketed_spatial",
     "e14_asof_stream", "v8_pq_adc_topk", "d10_retention_cohorts",
