@@ -610,3 +610,57 @@ class TestTransformWithState:
             }
 
         assert finals(out) == finals(legacy)
+
+
+def test_audio_frame_energy_known_waveform(spark):
+    """Framing against a hand-computable waveform: constant amplitude A
+    over n samples framed at f gives ceil(n/f) frames, each full frame
+    with energy f·A², the trailing partial with (n mod f)·A²."""
+    import numpy as np
+
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        audio_frame_energy,
+        encode_wav,
+    )
+
+    wav = encode_wav(np.full(10, 3, dtype=np.int64))  # 10 samples of A=3
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id LONG, wav BINARY")
+    rows = sorted(
+        audio_frame_energy(df, "wav", frame_len=4, id_cols=("doc_id",))
+        .collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [(r.frame_idx, r.frame_energy) for r in rows] == [
+        (0, 4 * 9), (1, 4 * 9), (2, 2 * 9)  # trailing partial frame kept
+    ]
+    # undecodable payload is dropped, not poisoned
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"not a wav"))], "doc_id LONG, wav BINARY"
+    )
+    assert audio_frame_energy(bad, "wav").count() == 0
+
+
+def test_image_sharpness_flat_vs_step(spark):
+    """A constant image has zero second differences; a vertical step edge
+    contributes |Δ²| = step at the two columns bracketing the edge, per
+    row and per channel."""
+    import numpy as np
+
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        encode_ppm,
+        image_sharpness,
+    )
+
+    flat = np.full((4, 6, 3), 7, dtype=np.uint8)
+    step = np.zeros((4, 6, 3), dtype=np.uint8)
+    step[:, 3:, :] = 10  # luma jumps 30 between x=2 and x=3
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(flat))), (2, bytearray(encode_ppm(step)))],
+        "doc_id LONG, img BINARY",
+    )
+    got = {r.doc_id: (r.sharpness, r.n_px)
+           for r in image_sharpness(df, "img", prefix="").collect()}
+    assert got[1] == (0, 24)
+    # per row: |luma[1]-2*luma[2]+luma[3]| = 30 at x-window (2,3,4)... and
+    # 30 at (1,2,3): two windows see the edge -> 2*30 per row, 4 rows
+    assert got[2] == (4 * 2 * 30, 24)
