@@ -170,7 +170,23 @@ def triangles_per_node(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
         e0.select(F.col("b").alias("u"))
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
-    key = (F.col("__d") * _ORIENT_KEY).cast("long")
+    # ids at/above the multiplier would collide the packed key (e.g.
+    # deg=2,id=5 vs deg=1,id=10000005) and silently undercount — fail
+    # loud instead.  The guard rides inside the key expression (coalesce
+    # of an always-NULL assert) so Catalyst cannot prune it and it costs
+    # no extra job.
+    _guard = F.coalesce(
+        F.assert_true(
+            F.col("u") < _ORIENT_KEY,
+            F.lit(
+                "triangles_per_node: node id >= 10^7 collides the packed "
+                "(degree, id) orientation key — densify ids first "
+                "(e.g. zipWithIndex-style re-map) or raise _ORIENT_KEY"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    key = (F.col("__d") * _ORIENT_KEY + _guard).cast("long")
     ka = deg.select(F.col("u").alias("a"), (key + F.col("u")).alias("__ka"))
     kb = deg.select(F.col("u").alias("b"), (key + F.col("u")).alias("__kb"))
     lt = F.col("__ka") < F.col("__kb")

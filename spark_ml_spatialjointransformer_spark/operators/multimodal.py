@@ -169,8 +169,18 @@ def sample_frames(
 def _decode_ppm(data: bytes):
     """Binary PPM (P6) → (H, W, 3) uint8 array, or None if malformed.
     Parses the whitespace/comment-tolerant header per the netpbm spec."""
+    return _decode_ppm_ex(data)[0]
+
+
+def _decode_ppm_ex(data: bytes):
+    """Like ``_decode_ppm`` but also returns the exact byte length this
+    frame occupied: ``(img | None, consumed)``.  Concatenated-frame
+    walkers MUST use the returned length rather than re-deriving the
+    header ``encode_ppm`` would have written — any netpbm-legal
+    whitespace/comment variation in the header would otherwise desync
+    the cursor and silently corrupt every later frame."""
     if not data.startswith(b"P6"):
-        return None
+        return None, 0
     # header: magic, width, height, maxval — tokens separated by whitespace,
     # '#' comments run to end of line; ONE whitespace byte after maxval,
     # then raw RGB
@@ -180,7 +190,7 @@ def _decode_ppm(data: bytes):
         if c == b"#":
             nl = data.find(b"\n", pos)
             if nl == -1:
-                return None
+                return None, 0
             pos = nl + 1
         elif c.isspace():
             pos += 1
@@ -191,19 +201,19 @@ def _decode_ppm(data: bytes):
             tokens.append(data[pos:end])
             pos = end
     if len(tokens) < 3:
-        return None
+        return None, 0
     try:
         w, h, maxval = (int(t) for t in tokens)
     except ValueError:
-        return None
+        return None, 0
     if w <= 0 or h <= 0 or maxval != 255:
-        return None
+        return None, 0
     pos += 1  # the single whitespace byte after maxval
     need = w * h * 3
     raw = data[pos : pos + need]
     if len(raw) < need:
-        return None
-    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        return None, 0
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), pos + need
 
 
 def _decode_bmp(data: bytes):
@@ -386,7 +396,7 @@ def image_sharpness(
 
 
 def image_ahash(
-    df: DataFrame, binary_col: str, out_col: str = "ahash"
+    df: DataFrame, binary_col: str, out_col: str = "ahash", strict: bool = True
 ) -> DataFrame:
     """Average-hash perceptual fingerprint of a (small) decoded image: one
     bit per pixel, set iff the pixel's integer luminance (R+G+B) is ≥ the
@@ -395,6 +405,14 @@ def image_ahash(
     pack row-major into an int64, so the image must have ≤ 63 pixels —
     callers resize first (ahash is DEFINED on a thumbnail; the resize IS
     the algorithm's low-pass filter).  NULL for undecodable payloads.
+
+    An OVERSIZED payload is a pipeline bug (the caller forgot the
+    resize), not a poison row, so ``strict=True`` (default) fails loud.
+    For large curation runs where one malformed row must not abort the
+    job, pass ``strict=False``: oversized images hash to NULL exactly
+    like undecodable ones, and the caller counts/quarantines NULLs
+    downstream (the usual dead-letter pattern).
+
     Scale shape: one Arrow pass, partition-preserving, no shuffle; the
     64-bit hash is what downstream dedup shuffles, never pixels."""
     ensure_udf_portability()
@@ -412,11 +430,15 @@ def image_ahash(
                 lum = img.astype(np.int64).sum(axis=-1)
                 n = lum.size
                 if n > 63:
-                    raise ValueError(
-                        f"image_ahash: {n} pixels > 63 — resize to a "
-                        "thumbnail first (the hash is one bit per pixel "
-                        "of an int64)"
-                    )
+                    if strict:
+                        raise ValueError(
+                            f"image_ahash: {n} pixels > 63 — resize to a "
+                            "thumbnail first (the hash is one bit per "
+                            "pixel of an int64), or pass strict=False to "
+                            "hash oversized rows to NULL"
+                        )
+                    hs.append(None)
+                    continue
                 tot = int(lum.sum())
                 bits = lum.reshape(-1) * n >= tot
                 h = 0
@@ -665,6 +687,7 @@ def audio_fingerprint(
     binary_col: str,
     n_windows: int = 8,
     out_col: str = "afp",
+    strict: bool = True,
 ) -> DataFrame:
     """Energy-profile perceptual fingerprint of a decoded waveform: the
     samples split into ``n_windows`` equal windows (sample count must
@@ -675,9 +698,12 @@ def audio_fingerprint(
     the bits.  Multi-channel audio fingerprints the channel-summed |a|.
     The audio twin of ``image_ahash``: a coarse, alignment-tolerant
     loudness envelope whose collisions are the dedup buckets.  NULL for
-    undecodable payloads.  Scale shape: one Arrow pass over the scan,
-    partition-preserving, no shuffle; downstream dedup shuffles the
-    int64, never audio."""
+    undecodable payloads.  A non-divisible sample count is a pipeline
+    bug under ``strict=True`` (default, loud); ``strict=False`` sends
+    such rows to NULL instead so one malformed payload can't abort a
+    large curation run (count/quarantine NULLs downstream).  Scale
+    shape: one Arrow pass over the scan, partition-preserving, no
+    shuffle; downstream dedup shuffles the int64, never audio."""
     ensure_udf_portability()
     fields = df.schema.fields + [T.StructField(out_col, T.LongType())]
     out_schema = T.StructType(fields)
@@ -693,10 +719,15 @@ def audio_fingerprint(
                 arr, _ = dec
                 a = np.abs(arr.astype(np.int64)).sum(axis=1)
                 if a.size == 0 or a.size % n_windows:
-                    raise ValueError(
-                        f"audio_fingerprint: {a.size} samples do not "
-                        f"split into {n_windows} equal windows"
-                    )
+                    if strict:
+                        raise ValueError(
+                            f"audio_fingerprint: {a.size} samples do not "
+                            f"split into {n_windows} equal windows — pad/"
+                            "trim upstream, or pass strict=False to send "
+                            "such rows to NULL"
+                        )
+                    fps.append(None)
+                    continue
                 e = a.reshape(n_windows, -1).sum(axis=1)
                 tot = int(e.sum())
                 bits = e * n_windows >= tot
@@ -815,14 +846,14 @@ def frame_byte_sums(
                 data = blob if isinstance(blob, bytes) else bytes(blob or b"")
                 pos, f = 0, 0
                 while pos < len(data):
-                    img = _decode_ppm(data[pos:])
-                    if img is None:
+                    # the decoder reports the exact bytes it consumed —
+                    # never re-derive the header from (w, h): any
+                    # netpbm-legal whitespace/comment variant would desync
+                    # the cursor and silently corrupt every later frame
+                    img, used = _decode_ppm_ex(data[pos:])
+                    if img is None or used == 0:
                         break
-                    h, w = img.shape[0], img.shape[1]
-                    # advance past this frame: re-derive its encoded length
-                    # (header is what encode_ppm wrote: "P6\n{w} {h}\n255\n")
-                    hdr = len(f"P6\n{w} {h}\n255\n".encode())
-                    pos += hdr + w * h * 3
+                    pos += used
                     rep.append(ri)
                     idxs.append(f)
                     lumas.append(int(img.astype(np.int64).sum()))

@@ -1027,12 +1027,16 @@ def kmeans_int(
     quantize to ``floor(v·scale + 0.5)`` and SHIFT by +scale into the
     non-negative range (distances are shift-invariant, and non-negative
     sums make Spark's truncating ``div`` equal the oracle's floor ``//``
-    in the centroid mean).  Assignment is argmin of the exact integer
+    in the centroid mean).  The shift only covers inputs in [-1, 1] —
+    any component outside that range fails LOUD (an assert embedded in
+    the quantize expression) rather than silently breaking div/floor
+    parity on negative sums.  Assignment is argmin of the exact integer
     squared L2 with centroid-id tie-break (the partially-aggregatable
     min-struct); the update is the element-wise ``sum div count``.
-    Centroids init from the ``k`` lowest ids; a cluster that loses all
-    members drops out (both engines derive the survivor set the same
-    way).
+    Centroids init from the ``k`` lowest OBSERVED ids (a TakeOrdered of
+    the id column — corpora whose ids don't start at 0 still get k
+    seeds); a cluster that loses all members drops out (both engines
+    derive the survivor set the same way).
 
     Scale shape — the canonical distributed k-means plan: the e-step is
     a BROADCAST cross join of the k×dim centroid table against the
@@ -1043,14 +1047,33 @@ def kmeans_int(
     the driver side of a broadcast.  Rounds are fixed and small so the
     lazy lineage stays bounded (each round's frames are read once — no
     per-round checkpoint needed, the g1 trade)."""
+    def _quant(x):
+        # the range guard rides inside the quantize expression (coalesce
+        # of an always-NULL assert) so Catalyst cannot prune it and it
+        # costs no extra job; |v| > 1 would push shifted sums negative,
+        # where Spark's truncating div diverges from the oracle's floor //
+        guard = F.coalesce(
+            F.assert_true(
+                F.abs(x) <= 1.0,
+                F.lit(
+                    "kmeans_int: embedding component outside [-1, 1] — "
+                    "the +scale shift no longer guarantees non-negative "
+                    "sums; normalize the vectors or raise the shift"
+                ),
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        return (F.floor(x * scale + F.lit(0.5)) + scale + guard).cast("long")
+
     q = df.select(
         F.col(id_col).cast("long").alias("__vid"),
-        F.transform(
-            F.col(emb_col).cast("array<double>"),
-            lambda x: (F.floor(x * scale + F.lit(0.5)) + scale).cast("long"),
-        ).alias("__q"),
+        F.transform(F.col(emb_col).cast("array<double>"), _quant).alias("__q"),
     )
-    cents = q.where(F.col("__vid") < k).select(
+    # seed from the k lowest OBSERVED ids (TakeOrderedAndProject + tiny
+    # broadcast semi-join), not ids < k: corpora whose ids don't start at
+    # 0 (monotonically_increasing_id, sharded id spaces) still get k seeds
+    low = q.select("__vid").orderBy("__vid").limit(k)
+    cents = q.join(F.broadcast(low), "__vid").select(
         F.col("__vid").cast("int").alias("__cid"), F.col("__q").alias("__c")
     )
 

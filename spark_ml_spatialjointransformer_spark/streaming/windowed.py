@@ -717,10 +717,15 @@ def _flushed_events_dir(spark: SparkSession, path: str) -> "tuple[str, int]":
     several triggers would late-drop whichever slices batch after the
     watermark first advances.
 
-    Files are keyed by the data's max timestamp: regenerated testdata
-    gets fresh flush files, and stale ones (still future-dated, still
-    sentinel-keyed) are harmless extra state that the caller's
-    ``user_id >= 0`` output filter drops."""
+    Files are keyed by the data's max timestamp.  Stale flush files from
+    a PREVIOUS testdata generation are NOT harmless: they keep their old
+    creation mtimes, which sort BEFORE freshly regenerated data files, so
+    the first trigger would consume the stale far-future sentinels, push
+    the watermark past the real data, and silently late-drop everything.
+    On entry this function therefore deletes any flush file whose tag
+    doesn't match the current max-ts tag, drops dangling symlinks left by
+    renamed part files, and re-applies utime to surviving flush files so
+    they always sort strictly after every current data file."""
     import hashlib
     import os
     import shutil
@@ -732,6 +737,13 @@ def _flushed_events_dir(spark: SparkSession, path: str) -> "tuple[str, int]":
     mx = base.agg(F.max("ts")).first()[0]
     d = f"/tmp/sjt_stream_oj_{hashlib.md5(path.encode()).hexdigest()[:12]}"
     os.makedirs(d, exist_ok=True)
+    tag = hashlib.md5(str(mx).encode()).hexdigest()[:8]
+    for f in os.listdir(d):
+        full = os.path.join(d, f)
+        if f.startswith("flush") and f"_{tag}.parquet" not in f:
+            os.remove(full)  # stale sentinel from a prior data generation
+        elif os.path.islink(full) and not os.path.exists(full):
+            os.remove(full)  # dangling symlink: part file was renamed
     if os.path.isdir(path):
         srcs = sorted(
             f
@@ -748,11 +760,13 @@ def _flushed_events_dir(spark: SparkSession, path: str) -> "tuple[str, int]":
     data_mtime = max(
         os.stat(os.path.join(src_dir, f)).st_mtime for f in srcs
     )
-    tag = hashlib.md5(str(mx).encode()).hexdigest()[:8]
     day_ns = 86_400 * 10**9
     for i in (1, 2):
         dest = os.path.join(d, f"flush{i}_{tag}.parquet")
         if os.path.exists(dest):
+            # data may have been rewritten (newer mtimes) since this
+            # sentinel was created — re-pin it after every data file
+            os.utime(dest, (data_mtime + 10 * i, data_mtime + 10 * i))
             continue
         if ts_long:  # legacy nanos-as-long encoding
             fts = int(mx) + i * day_ns
