@@ -367,6 +367,11 @@ def partitioned_nearest(
         # streaming harness's state partitions).  The floor keeps the NEXT
         # round's explode+join parallel; a real cluster's state rows per
         # partition stay bounded because par scales with the executor count.
+        # (r7 measured: skipping this for the FINAL round — "merged is
+        # consumed once, the checkpoint is a pure extra pass" — made
+        # j18 5.8→9.1s and j17 4.4→5.3s: the inline global-round join
+        # re-plans under AQE inside the one big final query and loses the
+        # small-partition state shape; keep the checkpoint every round.)
         merged = merged.repartition(max(8, par // 4)).localCheckpoint(
             eager=True
         )

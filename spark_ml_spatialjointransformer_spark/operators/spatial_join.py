@@ -44,6 +44,7 @@ Execution strategy (Spark-first, nothing leaves DataFrame land):
 from __future__ import annotations
 
 import math
+import re
 
 import numpy as np
 import pandas as pd
@@ -715,9 +716,25 @@ def _compile_spatial_join(
         # big×big kNN: grid cells + radius-expansion rounds, no broadcast
         return _partitioned_nearest_route(left, right, lt, rt, plan, input_cols)
 
-    if op == "nearest" and not plan.condition:
-        # fast path: vectorized broadcast-kNN, no join/shuffle at all
-        return _broadcast_knn(left, right, lt, plan, input_cols, inp, ext)
+    if op == "nearest":
+        # fast path: vectorized broadcast-kNN, no join/shuffle at all.
+        # A simple `left.<col> op right.<col>` numeric condition rides
+        # along as an in-kernel candidate mask (distances of disallowed
+        # pairs set to +inf before the argmin) — same semantics as the
+        # min-struct path's post-join filter, but without the
+        # BroadcastNestedLoopJoin + 15M-row SortAggregate it forces
+        # (measured sf0.1: j10 2.9s agg path → ~1s masked kernel).
+        # Conditions the parser doesn't recognize fall through to the
+        # general aggregation path below.
+        cond_spec = (
+            _kernel_condition_spec(plan.condition, ext, inp)
+            if plan.condition
+            else None
+        )
+        if not plan.condition or cond_spec is not None:
+            return _broadcast_knn(
+                left, right, lt, plan, input_cols, inp, ext, cond_spec
+            )
 
     if op == "nearest":
         # per-row ids only exist for the nearest aggregation/window paths
@@ -996,6 +1013,56 @@ def _knn_kernel(kernel: str):
     return haversine_np if kernel == "haversine" else vincenty_np
 
 
+#: condition shapes the vectorized kNN kernel can evaluate as a numpy mask:
+#: one comparison between one external and one input column, both numeric.
+_KERNEL_COND_RE = re.compile(
+    r"^\s*left\.(\w+)\s*(==|=|!=|<>|<=|>=|<|>)\s*right\.(\w+)\s*$"
+)
+
+_KERNEL_COND_OPS = {
+    "=": lambda e, i: e == i,
+    "==": lambda e, i: e == i,
+    "!=": lambda e, i: e != i,
+    "<>": lambda e, i: e != i,
+    "<": lambda e, i: e < i,
+    "<=": lambda e, i: e <= i,
+    ">": lambda e, i: e > i,
+    ">=": lambda e, i: e >= i,
+}
+
+_KERNEL_COND_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType,
+)
+
+
+def _kernel_condition_spec(
+    condition: str, ext: DataFrame, inp: DataFrame
+) -> "tuple[str, str, str] | None":
+    """Parse ``left.<A> op right.<B>`` into ``(ext_col, op, inp_col)`` if —
+    and only if — the vectorized kNN kernel can evaluate it exactly:
+    single comparison, both columns plain NUMERIC (int/float) columns of
+    their sides.  Anything else (compound booleans, string/timestamp
+    operands, expressions) returns None and the caller routes the join
+    through the general min-struct aggregation path, whose F.expr handles
+    arbitrary SQL.  Values are compared in float64 inside the kernel, so
+    integral operands are loudly rejected at runtime beyond 2^53 (see
+    the kernel's ``_cond_f64_local``) rather than silently losing equality precision."""
+    m = _KERNEL_COND_RE.match(condition)
+    if m is None:
+        return None
+    ext_col, op_s, inp_col = m.group(1), m.group(2), m.group(3)
+    ext_fields = {f.name: f.dataType for f in ext.schema.fields}
+    inp_fields = {f.name: f.dataType for f in inp.schema.fields}
+    et = ext_fields.get(f"{EXT_PREFIX}{ext_col}")
+    it = inp_fields.get(inp_col)
+    if not isinstance(et, _KERNEL_COND_NUMERIC):
+        return None
+    if not isinstance(it, _KERNEL_COND_NUMERIC):
+        return None
+    return ext_col, op_s, inp_col
+
+
 def _broadcast_knn(
     left: DataFrame,
     right: DataFrame,
@@ -1004,6 +1071,7 @@ def _broadcast_knn(
     input_cols: list[str],
     inp: DataFrame,
     ext: DataFrame,
+    cond_spec: "tuple[str, str, str] | None" = None,
 ) -> DataFrame:
     """``nearest`` fast path: the broadcast side is collected (it must fit in
     memory — the reference's own contract, README.md:163-166), shipped as a
@@ -1032,6 +1100,14 @@ def _broadcast_knn(
         r_df, r_schema_src = inp, inp
         tb = list(plan.tie_break)
 
+    # condition mask operands: ext col rides with whichever side holds it
+    if cond_spec is not None:
+        c_ext, c_op, c_inp = cond_spec
+        bc_cond_col = f"{EXT_PREFIX}{c_ext}" if lt == "i" else c_inp
+        it_cond_col = c_inp if lt == "i" else f"{EXT_PREFIX}{c_ext}"
+    else:
+        bc_cond_col = it_cond_col = c_op = None
+
     # collect the broadcast side (object arrays: exact nulls/ints/timestamps,
     # unlike toPandas' float64 coercion of nullable ints)
     rt_tag = "i" if lt == "e" else "e"
@@ -1040,6 +1116,7 @@ def _broadcast_knn(
         F.col(f"__sjt_{rt_tag}_gx").alias("__gx"),
         F.col(f"__sjt_{rt_tag}_gy").alias("__gy"),
         *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tb)],
+        *([F.col(bc_cond_col).alias("__cnd")] if bc_cond_col else []),
     ).collect()
     npay = len(pay_src)
     if tb:
@@ -1059,7 +1136,27 @@ def _broadcast_knn(
         out_right[i]: np.array([r[i] for r in rows], dtype=object)
         for i in range(npay)
     }
-    bc = spark.sparkContext.broadcast((r_lon, r_lat, r_payload))
+    def _cond_f64_local(values):
+        out = np.array(
+            [np.nan if pd.isna(v) else float(v) for v in values],
+            dtype=np.float64,
+        )
+        finite = np.isfinite(out)
+        if np.any(np.abs(out[finite]) >= 2.0**53):
+            raise ValueError(
+                "spatial_join condition kernel: operand magnitude >= 2^53 "
+                "loses comparison precision in float64 — use the "
+                "aggregation path (rewrite the condition so the kernel "
+                "parser skips it)"
+            )
+        return out
+
+    r_cond = (
+        _cond_f64_local([r["__cnd"] for r in rows])
+        if cond_spec is not None
+        else None
+    )
+    bc = spark.sparkContext.broadcast((r_lon, r_lat, r_payload, r_cond))
 
     # ---- output schema: input cols ++ aliased data cols ++ distance
     src_fields = {f.name: f for f in inp.schema.fields}
@@ -1094,8 +1191,17 @@ def _broadcast_knn(
 
     k = plan.k
 
+    # everything the executor closure touches must be closure-local or an
+    # importable third-party module: this module itself is NOT registered
+    # for by-value pickling (ensure_udf_portability), so a reference to a
+    # module-level helper here would ModuleNotFoundError on executors that
+    # don't have the package installed (the repo's portability contract).
+    # _KERNEL_COND_OPS holds plain lambdas (cloudpickle ships those by
+    # value); the float64 conversion is re-stated as a nested function.
+    op_fn = _KERNEL_COND_OPS[c_op] if cond_spec is not None else None
+
     def knn_batches(batches):
-        r_lon_, r_lat_, r_payload_ = bc.value
+        r_lon_, r_lat_, r_payload_, r_cond_ = bc.value
         n_r = len(r_lon_)
         take = min(k, n_r)
         for pdf in batches:
@@ -1103,6 +1209,26 @@ def _broadcast_knn(
                 continue
             l_lon = pdf[lgx].to_numpy(np.float64)
             l_lat = pdf[lgy].to_numpy(np.float64)
+            l_cond = (
+                _cond_f64_local(pdf[it_cond_col])
+                if op_fn is not None
+                else None
+            )
+
+            def mask_inf(dm, s, e):
+                # disallowed pairs → +inf BEFORE the argmin; the condition
+                # is written `left.<ext> op right.<inp>`, so orient the
+                # operands by which side is iterated.  NULL operands never
+                # match (numpy NaN != x is True, SQL says unknown → drop,
+                # hence the explicit NaN mask).
+                if lt == "i":
+                    ev, iv = r_cond_[None, :], l_cond[s:e, None]
+                else:
+                    ev, iv = l_cond[s:e, None], r_cond_[None, :]
+                ok = op_fn(ev, iv) & ~np.isnan(ev) & ~np.isnan(iv)
+                dm[~ok] = np.inf
+                return dm
+
             step = max(1, max_cells // max(n_r, 1))
             if take == 1:
                 idx = np.empty(len(pdf), dtype=np.int64)
@@ -1113,6 +1239,8 @@ def _broadcast_knn(
                         l_lon[s:e, None], l_lat[s:e, None],
                         r_lon_[None, :], r_lat_[None, :],
                     )
+                    if op_fn is not None:
+                        dm = mask_inf(dm, s, e)
                     idx[s:e] = np.argmin(dm, axis=1)  # first min → tie-break order
                     dmin[s:e] = dm[np.arange(e - s), idx[s:e]]
                 rep = np.arange(len(pdf))
@@ -1127,12 +1255,19 @@ def _broadcast_knn(
                         l_lon[s:e, None], l_lat[s:e, None],
                         r_lon_[None, :], r_lat_[None, :],
                     )
+                    if op_fn is not None:
+                        dm = mask_inf(dm, s, e)
                     order = np.argsort(dm, axis=1, kind="stable")[:, :take]
                     idx2[s:e] = order
                     dk[s:e] = dm[np.arange(e - s)[:, None], order]
                 idx = idx2.ravel()
                 dmin = dk.ravel()
                 rep = np.repeat(np.arange(len(pdf)), take)
+            if op_fn is not None:
+                # inner-join semantics: candidates (and whole rows) whose
+                # every pairing failed the condition simply don't emit
+                keep = np.isfinite(dmin)
+                rep, idx, dmin = rep[keep], idx[keep], dmin[keep]
             out = {}
             for name, src in zip(left_out_names, left_keep):
                 out[name] = pdf[src].to_numpy()[rep]

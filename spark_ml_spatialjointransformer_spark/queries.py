@@ -10004,11 +10004,12 @@ def j31_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     point→cell combine is the only corpus-sized exchange; everything after
     runs on the grid-bounded dense-cell set (≤72 cells at this grid, ≤#cells
     at any), whose 8-adjacency self-join broadcasts and whose closure runs
-    as a driver-side union-find over the GRID-BOUNDED dense-cell id list
-    (a hard guard raises past 4096 ids; for finer grids swap in the
-    distributed `dedup_connected_components` closure — same (id_a, id_b)
-    contract, checkpointed Hash-Min rounds — which costs ~3 s of fixed
-    loop overhead this avoids).  Oracle: DuckDB recursive label-reach CTE."""
+    as a driver-side union-find over the GRID-BOUNDED dense-cell id list;
+    past 4096 dense cells (a finer regrid) `_grid_component_labels`
+    automatically routes the SAME labeling through the distributed
+    `dedup_connected_components` Hash-Min closure instead — identical
+    answers (pinned by tests/test_r7_advice.py), ~3 s more fixed loop cost,
+    no scale cliff.  Oracle: DuckDB recursive label-reach CTE."""
     cells = (
         load_table(spark, sf_dir, "customer")
         .select(
@@ -10043,12 +10044,48 @@ def j31_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("ay") - F.col("by")) <= 1)
         & (F.col("id_a") < F.col("id_b")),
     ).select("id_a", "id_b")
-    ids = [r[0] for r in dense.select("cid").collect()]
-    if len(ids) > 4096:  # grid-bounded by construction; loud if regridded
-        raise ValueError(
-            f"j31_grid_dbscan: {len(ids)} dense cells exceed the driver "
-            "union-find bound (4096) — use dedup_connected_components"
+    lut = _grid_component_labels(spark, dense, pairs)
+    return (
+        dense.join(F.broadcast(lut), "cid")
+        .select(
+            F.col("cx").alias("cell_x"),
+            F.col("cy").alias("cell_y"),
+            F.col("n").cast("bigint").alias("n_points"),
+            F.col("cluster").cast("bigint").alias("cluster_id"),
         )
+    )
+
+
+def _grid_component_labels(
+    spark: SparkSession,
+    dense: DataFrame,
+    pairs: DataFrame,
+    driver_bound: int = 4096,
+) -> DataFrame:
+    """(cid, cluster) labels for the connected components of the dense-cell
+    adjacency graph: cluster = the component's minimum cid.
+
+    Two routes, identical answers:
+
+    - ``|dense| <= driver_bound``: driver-side union-find — the cell set is
+      GRID-bounded, so for the fixed coarse grids these queries use it is a
+      few KB of ids and the union-find beats the distributed closure's ~3 s
+      of fixed per-round loop cost;
+    - above the bound (a finer regrid): route to the distributed Hash-Min
+      closure ``dedup_connected_components`` (same (id_a, id_b) contract,
+      checkpointed rounds, O(edges) state — keeper IS the component min),
+      so a 100× cell-count regrid degrades to the scalable path instead of
+      dying on a guard."""
+    n_dense = dense.count()
+    if n_dense > driver_bound:
+        from spark_ml_spatialjointransformer_spark.operators.dedup import (
+            dedup_connected_components,
+        )
+
+        return dedup_connected_components(
+            pairs, dense.select("cid"), "cid"
+        ).select("cid", F.col("keeper").cast("bigint").alias("cluster"))
+    ids = [r[0] for r in dense.select("cid").collect()]
     parent = {i: i for i in ids}
 
     def find(x: int) -> int:
@@ -10064,16 +10101,7 @@ def j31_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min id per component: path-compress to roots, then re-minimize via
     # the root (roots are already the component min by the max→min union)
     label_rows = [(i, find(i)) for i in ids]
-    lut = spark.createDataFrame(label_rows, "cid: bigint, cluster: bigint")
-    return (
-        dense.join(F.broadcast(lut), "cid")
-        .select(
-            F.col("cx").alias("cell_x"),
-            F.col("cy").alias("cell_y"),
-            F.col("n").cast("bigint").alias("n_points"),
-            F.col("cluster").cast("bigint").alias("cluster_id"),
-        )
-    )
+    return spark.createDataFrame(label_rows, "cid: bigint, cluster: bigint")
 
 
 #: m11 waveform is m4's synth (sample t of doc id = ((id·7919 + t·M) mod

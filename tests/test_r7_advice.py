@@ -223,3 +223,36 @@ class TestFlushSentinelStaleness:
         ]
         assert data_mtimes and flush_mtimes
         assert min(flush_mtimes) > max(data_mtimes)
+
+
+class TestGridDbscanFallback:
+    def test_distributed_route_matches_union_find(self, spark):
+        """VERDICT r6 item 5: crossing the driver union-find bound must
+        route through dedup_connected_components and produce IDENTICAL
+        cluster labels (cluster = component-min cid on both routes)."""
+        from spark_ml_spatialjointransformer_spark.queries import (
+            _grid_component_labels,
+        )
+
+        # two chains (0-1-2-3, 10-11) + isolates 20, 30
+        dense = spark.createDataFrame(
+            [(i,) for i in (0, 1, 2, 3, 10, 11, 20, 30)], "cid long"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        fast = {
+            r.cid: r.cluster
+            for r in _grid_component_labels(
+                spark, dense, pairs, driver_bound=10_000
+            ).collect()
+        }
+        dist = {
+            r.cid: r.cluster
+            for r in _grid_component_labels(
+                spark, dense, pairs, driver_bound=0
+            ).collect()
+        }
+        want = {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 30: 30}
+        assert fast == want
+        assert dist == want
