@@ -286,3 +286,52 @@ def test_partitioned_export_reread_prunes_partitions(spark):
     plan = plan_of(df)
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "event_type" in pf and "day" in pf
+
+
+def test_tpch_decorrelation_plan_shapes(spark):
+    """VERDICT r6 item 6: Q17/Q18/Q21 (a17/a18/a19) are the classic
+    plan-regression magnets — pin their decorrelated single-exchange
+    SHAPES, not just exchange counts (test_plan_budgets covers counts).
+
+    The assertion strips attribute ids and partition counts so it pins
+    the partitioning KEYS: a refactor that makes a window spec or a
+    groupBy stop sharing its exchange changes the key multiset and fails
+    here even if the total count happens to stay equal."""
+    import re
+
+    def exchange_keys(plan: str) -> list[tuple[str, ...]]:
+        out = []
+        for args in re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan):
+            cols = tuple(
+                a.split("#")[0].strip()
+                for a in args.split(",")
+                if "#" in a  # drop the trailing numPartitions literal
+            )
+            out.append(cols)
+        return sorted(out)
+
+    # Q17 (a17): the scalar-subquery average decorrelates into a per-part
+    # aggregate joined back on l_partkey — every shuffle is l_partkey-keyed
+    # (combine + join-back), and the selective part list broadcasts
+    plan = plan_of(QUERIES["a17_small_qty_revenue"].fn(spark, SF))
+    assert exchange_keys(plan) == [("l_partkey",), ("l_partkey",)]
+    assert "BroadcastHashJoin" in plan
+
+    # Q18 (a18): aggregate-then-join — exactly ONE hash exchange (the
+    # l_orderkey HAVING combine); both enrichment joins broadcast the tiny
+    # survivor side, never sort-merge the facts
+    plan = plan_of(QUERIES["a18_large_volume_customers"].fn(spark, SF))
+    assert exchange_keys(plan) == [("l_orderkey",)]
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+
+    # Q21 (a19): one (order, supplier) combine, ONE l_orderkey exchange
+    # shared by all three decorrelated window functions, and the final
+    # per-supplier count — the three windows must not insert their own
+    plan = plan_of(QUERIES["a19_blocking_supplier"].fn(spark, SF))
+    assert exchange_keys(plan) == [
+        ("l_orderkey",),
+        ("l_orderkey", "l_suppkey"),
+        ("s_suppkey", "s_name"),
+    ]
+    assert "SortMergeJoin" not in plan
