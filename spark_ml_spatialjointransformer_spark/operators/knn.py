@@ -148,7 +148,25 @@ def partitioned_nearest(
     # cell-bucketed table gives at production scale.  __rid is assigned
     # before the repartition and frozen by the checkpoint (tie-break
     # stability).
-    par0 = right.sparkSession.sparkContext.defaultParallelism
+    # R's bucket count follows DATA VOLUME, not a fixed fraction: a tiny
+    # right side (bench scale) at full defaultParallelism pays 32 tasks of
+    # per-task scheduling overhead in EVERY round's cell join (measured
+    # r7: quartering it takes j17 4.4→3.9 s, j18 6.9→5.7 s at sf0.1),
+    # but a 100 TB right side must keep partitions shuffle-sized — so the
+    # quarter-parallelism floor applies only when the Catalyst size
+    # estimate says the whole side fits a few splits anyway (the same
+    # stats-only probe as operators/_guard.py; on estimate failure assume
+    # big and keep full parallelism).
+    sc = right.sparkSession.sparkContext
+    par_full = sc.defaultParallelism
+    try:
+        _rsize = int(
+            right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        _rsize = None
+    small_r = _rsize is not None and _rsize < par_full * 8 * 1024 * 1024
+    par0 = max(8, par_full // 4) if small_r else par_full
     R = (
         right.select(
             *[F.col(c) for c in right_pay_cols],

@@ -1018,6 +1018,16 @@ def _knn_kernel(kernel: str):
 _KERNEL_COND_RE = re.compile(
     r"^\s*left\.(\w+)\s*(==|=|!=|<>|<=|>=|<|>)\s*right\.(\w+)\s*$"
 )
+#: the flipped spelling (`right.B op left.A`) normalizes into the same
+#: spec with the comparison mirrored
+_KERNEL_COND_RE_FLIP = re.compile(
+    r"^\s*right\.(\w+)\s*(==|=|!=|<>|<=|>=|<|>)\s*left\.(\w+)\s*$"
+)
+
+_MIRROR_OP = {
+    "=": "=", "==": "==", "!=": "!=", "<>": "<>",
+    "<": ">", "<=": ">=", ">": "<", ">=": "<=",
+}
 
 _KERNEL_COND_OPS = {
     "=": lambda e, i: e == i,
@@ -1049,9 +1059,14 @@ def _kernel_condition_spec(
     integral operands are loudly rejected at runtime beyond 2^53 (see
     the kernel's ``_cond_f64_local``) rather than silently losing equality precision."""
     m = _KERNEL_COND_RE.match(condition)
-    if m is None:
-        return None
-    ext_col, op_s, inp_col = m.group(1), m.group(2), m.group(3)
+    if m is not None:
+        ext_col, op_s, inp_col = m.group(1), m.group(2), m.group(3)
+    else:
+        m = _KERNEL_COND_RE_FLIP.match(condition)
+        if m is None:
+            return None
+        inp_col, op_s, ext_col = m.group(1), m.group(2), m.group(3)
+        op_s = _MIRROR_OP[op_s]
     ext_fields = {f.name: f.dataType for f in ext.schema.fields}
     inp_fields = {f.name: f.dataType for f in inp.schema.fields}
     et = ext_fields.get(f"{EXT_PREFIX}{ext_col}")

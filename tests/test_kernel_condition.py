@@ -210,3 +210,12 @@ class TestParser:
             "(left.grp != right.grp)",          # parenthesized
         ):
             assert _kernel_condition_spec(cond, pext, inp) is None
+
+    def test_flipped_spelling_mirrors_op(self, spark):
+        pext, inp = self._sides(spark)
+        assert _kernel_condition_spec(
+            "right.grp != left.grp", pext, inp
+        ) == ("grp", "!=", "grp")
+        assert _kernel_condition_spec(
+            "right.iid < left.eid", pext, inp
+        ) == ("eid", ">", "iid")
