@@ -104,12 +104,11 @@ def partitioned_nearest(
     filter evaluates without re-joining payloads.
 
     ``k > 1`` carries a sorted k-element top-array instead of the single
-    min-struct: per-round candidates reduce via sort+slice of a
-    ``collect_list`` (unbounded map-side, bounded to k after the per-pid
-    shuffle — acceptable because each round's candidates per row are
-    annulus-bounded), rounds merge by sorted-concat-slice, and a row
-    resolves when its K-th best distance beats the unexplored-ring bound
-    (then nothing outside can displace ANY of the k).
+    min-struct: per-round candidates are bounded to k per (row, cell) by a
+    no-exchange local window, then the per-pid merge agg sort+slices the
+    flattened ``collect_list`` of (bounded candidates ∪ the carried
+    top-array), and a row resolves when its K-th best distance beats the
+    unexplored-ring bound (then nothing outside can displace ANY of the k).
 
     ``max_rounds`` caps the number of driver rounds: the radius schedule
     starts at 1 cell, grows ×8 per extra round, and always ends with a
@@ -191,7 +190,6 @@ def partitioned_nearest(
         if k == 1
         else F.array().cast(T.ArrayType(best_t))
     )
-    empty_arr = F.array().cast(T.ArrayType(best_t))
     rem = left.select(
         *[F.col(c) for c in left_id_cols],
         *[F.col(c) for c in l_extra],
@@ -216,15 +214,19 @@ def partitioned_nearest(
     )
 
     # occupied right cells: bounded by the GRID (≤ nbx·nby keys — 4140 at
-    # 4°), never by data volume, so broadcasting it is always safe; the
-    # per-round candidate generator joins the ring condition against THIS
-    # set instead of exploding every (2r+1)² cell offset — per-row work is
-    # O(occupied ∩ ring), not O(r²), and empty ocean/desert cells cost
-    # nothing
-    occ = (
-        R.select(F.col("__rcx").alias("__ocx"), F.col("__rcy").alias("__ocy"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    # 4°), never by data volume, so COLLECTING it is always safe — one
+    # grid-bounded agg job both materializes the bucketed R checkpoint and
+    # returns the occupied-cell set with per-cell counts (n_right for the
+    # density-adaptive round-1 radius comes free, replacing a separate
+    # R.count() job).  occ becomes a literal local relation, so the
+    # per-round ring test broadcasts it without ever re-scanning R, and
+    # per-row candidate work is O(occupied ∩ ring), not O(r²) — empty
+    # ocean/desert cells cost nothing.
+    cell_counts = R.groupBy("__rcx", "__rcy").count().collect()
+    n_right = sum(row["count"] for row in cell_counts)
+    occ = left.sparkSession.createDataFrame(
+        [(int(row["__rcx"]), int(row["__rcy"])) for row in cell_counts],
+        "__ocx long, __ocy long",
     )
 
     sel = _best_struct(right_pay_cols, tie_break)
@@ -237,11 +239,10 @@ def partitioned_nearest(
     # expectation ((2r+1)² · |R|/ncells ≥ 4k) — a fixed radius either
     # floods dense data with candidates or leaves sparse data's rows
     # cap-less, sending them through the global ring at full price (the
-    # r5 j18 regression).  The |R| count doubles as the one-time
+    # r5 j18 regression).  The occupied-cell agg doubles as the one-time
     # materialization of the bucketed right checkpoint.
     gmax = max(nbx, nby_r)
     ncells = nbx * nby_r
-    n_right = R.count()
     r1 = max(
         1,
         math.ceil(
@@ -303,8 +304,27 @@ def partitioned_nearest(
             "__d",
             dist_expr(F.col("__lx"), F.col("__ly"), F.col("__rx"), F.col("__ry")),
         )
+        # State merge in ONE exchange: candidate rows already carry every
+        # state column (cand derives from rem), so instead of aggregating
+        # candidates and joining the result back to rem (an agg exchange
+        # PLUS a join exchange PLUS the state repartition — three shuffles
+        # of the state per round, and at local scale three scheduling
+        # waves), union the current best-so-far into the candidate stream
+        # as one sentinel row per pid and aggregate the lot by pid.  The
+        # explicit repartition(n, __pid) BEFORE the groupBy both satisfies
+        # the aggregation's distribution requirement (Catalyst inserts no
+        # second exchange) and pins the state partition count against AQE
+        # coalescing (see the checkpoint note below).  first(state_col) is
+        # deterministic here because every row of a pid group carries
+        # identical state values — they are all copies of the same rem row.
+        state_cols = [c for c in rem.columns if c not in ("__pid", "__best")]
+        par = left.sparkSession.sparkContext.defaultParallelism
         if k == 1:
-            found = cand.groupBy("__pid").agg(F.min(sel).alias("__new"))
+            cand_u = cand.select("__pid", *state_cols, sel.alias("__c"))
+            prev_u = rem.select(
+                "__pid", *state_cols, F.col("__best").alias("__c")
+            )
+            merge_agg = F.min("__c").alias("__best")
         else:
             # bound candidates to k per (row, cell) BEFORE anything crosses
             # a pid shuffle: a bare collect_list would buffer every
@@ -319,38 +339,25 @@ def partitioned_nearest(
             from pyspark.sql.window import Window as _W
 
             w_loc = _W.partitionBy("__pid", "__ocx", "__ocy").orderBy("__c")
-            found = (
+            bounded = (
                 cand.withColumn("__c", sel)
                 .withColumn("__rn", F.row_number().over(w_loc))
                 .where(F.col("__rn") <= k)
-                .groupBy("__pid")
-                .agg(
-                    F.slice(
-                        F.array_sort(F.collect_list("__c")), 1, k
-                    ).alias("__new")
-                )
             )
-        # ONE materialization per round (repartitioned first: AQE would
-        # coalesce the shrinking state to one partition and serialize the
-        # next round's much larger explode+join); done/rem are then cheap
-        # filters over the checkpointed result, so neither the final union
-        # nor the next round recomputes this round's join
-        par = left.sparkSession.sparkContext.defaultParallelism
-        merge_best = (
-            F.least("__best", "__new")
-            if k == 1
-            else F.slice(
-                F.array_sort(
-                    F.concat(F.col("__best"), F.coalesce(F.col("__new"), empty_arr))
-                ),
-                1,
-                k,
+            cand_u = bounded.select(
+                "__pid", *state_cols, F.array("__c").alias("__c")
             )
-        )
+            prev_u = rem.select(
+                "__pid", *state_cols, F.col("__best").alias("__c")
+            )
+            merge_agg = F.slice(
+                F.array_sort(F.flatten(F.collect_list("__c"))), 1, k
+            ).alias("__best")
         merged = (
-            rem.join(found, "__pid", "left")
-            .withColumn("__best", merge_best)
-            .drop("__new")
+            cand_u.unionByName(prev_u)
+            .repartition(max(8, par // 4), "__pid")
+            .groupBy("__pid")
+            .agg(*[F.first(c).alias(c) for c in state_cols], merge_agg)
         )
         if not global_cover:
             # next round's per-row cap, derived from the NEW k-th best: the
@@ -377,22 +384,23 @@ def partitioned_nearest(
             merged = merged.withColumn(
                 "__rcap_old", F.col("__rcap")
             ).withColumn("__rcap", rcap_new)
-        # quarter-parallelism state partitions (floor 8): the loop state is
-        # id + coords + best-struct rows, and every downstream stage pays a
-        # fixed per-task scheduling cost per partition — an explicit
-        # repartition is immune to AQE coalescing, so full parallelism here
+        # ONE materialization per round, at quarter-parallelism state
+        # partitions (floor 8): the merge's explicit repartition(n, __pid)
+        # above already pinned the count — the loop state is id + coords +
+        # best-struct rows, and every downstream stage pays a fixed
+        # per-task scheduling cost per partition, so full parallelism here
         # made each tiny round ~40% slower at local[32] (same trade as the
-        # streaming harness's state partitions).  The floor keeps the NEXT
-        # round's explode+join parallel; a real cluster's state rows per
-        # partition stay bounded because par scales with the executor count.
+        # streaming harness's state partitions); a real cluster's state
+        # rows per partition stay bounded because par scales with the
+        # executor count.  done/rem are then cheap filters over the
+        # checkpointed result, so neither the final union nor the next
+        # round recomputes this round's join.
         # (r7 measured: skipping this for the FINAL round — "merged is
         # consumed once, the checkpoint is a pure extra pass" — made
         # j18 5.8→9.1s and j17 4.4→5.3s: the inline global-round join
         # re-plans under AQE inside the one big final query and loses the
         # small-partition state shape; keep the checkpoint every round.)
-        merged = merged.repartition(max(8, par // 4)).localCheckpoint(
-            eager=True
-        )
+        merged = merged.localCheckpoint(eager=True)
 
         if global_cover:
             have_any = (
