@@ -531,6 +531,29 @@ class TestPartitionedNearest:
         assert got == expected
         assert len(got) == cust.count()  # cardinality == iterated side
 
+    def test_empty_right_side_yields_empty_inner_result(self, spark):
+        """Inner-join semantics with ZERO right rows: the occupied-cell
+        collect returns an empty local relation (createDataFrame([], …))
+        and every left row simply never resolves — no error, no rows."""
+        from spark_ml_spatialjointransformer_spark.functions.geodesic import (
+            haversine_expr,
+        )
+        from spark_ml_spatialjointransformer_spark.operators.knn import (
+            partitioned_nearest,
+        )
+
+        L = spark.createDataFrame(
+            [(1, 10.0, 20.0), (2, -30.0, 40.0)],
+            "id long, lon double, lat double",
+        )
+        R = spark.createDataFrame([], "rid long, rlon double, rlat double")
+        out = partitioned_nearest(
+            L, R, ["id"], ("lon", "lat"), ["rid"], ("rlon", "rlat"),
+            ["rid"], haversine_expr, "dist_m", ["id", "nrid"],
+        )
+        assert out.count() == 0
+        assert out.columns == ["id", "nrid", "dist_m"]
+
     def test_validation(self, spark):
         from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
             spatial_join,
