@@ -565,14 +565,20 @@ def dedup_connected_components(
 
     Output: (id_col, keeper, is_dup) — one row per id in ``ids``.
     """
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    # bucketed ONCE on the propagation join key: LogicalRDD preserves the
+    # partitioning, so no round re-shuffles the edge list (the big side —
+    # at scale the label state outgrows AQE's broadcast threshold and an
+    # unbucketed edge frame would pay a full shuffle per round; same trade
+    # as the kNN loop's cell-bucketed right side)
     edges = (
         pairs.select(F.col("id_a").alias("__a"), F.col("id_b").alias("__b"))
         .unionByName(
             pairs.select(F.col("id_b").alias("__a"), F.col("id_a").alias("__b"))
         )
+        .repartition(par, "__a")
         .localCheckpoint(eager=False)
     )
-    par = ids.sparkSession.sparkContext.defaultParallelism
     # propagation state is O(graph nodes), NOT O(corpus): isolated documents
     # (the overwhelming majority at any scale) never enter the loop — they
     # rejoin as keeper=self in the final left join.  At 100 TB the iterated
@@ -592,14 +598,33 @@ def dedup_connected_components(
     n_nodes = labels.count()  # one fast job over the checkpointed frame
     changed = n_nodes
     for i in range(max_iters):
-        nbr = (
-            edges.join(labels, F.col("__a") == F.col("__v"))
-            .select(F.col("__b").alias("__v"), F.col("__lbl"))
-            .groupBy("__v")
-            .agg(F.min("__lbl").alias("__nbr"))
+        # State merge in ONE exchange (the kNN-loop trick): instead of
+        # aggregating neighbor labels per node and joining the aggregate
+        # back to the label state (an agg exchange PLUS a join exchange),
+        # the node's own label rides the SAME __v shuffle as the neighbor
+        # contributions — one sentinel row per node, tagged with the old
+        # label so the round's change count still has both sides.  The
+        # explicit repartition(sparts, __v) satisfies the aggregation's
+        # distribution (no second exchange) and pins the state partition
+        # count against AQE coalescing.
+        contrib = edges.join(labels, F.col("__a") == F.col("__v")).select(
+            F.col("__b").alias("__v"),
+            F.col("__lbl").alias("__cand"),
+            F.lit(None).cast("long").alias("__old"),
         )
-        half = labels.join(nbr, "__v", "left").select(
-            "__v", "__lbl", F.least("__lbl", "__nbr").alias("__mid")
+        sentinel = labels.select(
+            "__v",
+            F.col("__lbl").alias("__cand"),
+            F.col("__lbl").alias("__old"),
+        )
+        half = (
+            contrib.unionByName(sentinel)
+            .repartition(sparts, "__v")
+            .groupBy("__v")
+            .agg(
+                F.max("__old").alias("__lbl"),  # the one sentinel per node
+                F.min("__cand").alias("__mid"),
+            )
         )
         # Engage pointer doubling once past the shallow-graph budget —
         # UNLESS the previous round changed under 1% of nodes (the
@@ -619,11 +644,10 @@ def dedup_connected_components(
                 half.join(lut, F.col("__mid") == F.col("__lv"), "left")
                 .withColumn("__mid", F.least("__mid", "__ll"))
                 .select("__v", "__lbl", "__mid")
+                .repartition(sparts)
             )
-        merged = (
-            half.withColumnRenamed("__mid", "__new")
-            .repartition(sparts)
-            .localCheckpoint(eager=True)
+        merged = half.withColumnRenamed("__mid", "__new").localCheckpoint(
+            eager=True
         )
         changed = merged.where(F.col("__new") != F.col("__lbl")).count()
         labels = merged.select("__v", F.col("__new").alias("__lbl"))
