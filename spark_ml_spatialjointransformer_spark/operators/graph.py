@@ -108,9 +108,18 @@ def bfs_hops(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
     )
-    e = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    # bucketed ONCE on the relaxation join key: each checkpointed round is
+    # its own job, so an unbucketed edge list would re-shuffle per round
+    # once the frontier outgrows AQE's broadcast threshold (LogicalRDD
+    # preserves the partitioning across rounds — the dedup-closure trade)
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(par, "src")
+        .localCheckpoint(eager=False)
+    )
     d = seeds.select(
         F.col(id_col).cast("long").alias("id"),
         F.lit(0).cast("long").alias("hops"),
@@ -308,11 +317,17 @@ def sssp_int(
         F.col(b_col).cast("long").alias("dst"),
         F.col(weight_col).cast("long").alias("__w"),
     )
-    e = edges.unionByName(
-        edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "__w"
+    # bucketed once on the relaxation join key — see bfs_hops
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "__w"
+            )
         )
-    ).localCheckpoint(eager=False)
+        .repartition(par, "src")
+        .localCheckpoint(eager=False)
+    )
     d = seeds.select(
         F.col(id_col).cast("long").alias("id"),
         F.lit(0).cast("long").alias("cost"),
