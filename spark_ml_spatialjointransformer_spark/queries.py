@@ -3513,7 +3513,16 @@ def j22_within_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         data_columns=(("n_nationkey", "nat_key"),),
         broadcast_input=False,
     )
-    inner = spatial_join(cust, nations, plan).select("c_custkey", "nat_key")
+    # the inner join result feeds BOTH legs (the output union and the
+    # matched-id anti join); without an RDD barrier the BNLJ + Arrow
+    # refine subtree compiles into — and executes in — each leg, doubling
+    # the Python refine passes (measured in the executed plan: two
+    # ArrowEvalPython nodes).  The lazy checkpoint computes it once.
+    inner = (
+        spatial_join(cust, nations, plan)
+        .select("c_custkey", "nat_key")
+        .localCheckpoint(eager=False)
+    )
     matched = inner.select("c_custkey").distinct()
     unmatched = cust.join(F.broadcast(matched), "c_custkey", "left_anti").select(
         "c_custkey", F.lit(None).cast("long").alias("nat_key")
