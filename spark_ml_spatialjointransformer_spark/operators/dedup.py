@@ -571,10 +571,12 @@ def dedup_connected_components(
     # at scale the label state outgrows AQE's broadcast threshold and an
     # unbucketed edge frame would pay a full shuffle per round; same trade
     # as the kNN loop's cell-bucketed right side)
+    p0 = pairs.select(
+        F.col("id_a").alias("__a"), F.col("id_b").alias("__b")
+    ).localCheckpoint(eager=False)  # pair lineage (often LSH) computes once
     edges = (
-        pairs.select(F.col("id_a").alias("__a"), F.col("id_b").alias("__b"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("__a"), F.col("id_a").alias("__b"))
+        p0.unionByName(
+            p0.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
         )
         .repartition(par, "__a")
         .localCheckpoint(eager=False)

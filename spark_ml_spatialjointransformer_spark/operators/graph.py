@@ -50,9 +50,12 @@ def pagerank_int(
     Output: (id, pr_e6) — one row per node.
     """
     teleport = (15 * scale) // 100
+    # the canonical pair list is read by BOTH union arms below; the lazy
+    # checkpoint computes its (often LSH-self-join) lineage once — the
+    # flip arm re-reads materialized (long, long) rows, not the refine
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
-    )
+    ).localCheckpoint(eager=False)
     # checkpoint the expanded edge list ONCE — it is the subtree every
     # branch below re-reads (degree, the initial ranks, and the join in
     # every iteration), and without the barrier the potentially expensive
@@ -107,7 +110,7 @@ def bfs_hops(
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
-    )
+    ).localCheckpoint(eager=False)  # pair lineage computes once (see g1)
     # bucketed ONCE on the relaxation join key: each checkpointed round is
     # its own job, so an unbucketed edge list would re-shuffle per round
     # once the frontier outgrows AQE's broadcast threshold (LogicalRDD
@@ -262,7 +265,7 @@ def kcore(
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
-    )
+    ).localCheckpoint(eager=False)  # pair lineage computes once (see g1)
     e = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
@@ -316,7 +319,7 @@ def sssp_int(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
         F.col(weight_col).cast("long").alias("__w"),
-    )
+    ).localCheckpoint(eager=False)  # pair lineage computes once (see g1)
     # bucketed once on the relaxation join key — see bfs_hops
     par = pairs.sparkSession.sparkContext.defaultParallelism
     e = (

@@ -7841,10 +7841,17 @@ def g5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = lsh_neardup_pairs(
-        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
-        n_planes=6, bands=2, quantized=True,
-    ).select("id_a", "id_b")
+    # FIVE consumers below read the pair list (two union arms, both wedge
+    # arms through e, the anti join) — the lazy checkpoint computes the
+    # LSH self-join + refine once
+    pairs = (
+        lsh_neardup_pairs(
+            emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+            n_planes=6, bands=2, quantized=True,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     e = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
