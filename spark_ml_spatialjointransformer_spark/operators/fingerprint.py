@@ -48,7 +48,8 @@ def kgrams_udf(k: int = 3):
             )
         return pd.Series(out)
 
-    return _kgrams
+    # pure function; nondeterministic only to block SPARK-17728 re-substitution
+    return _kgrams.asNondeterministic()
 
 
 def winnow_fingerprints(

@@ -95,7 +95,8 @@ def _srp_bucket_udf(n_planes: int, dim: int, bands: int = 1):
         stacked = np.stack(out, axis=1)  # n × B
         return pd.Series([list(row) for row in stacked])
 
-    return _buckets
+    # pure function; nondeterministic only to block SPARK-17728 re-substitution
+    return _buckets.asNondeterministic()
 
 
 #: quantization scale for the integer SRP path (5 decimal digits keeps the
@@ -154,11 +155,22 @@ def _srp_int_feats_udf(n_planes: int, dim: int, bands: int = 1):
             }
         )
 
-    return _feats
+    # pure function; nondeterministic only to block SPARK-17728 re-substitution
+    # (measured: the v5/v11 plans evaluated the featurization five times)
+    return _feats.asNondeterministic()
 
 
 def _pair_cosine_udf():
-    """Vectorized exact cosine over candidate pairs (einsum per batch)."""
+    """Vectorized exact cosine over candidate pairs (einsum per batch).
+
+    Marked nondeterministic ON PURPOSE (the function is pure): a
+    deterministic Python UDF whose aliased output is filtered or sorted
+    gets RE-SUBSTITUTED into the Filter/Sort by predicate pushdown and
+    evaluated twice per row (two ArrowEvalPython nodes in the executed
+    plan — the classic SPARK-17728 shape, measured here on v2).  The
+    flag blocks the substitution so the refine kernel runs once; it
+    disables no optimization these plans rely on (the UDF sits in a
+    Project above the candidate join)."""
 
     @F.pandas_udf("double")
     def _cos(
@@ -174,7 +186,7 @@ def _pair_cosine_udf():
             np.einsum("ij,ij->i", ma, mb) / (na.to_numpy() * nb.to_numpy())
         )
 
-    return _cos
+    return _cos.asNondeterministic()
 
 
 def _pair_qcos_udf():
@@ -182,7 +194,9 @@ def _pair_qcos_udf():
     vectors is EXACT (no summation-order hazard), so one einsum per Arrow
     batch is bit-identical to the oracle's BIGINT sum — divided by the
     per-side double sqrts of the integer norms², the full cosine is a pure
-    function every engine computes identically."""
+    function every engine computes identically.  Marked nondeterministic
+    on purpose — same SPARK-17728 double-evaluation defense as
+    ``_pair_cosine_udf`` (the function is pure)."""
 
     @F.pandas_udf("double")
     def _qcos(
@@ -203,7 +217,7 @@ def _pair_qcos_udf():
             )
         )
 
-    return _qcos
+    return _qcos.asNondeterministic()
 
 
 def _quantized_base(

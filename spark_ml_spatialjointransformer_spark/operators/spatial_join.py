@@ -121,7 +121,10 @@ def _wkt_centroid_udf():
             ys.append(c[1] if c else None)
         return pd.DataFrame({"x": xs, "y": ys})
 
-    return _centroid
+    # pure function; nondeterministic only to block SPARK-17728
+    # re-substitution (the not-null filter on the derived centroid
+    # columns re-inlined the parse, doubling the Arrow pass)
+    return _centroid.asNondeterministic()
 
 
 def _refine_udf(op: str, l_is_wkt: bool = True, r_is_wkt: bool = True):
