@@ -88,9 +88,16 @@ def test_withindist_equals_brute_force(spark, strategy, left, right, radius_km):
     assert got == expected
 
 
+@pytest.mark.parametrize("strategy", ["broadcast", "partitioned"])
 @SPARK_SETTINGS
 @given(left=points, right=points)
-def test_nearest_cardinality_and_optimality(spark, left, right):
+def test_nearest_cardinality_and_optimality(spark, strategy, left, right):
+    """Both nearest strategies achieve the true minimum on random point
+    sets spanning the antimeridian and near-pole latitudes — for the
+    partitioned path this exercises the grid loop's exclusion bounds
+    (latitude crossing + the chord-form longitude bound + per-row caps)
+    against a numpy brute force: a too-tight bound would resolve a row
+    early with a non-minimal neighbor and fail here."""
     inp = _df(spark, left, "i")
     ext = _df(spark, right, "e")
     plan = SpatialJoinPlan(
@@ -102,6 +109,7 @@ def test_nearest_cardinality_and_optimality(spark, left, right):
         broadcast_input=False,  # iterate input: one row per input point
         distance_kernel="haversine",
         tie_break=("e_id",),
+        strategy=strategy,
     )
     rows = spatial_join(inp, ext, plan).select("i_id", "e_id", "dist_m").collect()
     assert len(rows) == len(left)  # cardinality == iterated side
