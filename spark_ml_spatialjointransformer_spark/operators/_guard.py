@@ -22,6 +22,17 @@ from pyspark.sql import DataFrame
 _DEFAULT_MAX_SPLIT = 128 * 1024 * 1024
 
 
+def estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Driver-side Catalyst size estimate of ``df`` (optimized logical plan
+    stats — for a parquet relation the file footprint scaled by pruning);
+    ``None`` when no estimate is available (callers should assume BIG and
+    take their distributed path — never the collect/broadcast one)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` iff its estimated scan
     size cannot produce that many input splits; identity otherwise."""

@@ -11035,8 +11035,35 @@ def j34_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     spatial twin of v15's triplet margin (a small margin means the
     nearest-facility assignment flips under tiny position error; siting
     and territory tools threshold exactly this).  Scale shape: one k=2
-    broadcast-kNN retrieval, then a per-customer conditional-max pivot
-    (map-side combinable; no second window)."""
+    nearest retrieval, then a per-customer conditional-max pivot (map-side
+    combinable; no second window).  The retrieval auto-routes on the
+    supplier side's Catalyst size estimate: broadcast argmin below
+    ``_J34_BROADCAST_BOUND_BYTES`` (the reference's documented O(L·R)
+    contract — fine while the facility table fits an executor), the
+    grid-bucketed ``operators/knn.partitioned_nearest`` above it or when
+    no estimate exists — the same guard-crossing idiom as j31 →
+    ``dedup_connected_components``, so a 100× supplier table degrades to
+    the scalable path instead of an executor OOM."""
+    return _j34_margin(spark, sf_dir, _j34_strategy(spark, sf_dir))
+
+
+#: supplier-side Catalyst size estimate above which j34's k=2 retrieval
+#: leaves the broadcast kernel (which ships all of R to every input
+#: partition and scans L×R) for the partitioned grid loop
+_J34_BROADCAST_BOUND_BYTES = 64 * 1024 * 1024
+
+
+def _j34_strategy(spark: SparkSession, sf_dir: str) -> str:
+    from spark_ml_spatialjointransformer_spark.operators._guard import (
+        estimated_plan_bytes,
+    )
+
+    est = estimated_plan_bytes(suppliers_geo(spark, sf_dir))
+    small = est is not None and est <= _J34_BROADCAST_BOUND_BYTES
+    return "broadcast" if small else "partitioned"
+
+
+def _j34_margin(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
@@ -11051,6 +11078,7 @@ def j34_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         distance_kernel="haversine",
         tie_break=("s_suppkey",),
         k=2,
+        strategy=strategy,
     )
     knn = spatial_join(cust, supp, plan)
     w = Window.partitionBy("c_custkey").orderBy("dist_m", "supp_key")
