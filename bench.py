@@ -70,6 +70,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    load_start = round(os.getloadavg()[0], 1)  # external-load evidence
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -100,51 +101,41 @@ def main() -> None:
         except Exception:
             pass
 
-    # Rep policy: this box carries unrelated load, and two fixed reps
-    # proved too few to damp it (r3's record showed phantom 2-3x
-    # regressions that vanished on re-run with identical code).  But a
-    # fixed best-of-3 over a growing registry risks outliving the driver's
-    # window — so every query gets two reps, then the extra-rep wall-clock
-    # budget goes to the queries whose two readings DISAGREE most (largest
-    # max/min ratio): they are exactly the ones a load spike hit, and a
-    # third reading is the tiebreaker.  Registry order would spend the
-    # budget on whatever happens to register first; spread order spends it
-    # where it buys stability.
-    extra_budget = float(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SEC", "90"))
-    extra_spent = 0.0
+    # Rep policy: repeat each query until its two BEST readings agree
+    # within 20% (cap 4 reps), report the min.  Rationale, measured across
+    # rounds: (a) the first sf-scale execution of a plan pays
+    # scale-specific codegen/JIT — an r8 full-bench replication showed 28
+    # of 209 queries with rep1 > 1.5x rep2 and only 3 the other way, so a
+    # fixed 2-rep min systematically reads ~steady-state but a SINGLE rep
+    # never does; (b) this box carries unrelated load, and a load spike
+    # that hits BOTH of two fixed reps looks like a stable slow reading
+    # (r7's j18 recorded 8.30 s in-bench vs 3.3-4.3 s in an idle-box
+    # replication of the identical code) — requiring two INDEPENDENT
+    # agreeing readings forces a third look exactly when a spike could be
+    # hiding.  Stable queries still cost 2 reps; only JIT-first-rep and
+    # spike-hit queries pay more.
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     failed: list[str] = []
     for name, qd in QUERIES.items():
         try:
-            rr = []
-            for _ in range(2):
+            rr: list[float] = []
+            while True:
                 clear_session_state(spark)  # outside the timed region
                 t0 = time.perf_counter()
                 run(qd.fn(spark, sf_dir))
                 rr.append(time.perf_counter() - t0)
+                if len(rr) >= 4:
+                    break
+                if len(rr) >= 2:
+                    best, second = sorted(rr)[:2]
+                    if second <= best * 1.2:
+                        break
             reps[name] = rr
             timings[name] = round(min(rr), 3)
         except Exception as e:  # one broken query must not void the record
             failed.append(name)
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-
-    def spread(name: str) -> float:
-        rr = reps[name]
-        return max(rr) / max(min(rr), 1e-9)
-
-    for name in sorted(reps, key=spread, reverse=True):
-        if extra_spent >= extra_budget or spread(name) < 1.2:
-            break  # stable readings don't need a tiebreaker
-        try:
-            clear_session_state(spark)
-            t0 = time.perf_counter()
-            run(QUERIES[name].fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            extra_spent += dt
-            timings[name] = round(min(timings[name], dt), 3)
-        except Exception as e:
-            print(f"bench: {name} rep3 FAILED: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -155,6 +146,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "failed": failed,
+                # 1-min load average at start/end: the bench shares a box
+                # with unrelated work, and a load-tainted round (r7's
+                # uniform 1.14x drift) is otherwise indistinguishable from
+                # a broad plan regression
+                "load_avg": [load_start, round(os.getloadavg()[0], 1)],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
