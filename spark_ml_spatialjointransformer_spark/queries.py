@@ -10274,6 +10274,75 @@ def f4_transformer_withindist_condition(
     )
 
 
+_F5_ORACLE = f"""
+WITH c AS (SELECT c_custkey, c_nationkey, {CUST_LON_SQL} AS lon,
+                  {CUST_LAT_SQL} AS lat
+           FROM customer),
+nr AS (SELECT n_nationkey, n_name,
+              {", ".join(f"{sql} AS {k}" for k, sql in NATION_RECT_SQL.items())}
+       FROM nation WHERE n_regionkey IN (0, 1, 2)),
+nf AS (SELECT n_nationkey, n_name, (x0 + x1) / 2 AS lon, (y0 + y1) / 2 AS lat
+       FROM nr),
+p AS (SELECT c.c_custkey, nf.n_nationkey, nf.n_name,
+             {haversine_sql('c.lon', 'c.lat', 'nf.lon', 'nf.lat')} AS d
+      FROM c CROSS JOIN nf
+      WHERE nf.n_nationkey <> c.c_nationkey),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY d, n_nationkey) AS rn
+      FROM p)
+SELECT c_custkey, n_nationkey AS nat_key, n_name AS nat_name,
+       CAST(round(d) AS INTEGER) AS dist_m
+FROM r WHERE rn = 1
+"""
+
+
+@_register("f5_transformer_polygon_nearest", _F5_ORACLE)
+def f5_transformer_polygon_nearest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full ML-Transformer surface, polygon-NEAREST flavor: catalog WKT
+    dataset (S1/X2) + pre-join `filter` (F1) + aliasing (P2) + `nearest`
+    over polygon CENTROIDS (J7 + the reference's centroid-distance
+    semantics, SpatialJoin.scala:32-40) + extra theta `condition` (J8,
+    nearest FOREIGN nation) + Int-meter `distanceColumnAlias` (P3) +
+    `tieBreak` + `numPartitions` (X1), with the broadcast side named by
+    the verbatim ``broadcast='external'`` spelling (transformer.py:106 —
+    f1/f3/f4 drive the same direction via its 'dataset' synonym, so the
+    reference's documented value was the one string-param spelling with
+    no end-to-end row).  Mirrors the composition of the reference's
+    condition test (BroadcastSpatialJoinTest.scala:459-504: nearest +
+    condition + data-column projection) at driver scale.  Scale shape:
+    15 filtered polygons collapse to centroid points at plan build and
+    broadcast into the zero-join vectorized argmin; the condition masks
+    candidates INSIDE the kernel, so cardinality stays one row per
+    customer with no post-filter re-rank."""
+    from spark_ml_spatialjointransformer_spark.transformer import (
+        BroadcastSpatialJoin,
+    )
+
+    nations_rect(spark, sf_dir).createOrReplaceTempView("sjt_nations_f5")
+    cust = customers_geo(spark, sf_dir).select(
+        "c_custkey", "c_nationkey", "lon", "lat"
+    )
+    t = BroadcastSpatialJoin(
+        dataset="sjt_nations_f5",
+        dataColumns="n_nationkey as nat_key, n_name as nat_name",
+        datasetWKT="wkt",
+        inputPoint="lon, lat",
+        predicate="nearest",
+        broadcast="external",
+        filter="n_regionkey IN (0, 1, 2)",
+        condition="left.n_nationkey != right.c_nationkey",
+        distanceColumnAlias="dist_m",
+        distanceKernel="haversine",
+        tieBreak="n_nationkey",
+        numPartitions="6",
+    )
+    out = t.transform(cust)
+    assert out.rdd.getNumPartitions() == 6  # X1 contract rides along
+    return out.select("c_custkey", "nat_key", "nat_name", "dist_m")
+
+
 _A29_SQL = """
 SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000e0 + 0.5e0)
                      AS BIGINT)) AS BIGINT) AS revenue_e4,
@@ -11112,6 +11181,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "j34_assignment_margin", "t32_incremental_dedup", "t33_weighted_sample",
     "t34_pmi_collocations", "t35_containment_dedup", "t51_prefix_dedup",
     "v8_pq_adc_topk",
+    # new this round (r8) — never checked, by construction
+    "f5_transformer_polygon_nearest",
     # checked green at least once, least-recently-checked first (pre-r7
     # rotation order preserved) — new queries added this round go right
     # after the never-checked block above
