@@ -9536,6 +9536,69 @@ def p10_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: tokens admitted per source before the mix closes — small enough to cut
+#: at every published SF (per-source corpora run ~1.3k tokens at the
+#: 500-doc SFs, ~14k at sf0.1), so the boundary logic is always exercised
+_P11_BUDGET = 800
+
+_P11_ORACLE = f"""
+WITH d AS (SELECT doc_id, source,
+                  length(trim(text)) - length(replace(trim(text), ' ', ''))
+                    + 1 AS n_tok,
+                  {h60_sql('text')} AS h
+           FROM documents),
+c AS (SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM d)
+SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= {_P11_BUDGET}
+"""
+
+
+@_register("p11_token_budget_fill", _P11_ORACLE)
+def p11_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix assembly: admit documents into the training mix
+    per source, in deterministic content-hash order, until each source's
+    token budget fills — the document-level complement of p9 (which sizes
+    quotas but selects nothing) and the op that actually ASSEMBLES a
+    data recipe: budgets are in TOKENS, not documents, because a mix
+    spec ("30 B tokens of web, 5 B of code") is denominated in tokens.
+    The hash order doubles as the corpus shuffle (selection is stable
+    under re-partitioning and re-runs; no RNG).  The greedy prefix is
+    strict — the document that would cross the budget is excluded, so
+    the fill never overshoots.  Scale shape: ONE source-keyed exchange
+    serves the running token sum and the cut; token counts reduce each
+    text to an int before the shuffle (the window moves (source, h,
+    n_tok) rows, never text)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "length(trim(text)) - length(replace(trim(text), ' ', '')) + 1"
+        ).alias("n_tok"),
+        h60_col(F.col("text")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .where(F.col("cum_tok") <= _P11_BUDGET)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.col("cum_tok").cast("bigint").alias("cum_tok"),
+        )
+    )
+
+
 _T47_ORACLE = f"""
 SELECT doc_id, source, CAST(length(text) AS BIGINT) AS text_len,
        {h60_sql('text')} AS text_h60
@@ -11011,6 +11074,181 @@ def v16_binary_quant_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V17_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM e),
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM u GROUP BY vec_id),
+qv AS (SELECT vec_id AS q_vec_id, v, i FROM u WHERE vec_id % 500 = 0),
+d AS (SELECT qv.q_vec_id, u.vec_id, sum(u.v * qv.v) AS dot
+      FROM u JOIN qv ON u.i = qv.i GROUP BY qv.q_vec_id, u.vec_id),
+rl AS (SELECT d.q_vec_id, d.vec_id, d.dot / sqrt(nq.nn * nv.nn) AS rel
+       FROM d JOIN nrm nq ON nq.vec_id = d.q_vec_id
+              JOIN nrm nv ON nv.vec_id = d.vec_id
+       WHERE d.vec_id != d.q_vec_id),
+cand AS (SELECT q_vec_id, vec_id, rel, rn FROM
+           (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                         ORDER BY rel DESC, vec_id) AS rn
+            FROM rl) WHERE rn <= 8),
+pd_ AS (SELECT a.q_vec_id, a.vec_id AS av, b.vec_id AS bv,
+               sum(ua.v * ub.v) AS dot
+        FROM cand a
+        JOIN cand b ON b.q_vec_id = a.q_vec_id AND b.vec_id <> a.vec_id
+        JOIN u ua ON ua.vec_id = a.vec_id
+        JOIN u ub ON ub.vec_id = b.vec_id AND ub.i = ua.i
+        GROUP BY a.q_vec_id, a.vec_id, b.vec_id),
+psim AS (SELECT p.q_vec_id, p.av, p.bv, p.dot / sqrt(na.nn * nb.nn) AS sim
+         FROM pd_ p JOIN nrm na ON na.vec_id = p.av
+                    JOIN nrm nb ON nb.vec_id = p.bv),
+s1 AS (SELECT q_vec_id, vec_id, rel AS score FROM cand WHERE rn = 1),
+r2 AS (SELECT c.q_vec_id, c.vec_id, 0.5 * c.rel - 0.5 * p.sim AS score
+       FROM cand c
+       JOIN s1 ON s1.q_vec_id = c.q_vec_id AND c.vec_id <> s1.vec_id
+       JOIN psim p ON p.q_vec_id = c.q_vec_id AND p.av = c.vec_id
+                  AND p.bv = s1.vec_id),
+s2 AS (SELECT q_vec_id, vec_id, score FROM
+         (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                       ORDER BY score DESC, vec_id) AS rn2
+          FROM r2) WHERE rn2 = 1),
+r3 AS (SELECT c.q_vec_id, c.vec_id,
+              0.5 * c.rel - 0.5 * greatest(p1.sim, p2.sim) AS score
+       FROM cand c
+       JOIN s1 ON s1.q_vec_id = c.q_vec_id AND c.vec_id <> s1.vec_id
+       JOIN s2 ON s2.q_vec_id = c.q_vec_id AND c.vec_id <> s2.vec_id
+       JOIN psim p1 ON p1.q_vec_id = c.q_vec_id AND p1.av = c.vec_id
+                   AND p1.bv = s1.vec_id
+       JOIN psim p2 ON p2.q_vec_id = c.q_vec_id AND p2.av = c.vec_id
+                   AND p2.bv = s2.vec_id),
+s3 AS (SELECT q_vec_id, vec_id, score FROM
+         (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                       ORDER BY score DESC, vec_id) AS rn3
+          FROM r3) WHERE rn3 = 1)
+SELECT q_vec_id, vec_id AS neighbor_id, CAST(1 AS INTEGER) AS mmr_rank,
+       CAST(round(score * 1000000) AS BIGINT) AS score_e6 FROM s1
+UNION ALL
+SELECT q_vec_id, vec_id, CAST(2 AS INTEGER),
+       CAST(round(score * 1000000) AS BIGINT) FROM s2
+UNION ALL
+SELECT q_vec_id, vec_id, CAST(3 AS INTEGER),
+       CAST(round(score * 1000000) AS BIGINT) FROM s3
+"""
+
+
+@_register("v17_mmr_rerank", _V17_ORACLE)
+def v17_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking: retrieve the top-8 cosine
+    candidates per query vector (v1's exact machinery), then greedily
+    select 3 balancing relevance against redundancy — pick i maximizes
+    ``0.5·rel(i) − 0.5·max_{s∈selected} cos(i, s)`` (rank 1 is pure
+    relevance) — the retrieval-diversification step RAG stacks run
+    between ANN and the context window, and the repo's first
+    re-ranking-family operator (v10/v16 rerank by the SAME score; MMR
+    re-SCORES against what was already picked, which no window function
+    expresses).  Scale shape: the expensive part stays the retrieval
+    (broadcast zip_with dot products, JVM); candidate vectors rejoin
+    AFTER the top-8 cut so the shuffle carries 8 arrays per query, not
+    |corpus|; the greedy runs per-query in ONE applyInPandas over a
+    bounded 8-row group (k² = 64 pairwise cosines, arrival-order
+    independent), with pairwise dots summed sequentially to match the
+    oracle's aggregation order bit-for-bit."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    embn = emb.withColumn("nn", dot(F.col("emb"), F.col("emb")))
+    q = embn.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nn").alias("qnn"),
+    )
+    rel = (
+        embn.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "vec_id",
+            (dot(F.col("emb"), F.col("qemb"))
+             / F.sqrt(F.col("qnn") * F.col("nn"))).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("rel").desc(), "vec_id")
+    cut = (
+        rel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select("q_vec_id", "vec_id", "rel")
+    )
+    # arrays rejoin AFTER the cut, with the join direction PINNED: the
+    # 8-per-query cut broadcasts and the corpus streams — left to Catalyst
+    # the sf0.1 plan flipped to shuffling the whole array column instead
+    cand = embn.join(F.broadcast(cut), "vec_id")
+
+    out_schema = "q_vec_id long, neighbor_id long, mmr_rank int, score double"
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        cands = sorted(
+            (
+                (int(r.vec_id), float(r.rel), [float(x) for x in r.emb],
+                 float(r.nn))
+                for r in pdf.itertuples(index=False)
+            ),
+            key=lambda c: (-c[1], c[0]),
+        )
+
+        def cos(a, b):
+            t = 0.0
+            for x, y in zip(a[2], b[2]):
+                t += x * y
+            return t / math.sqrt(a[3] * b[3])
+
+        selected = [cands[0]]
+        scores = [cands[0][1]]
+        remaining = cands[1:]
+        while len(selected) < 3 and remaining:
+            best, best_score = None, None
+            for c in remaining:
+                ms = max(cos(c, s) for s in selected)
+                sc = 0.5 * c[1] - 0.5 * ms
+                if (
+                    best is None
+                    or sc > best_score
+                    or (sc == best_score and c[0] < best[0])
+                ):
+                    best, best_score = c, sc
+            selected.append(best)
+            scores.append(best_score)
+            remaining = [c for c in remaining if c[0] != best[0]]
+        qid = int(pdf["q_vec_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "q_vec_id": [qid] * len(selected),
+                "neighbor_id": [s[0] for s in selected],
+                "mmr_rank": list(range(1, len(selected) + 1)),
+                "score": scores,
+            }
+        )
+
+    return (
+        cand.groupBy("q_vec_id")
+        .applyInPandas(mmr, out_schema)
+        .select(
+            "q_vec_id",
+            "neighbor_id",
+            "mmr_rank",
+            F.round(F.col("score") * 1000000).cast("bigint").alias("score_e6"),
+        )
+    )
+
+
 #: signed flow: purchase/signup credit, everything else debits — value
 #: alone is non-negative, so the raw cumulative sum is monotone and its
 #: drawdown degenerately zero; the signed series is the real shape.
@@ -11182,7 +11420,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "t34_pmi_collocations", "t35_containment_dedup", "t51_prefix_dedup",
     "v8_pq_adc_topk",
     # new this round (r8) — never checked, by construction
-    "f5_transformer_polygon_nearest",
+    "f5_transformer_polygon_nearest", "p11_token_budget_fill",
+    "v17_mmr_rerank",
     # checked green at least once, least-recently-checked first (pre-r7
     # rotation order preserved) — new queries added this round go right
     # after the never-checked block above
