@@ -27,6 +27,20 @@ def run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def reps_converged(rr: "list[float]", tol: float = 1.2, cap: int = 4) -> bool:
+    """Stop repeating once the two BEST readings agree within ``tol`` (or
+    at ``cap`` reps).  Requiring two independent agreeing readings is what
+    distinguishes steady state from a load spike that tainted consecutive
+    reps — two slow readings that agree do NOT stop the loop unless a
+    faster one never appears within the cap."""
+    if len(rr) >= cap:
+        return True
+    if len(rr) < 2:
+        return False
+    best, second = sorted(rr)[:2]
+    return second <= best * tol
+
+
 def clear_session_state(spark) -> None:
     """Unpersist everything between timed runs: the checkpointing operators
     (LSH self-joins, the kNN loop, packing) leave localCheckpoint RDDs
@@ -120,17 +134,11 @@ def main() -> None:
     for name, qd in QUERIES.items():
         try:
             rr: list[float] = []
-            while True:
+            while not reps_converged(rr):
                 clear_session_state(spark)  # outside the timed region
                 t0 = time.perf_counter()
                 run(qd.fn(spark, sf_dir))
                 rr.append(time.perf_counter() - t0)
-                if len(rr) >= 4:
-                    break
-                if len(rr) >= 2:
-                    best, second = sorted(rr)[:2]
-                    if second <= best * 1.2:
-                        break
             reps[name] = rr
             timings[name] = round(min(rr), 3)
         except Exception as e:  # one broken query must not void the record

@@ -19,6 +19,24 @@ def _sorted_rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+class TestBenchRepPolicy:
+    """bench.py's adaptive rep rule: two best readings within 20% stop
+    the loop; agreeing SLOW readings alone don't (a load spike tainting
+    consecutive reps must force another look), and the cap bounds it."""
+
+    def test_convergence_rule(self):
+        from bench import reps_converged
+
+        assert not reps_converged([])
+        assert not reps_converged([3.0])
+        assert reps_converged([3.0, 3.1])         # steady state at 2
+        assert not reps_converged([6.0, 3.0])      # JIT-slow rep1 → rep3
+        assert reps_converged([6.0, 3.0, 3.3])     # best two now agree
+        assert not reps_converged([8.0, 8.1, 3.0])  # spike pair + 1 fast
+        assert reps_converged([8.0, 8.1, 3.0, 3.1])  # cap reached
+        assert reps_converged([9.0, 5.0, 7.0, 6.5])  # cap bounds the loop
+
+
 class TestJ34GuardCrossing:
     def test_both_routes_identical(self, spark):
         bc = _sorted_rows(Q._j34_margin(spark, SF_DIR, "broadcast"))
