@@ -363,13 +363,17 @@ def run_to_memory(
     the checkpoint for the app's life), and every micro-batch pays a fixed
     per-partition state-store maintenance cost — so partitions should be
     sized to steady-state stream volume, not the batch session default.
-    This local harness binds ``max(8, defaultParallelism // 4)`` for the
+    This local harness binds ``max(4, defaultParallelism // 8)`` for the
     query's duration (measured on the stream-stream join: 32 → 8 state
-    partitions nearly halves wall time at sf0.1); cluster deployments set
-    their own ``spark.sql.shuffle.partitions`` before the first start."""
+    partitions nearly halves wall time at sf0.1; an r8 interleaved A/B at
+    8-vs-4 then took the outer join 7.1 → 5.5 s and the chained windows
+    5.2 → 4.2 s best-of-3 with the stream-stream join unchanged — each
+    state partition costs per-micro-batch store maintenance whether or
+    not it holds data); cluster deployments set their own
+    ``spark.sql.shuffle.partitions`` before the first start."""
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    state_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    state_parts = max(4, spark.sparkContext.defaultParallelism // 8)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
     try:
         q = (
