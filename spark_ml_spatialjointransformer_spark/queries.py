@@ -11249,6 +11249,87 @@ def v17_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V18_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM e),
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM u GROUP BY vec_id),
+en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+cu AS (SELECT u.vec_id, u.v, u.i FROM u JOIN en ON en.doc_id = u.vec_id),
+qv AS (SELECT vec_id AS q_vec_id, v, i FROM u WHERE vec_id % 250 = 0),
+d AS (SELECT qv.q_vec_id, cu.vec_id, sum(cu.v * qv.v) AS dot
+      FROM cu JOIN qv ON cu.i = qv.i GROUP BY qv.q_vec_id, cu.vec_id),
+c AS (SELECT d.q_vec_id, d.vec_id, d.dot / sqrt(nq.nn * nv.nn) AS sim
+      FROM d JOIN nrm nq ON nq.vec_id = d.q_vec_id
+             JOIN nrm nv ON nv.vec_id = d.vec_id
+      WHERE d.vec_id != d.q_vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY sim DESC, vec_id) AS rn
+      FROM c)
+SELECT q_vec_id, vec_id AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+       CAST(round(sim * 1000000) AS BIGINT) AS cos_e6
+FROM r WHERE rn <= 5
+"""
+
+
+@_register("v18_filtered_topk", _V18_ORACLE)
+def v18_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: top-5 cosine neighbors per query
+    vector, restricted to vectors whose DOCUMENT is English — the
+    filtered-ANN pattern every RAG deployment runs (vector similarity
+    under a metadata predicate), done PRE-FILTER: the predicate cuts the
+    corpus before any dot product, instead of over-fetching top-k and
+    discarding (post-filter can return < k or scan far past k under a
+    selective predicate).  Scale shape: `lang = 'en'` reaches the
+    documents parquet scan as a PushedFilter; the surviving id set joins
+    the embedding table BEFORE norms/dots, so the expensive zip_with
+    kernel runs on the filtered corpus only; queries broadcast as in v1."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    embn = emb.withColumn("nn", dot(F.col("emb"), F.col("emb")))
+    en = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = embn.join(en, "vec_id")  # pre-filter: dots never see non-en
+    q = embn.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nn").alias("qnn"),
+    )
+    sims = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "vec_id",
+            (dot(F.col("emb"), F.col("qemb"))
+             / F.sqrt(F.col("qnn") * F.col("nn"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.round(F.col("sim") * 1000000).cast("bigint").alias("cos_e6"),
+        )
+    )
+
+
 #: signed flow: purchase/signup credit, everything else debits — value
 #: alone is non-negative, so the raw cumulative sum is monotone and its
 #: drawdown degenerately zero; the signed series is the real shape.
@@ -11317,6 +11398,56 @@ def t51_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") == F.col("keeper"), 0)
             .otherwise(1).alias("is_dup"),
         )
+    )
+
+
+_T52_ORACLE = f"""
+WITH p AS (SELECT doc_id, source, {h60_sql("substring(text, 1, 200)")} AS ph
+           FROM documents),
+g AS (SELECT doc_id, source, ph,
+             count(*) OVER (PARTITION BY ph) AS csize
+      FROM p)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT ph) AS n_clusters_local,
+       CAST(sum(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(max(csize) AS BIGINT) AS max_cluster,
+       CAST(round(sum(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) * 1000000.0
+                  / count(*)) AS BIGINT) AS dup_ratio_e6
+FROM g GROUP BY source
+"""
+
+
+@_register("t52_dup_cluster_stats", _T52_ORACLE)
+def t52_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster health statistics per source: how much of each
+    source sits in a CORPUS-WIDE duplicate cluster (t51's 200-char
+    prefix key), the local distinct-cluster count, and the largest
+    cluster any of its docs belongs to — the dashboard numbers a data
+    team watches per crawl/source before deciding dedup aggressiveness
+    (a source whose dup_ratio spikes is re-crawling mirrors; a huge
+    max_cluster is boilerplate).  Cluster size is computed corpus-wide
+    (a cluster can span sources) while stats group by source — two
+    different keys, which is why this is its own query and not a t51
+    GROUP BY.  Scale shape: one 8-byte-fingerprint exchange for the
+    global cluster-size window, then one source exchange for the rollup;
+    text never shuffles."""
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", h60_col(F.substring("text", 1, 200)).alias("ph")
+    )
+    g = p.withColumn("csize", F.count(F.lit(1)).over(Window.partitionBy("ph")))
+    dup = F.when(F.col("csize") >= 2, 1).otherwise(0)
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("ph").alias("n_clusters_local"),
+        F.sum(dup).cast("bigint").alias("n_dup_docs"),
+        F.max("csize").cast("bigint").alias("max_cluster"),
+        F.round(F.sum(dup) * 1000000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("dup_ratio_e6"),
     )
 
 
@@ -11421,7 +11552,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "v8_pq_adc_topk",
     # new this round (r8) — never checked, by construction
     "f5_transformer_polygon_nearest", "p11_token_budget_fill",
-    "v17_mmr_rerank",
+    "v17_mmr_rerank", "v18_filtered_topk", "t52_dup_cluster_stats",
     # checked green at least once, least-recently-checked first (pre-r7
     # rotation order preserved) — new queries added this round go right
     # after the never-checked block above
