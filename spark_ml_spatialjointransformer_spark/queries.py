@@ -11133,6 +11133,61 @@ SELECT q_vec_id, vec_id, CAST(3 AS INTEGER),
 """
 
 
+def _make_mmr_select():
+    """Factory keeps ``mmr_select``'s qualname NON-importable
+    (``_make_mmr_select.<locals>.mmr_select``) so cloudpickle serializes
+    it BY VALUE into the v17 Arrow kernel's closure — executors never
+    need this package on their sys.path (the repo's self-contained-
+    closure rule; a plain module-level def pickles by reference and
+    fails on workers without the package installed)."""
+
+    def mmr_select(cands, k=3, lam=0.5):
+        """Greedy Maximal-Marginal-Relevance selection over candidate
+        tuples ``(id, rel, vec, norm²)``: pick 1 by pure relevance, then
+        repeatedly the candidate maximizing ``lam·rel − (1−lam)·
+        max_{s∈sel} cos(c, s)`` (ties: smaller id).  Pairwise dots sum
+        SEQUENTIALLY left-to-right so the double-precision result is
+        bit-identical to a SQL engine's ordered SUM over the same
+        products.  Returns ([picked tuples], [their scores])."""
+        import math
+
+        cands = sorted(cands, key=lambda c: (-c[1], c[0]))
+        if not cands:
+            return [], []
+
+        def cos(a, b):
+            t = 0.0
+            for x, y in zip(a[2], b[2]):
+                t += x * y
+            return t / math.sqrt(a[3] * b[3])
+
+        selected = [cands[0]]
+        scores = [cands[0][1]]
+        remaining = cands[1:]
+        while len(selected) < k and remaining:
+            best, best_score = None, None
+            for c in remaining:
+                ms = max(cos(c, s) for s in selected)
+                sc = lam * c[1] - (1.0 - lam) * ms
+                if (
+                    best is None
+                    or sc > best_score
+                    or (sc == best_score and c[0] < best[0])
+                ):
+                    best, best_score = c, sc
+            selected.append(best)
+            scores.append(best_score)
+            remaining = [c for c in remaining if c[0] != best[0]]
+        return selected, scores
+
+    return mmr_select
+
+
+#: single shared implementation: the v17 kernel closes over this (pickled
+#: by value) and the property tests import it
+mmr_select = _make_mmr_select()
+
+
 @_register("v17_mmr_rerank", _V17_ORACLE)
 def v17_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance re-ranking: retrieve the top-8 cosine
@@ -11193,40 +11248,13 @@ def v17_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = "q_vec_id long, neighbor_id long, mmr_rank int, score double"
 
     def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
-        import math
-
-        cands = sorted(
-            (
+        selected, scores = mmr_select(
+            [
                 (int(r.vec_id), float(r.rel), [float(x) for x in r.emb],
                  float(r.nn))
                 for r in pdf.itertuples(index=False)
-            ),
-            key=lambda c: (-c[1], c[0]),
+            ]
         )
-
-        def cos(a, b):
-            t = 0.0
-            for x, y in zip(a[2], b[2]):
-                t += x * y
-            return t / math.sqrt(a[3] * b[3])
-
-        selected = [cands[0]]
-        scores = [cands[0][1]]
-        remaining = cands[1:]
-        while len(selected) < 3 and remaining:
-            best, best_score = None, None
-            for c in remaining:
-                ms = max(cos(c, s) for s in selected)
-                sc = 0.5 * c[1] - 0.5 * ms
-                if (
-                    best is None
-                    or sc > best_score
-                    or (sc == best_score and c[0] < best[0])
-                ):
-                    best, best_score = c, sc
-            selected.append(best)
-            scores.append(best_score)
-            remaining = [c for c in remaining if c[0] != best[0]]
         qid = int(pdf["q_vec_id"].iloc[0])
         return pd.DataFrame(
             {
