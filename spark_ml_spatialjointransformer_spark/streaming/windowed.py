@@ -696,6 +696,34 @@ def asof_enrich_stream(
 # ---------------------------------------------------------------------------
 
 
+#: (path, data-file signature) -> (flush dir, n data files).  The build
+#: runs a max-ts SCAN JOB over the source parquet; within one process the
+#: source is immutable (the signature carries every file's name, size and
+#: mtime, so regenerated testdata misses the cache and rebuilds), so the
+#: repeated stream setups of e15/e17 skip straight to the prepared dir.
+_FLUSH_DIR_CACHE: "dict[tuple, tuple[str, int]]" = {}
+
+
+def _src_data_signature(path: str) -> tuple:
+    import os
+
+    if os.path.isdir(path):
+        src_dir = path
+        names = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    else:
+        src_dir = os.path.dirname(path)
+        names = [os.path.basename(path)]
+    return tuple(
+        (n, st.st_size, st.st_mtime)
+        for n in names
+        for st in (os.stat(os.path.join(src_dir, n)),)
+    )
+
+
 def _flushed_events_dir(spark: SparkSession, path: str) -> "tuple[str, int]":
     """Build (idempotently) a stream directory holding the events parquet
     plus two tiny WATERMARK-FLUSH files; return (dir, number of data files).
@@ -733,6 +761,11 @@ def _flushed_events_dir(spark: SparkSession, path: str) -> "tuple[str, int]":
     import hashlib
     import os
     import shutil
+
+    cache_key = (path, _src_data_signature(path))
+    hit = _FLUSH_DIR_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = spark.read.parquet(path)
@@ -802,6 +835,7 @@ def _flushed_events_dir(spark: SparkSession, path: str) -> "tuple[str, int]":
         # the data against the sentinel-advanced watermark and late-drop
         # every real row
         os.utime(dest, (data_mtime + 10 * i, data_mtime + 10 * i))
+    _FLUSH_DIR_CACHE[cache_key] = (d, len(srcs))
     return d, len(srcs)
 
 
