@@ -159,6 +159,61 @@ def j6_withindist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "j35_poi_density",
+    f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, CAST(round({_HAV}) AS INTEGER) AS d
+      FROM c CROSS JOIN s),
+a AS (SELECT c_custkey, count(*) AS n_within, min(d) AS min_dist_m
+      FROM p WHERE d <= 500000 GROUP BY c_custkey)
+SELECT c.c_custkey, COALESCE(a.n_within, 0) AS n_within, a.min_dist_m
+FROM c LEFT JOIN a ON a.c_custkey = c.c_custkey
+""",
+)
+def j35_poi_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density feature: per customer, HOW MANY suppliers sit
+    within 500 km and how far the closest one is — the POI-density /
+    coverage column every geo feature table carries (j6 emits the PAIRS;
+    a feature pipeline wants the per-point aggregate, zero-filled for
+    points with an empty neighborhood, which the inner pair join alone
+    cannot express).  NULL min_dist_m marks the empty case — distinct
+    from 0, which would claim a co-located supplier.  Scale shape: the
+    PARTITIONED strategy (j11's) — both sides shuffle on grid cells, no
+    broadcast of the ring-replicated relation (at a 25× replica the
+    broadcast form's ring-expanded build side crossed Spark's 8 GiB
+    broadcast ceiling; a density aggregate is a big×big join by nature);
+    count and min combine map-side on the customer key, and the
+    zero-fill is a left join against the (already scanned) customer
+    keys — no second global pass."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="withindist 500000",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"),),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+        strategy="partitioned",
+    )
+    pairs = spatial_join(cust, supp, plan)
+    agg = pairs.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.min("dist_m").alias("min_dist_m"),
+    )
+    return (
+        cust.select("c_custkey")
+        .join(agg, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_within", F.lit(0)).alias("n_within"),
+            "min_dist_m",
+        )
+    )
+
+
+@_register(
     "j11_withindist_partitioned",
     f"""
 WITH {_GEO_CTE},
@@ -11581,6 +11636,7 @@ _DRIVER_UNCHECKED_FIRST = [
     # new this round (r8) — never checked, by construction
     "f5_transformer_polygon_nearest", "p11_token_budget_fill",
     "v17_mmr_rerank", "v18_filtered_topk", "t52_dup_cluster_stats",
+    "j35_poi_density",
     # checked green at least once, least-recently-checked first (pre-r7
     # rotation order preserved) — new queries added this round go right
     # after the never-checked block above
