@@ -99,6 +99,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("6. near-dup graph: top-ranked node + triangle-bearing nodes:",
           ranked.orderBy(F.desc("pr_e6")).first(), tri.count())
 
+    # -- 7. retrieval stack: filtered search + MMR diversification -------
+    from spark_ml_spatialjointransformer_spark.queries import QUERIES
+
+    print("7. filtered top-5 (lang='en') and MMR-diversified top-3:")
+    QUERIES["v18_filtered_topk"].fn(spark, sf_dir).show(5)
+    QUERIES["v17_mmr_rerank"].fn(spark, sf_dir).show(3)
+
+    # -- 8. training-mix assembly under a per-source token budget --------
+    fill = QUERIES["p11_token_budget_fill"].fn(spark, sf_dir)
+    print("8. token-budget fill: docs admitted per source:")
+    fill.groupBy("source").count().orderBy("source").show(5)
+
     spark.stop()
 
 
