@@ -11448,6 +11448,93 @@ QUERIES["d24_user_drawdown"] = QueryDef(
 #: Window passes, no re-shuffle).
 
 
+_D25_BODY = """
+WITH e AS (SELECT user_id, event_id, {EPOCH_US} AS t,
+                  CASE WHEN event_type = 'purchase'
+                       THEN 300000000 ELSE 1800000000 END AS gap_us
+           FROM events),
+o AS (SELECT *, max(t + gap_us)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM e),
+b AS (SELECT *, CASE WHEN prev_end IS NULL OR t >= prev_end
+                     THEN 1 ELSE 0 END AS brk
+      FROM o),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b)
+SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       CAST(min(t) AS BIGINT) AS start_us,
+       CAST(max(t + gap_us) AS BIGINT) AS end_us
+FROM s GROUP BY user_id, sid
+"""
+_D25_ORACLE = _D25_BODY.replace("{EPOCH_US}", "epoch_us(ts)")
+_D25_SPARK = _D25_BODY.replace(
+    "{EPOCH_US}", "unix_micros(CAST(ts AS TIMESTAMP))"
+)
+QUERIES["d25_dynamic_sessions"] = QueryDef(
+    _sql_query(("events",), _D25_SPARK), _D25_ORACLE
+)
+#: d25: DYNAMIC-GAP sessionization — the inactivity gap depends on the
+#: event (purchases close a session after 5 min, everything else 30 min),
+#: the per-event-gap generalization of e4/e12's fixed 30-min windows and
+#: the batch mirror of Spark's expression-gap ``session_window(ts, CASE
+#: …)``.  Session extent is interval-union semantics: an event opens
+#: [t, t+gap) and merges into the running session while t < the running
+#: max of previous ends (half-open — t == prev_end starts a NEW session,
+#: matching Spark's session-window overlap rule), so the break flag is a
+#: cummax-vs-current comparison and session ids are the running sum of
+#: breaks.  ONE user-keyed exchange serves the cummax, the break cumsum,
+#: and the final (user, session) rollup — the variable-gap islands shape
+#: with zero re-shuffles.
+
+
+@_register("e20_dynamic_session_stream", _D25_ORACLE)
+def e20_dynamic_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d25's dynamic-gap sessionization as a STREAMING plan: Spark's
+    ``session_window`` with an EXPRESSION gap (5 min after a purchase,
+    30 min otherwise — the gap is per-event, which no fixed-gap window
+    expresses) — checked against the identical batch cummax/islands
+    oracle, proving stream/batch parity of the expression-gap session
+    operator the way e12 proves it for the fixed-gap one.  Session ids
+    are assigned AFTER materialization (rank of session start per user,
+    a batch window over one row per closed session): the stream's state
+    never needs a global sequence, which is what keeps the operator
+    shardable by user at scale."""
+    import hashlib
+
+    from pyspark.sql.window import Window
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        events_stream,
+        run_to_memory,
+    )
+
+    # the gap expression must evaluate to CalendarIntervalType: string
+    # literals coerce (the documented dynamic-gap form); INTERVAL literals
+    # are DayTimeIntervalType and are rejected by the analyzer
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("5 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    sdf = (
+        events_stream(spark, f"{sf_dir}/events.parquet")
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = "q_e20_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = run_to_memory(sdf, name, output_mode="complete")
+    w = Window.partitionBy("user_id").orderBy(F.col("w.start"))
+    return t.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_seq"),
+        "n_events",
+        F.expr("unix_micros(CAST(w.start AS TIMESTAMP))").alias("start_us"),
+        F.expr("unix_micros(CAST(w.end AS TIMESTAMP))").alias("end_us"),
+    )
+
+
 _T51_ORACLE = f"""
 WITH p AS (SELECT doc_id, {h60_sql("substring(text, 1, 200)")} AS ph
            FROM documents),
@@ -11636,7 +11723,7 @@ _DRIVER_UNCHECKED_FIRST = [
     # new this round (r8) — never checked, by construction
     "f5_transformer_polygon_nearest", "p11_token_budget_fill",
     "v17_mmr_rerank", "v18_filtered_topk", "t52_dup_cluster_stats",
-    "j35_poi_density",
+    "j35_poi_density", "d25_dynamic_sessions", "e20_dynamic_session_stream",
     # checked green at least once, least-recently-checked first (pre-r7
     # rotation order preserved) — new queries added this round go right
     # after the never-checked block above
