@@ -25,3 +25,35 @@ def test_entry_runs_flagship(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"c_custkey", "supp_key", "supp_name", "dist_m"} <= set(df.columns)
+
+
+def test_driver_rotation_is_derived_from_correctness_history():
+    """r7/r8 both shipped a stale hand-built gate rotation; the r9 fix
+    derives the order from the committed CORRECTNESS_r*.json artifacts at
+    import time.  Pin the two properties that matter: (a) never-checked
+    queries lead the gate, (b) checked queries are ordered stalest-first.
+    """
+    import glob
+    import json
+    import re
+
+    from spark_ml_spatialjointransformer_spark.queries import (
+        QUERIES,
+        _driver_rotation_order,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        rows = json.load(open(path))
+        for q in rows:
+            last[q] = max(last.get(q, 0), rnd)
+    if not last:  # fresh clone without driver artifacts: registration order
+        return
+    rounds = [last.get(n, -1) for n in QUERIES]
+    assert rounds == sorted(rounds), "gate order must be stalest-first"
+    # a synthetic never-checked query must sort ahead of every checked one
+    order = _driver_rotation_order(list(QUERIES) + ["zz_brand_new_query"])
+    checked_positions = [order.index(n) for n in QUERIES if last.get(n)]
+    assert order.index("zz_brand_new_query") < min(checked_positions)
