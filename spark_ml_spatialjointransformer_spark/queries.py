@@ -9123,7 +9123,9 @@ def f3_transformer_within_filtered(
         numPartitions="7",
     )
     out = t.transform(cust)
-    assert out.rdd.getNumPartitions() == 7  # X1 contract rides along
+    # X1 numPartitions=7 contract pinned in tests/test_r9.py (a bare
+    # assert here is skipped under python -O and forces a DF->RDD
+    # conversion on every plan build — r8 ADVICE)
     return out.select("c_custkey", "nat_key", "nat_name")
 
 
@@ -10457,7 +10459,7 @@ def f5_transformer_polygon_nearest(
         numPartitions="6",
     )
     out = t.transform(cust)
-    assert out.rdd.getNumPartitions() == 6  # X1 contract rides along
+    # X1 numPartitions=6 contract pinned in tests/test_r9.py (see f3 note)
     return out.select("c_custkey", "nat_key", "nat_name", "dist_m")
 
 
@@ -11136,7 +11138,9 @@ nrm AS (SELECT vec_id, sum(v * v) AS nn FROM u GROUP BY vec_id),
 qv AS (SELECT vec_id AS q_vec_id, v, i FROM u WHERE vec_id % 500 = 0),
 d AS (SELECT qv.q_vec_id, u.vec_id, sum(u.v * qv.v) AS dot
       FROM u JOIN qv ON u.i = qv.i GROUP BY qv.q_vec_id, u.vec_id),
-rl AS (SELECT d.q_vec_id, d.vec_id, d.dot / sqrt(nq.nn * nv.nn) AS rel
+rl AS (SELECT d.q_vec_id, d.vec_id,
+              floor(d.dot / sqrt(nq.nn * nv.nn) * 1000000000e0 + 0.5e0)
+                / 1000000000e0 AS rel
        FROM d JOIN nrm nq ON nq.vec_id = d.q_vec_id
               JOIN nrm nv ON nv.vec_id = d.vec_id
        WHERE d.vec_id != d.q_vec_id),
@@ -11151,7 +11155,9 @@ pd_ AS (SELECT a.q_vec_id, a.vec_id AS av, b.vec_id AS bv,
         JOIN u ua ON ua.vec_id = a.vec_id
         JOIN u ub ON ub.vec_id = b.vec_id AND ub.i = ua.i
         GROUP BY a.q_vec_id, a.vec_id, b.vec_id),
-psim AS (SELECT p.q_vec_id, p.av, p.bv, p.dot / sqrt(na.nn * nb.nn) AS sim
+psim AS (SELECT p.q_vec_id, p.av, p.bv,
+                floor(p.dot / sqrt(na.nn * nb.nn) * 1000000000e0 + 0.5e0)
+                  / 1000000000e0 AS sim
          FROM pd_ p JOIN nrm na ON na.vec_id = p.av
                     JOIN nrm nb ON nb.vec_id = p.bv),
 s1 AS (SELECT q_vec_id, vec_id, rel AS score FROM cand WHERE rn = 1),
@@ -11200,10 +11206,17 @@ def _make_mmr_select():
         """Greedy Maximal-Marginal-Relevance selection over candidate
         tuples ``(id, rel, vec, norm²)``: pick 1 by pure relevance, then
         repeatedly the candidate maximizing ``lam·rel − (1−lam)·
-        max_{s∈sel} cos(c, s)`` (ties: smaller id).  Pairwise dots sum
-        SEQUENTIALLY left-to-right so the double-precision result is
-        bit-identical to a SQL engine's ordered SUM over the same
-        products.  Returns ([picked tuples], [their scores])."""
+        max_{s∈sel} cos(c, s)`` (ties: smaller id).  Both the incoming
+        ``rel`` values and the pairwise cosines are QUANTIZED to the e9
+        grid (``floor(x·1e9 + 0.5)/1e9`` — the v17 oracle applies the
+        identical expression) before any comparison: DuckDB's SUM has no
+        guaranteed aggregation order vs this kernel's sequential fold,
+        so unrounded doubles could disagree by ulps and flip a near-tied
+        greedy pick.  After quantization the score arithmetic
+        (``lam·rel − (1−lam)·max``) runs on identical doubles in both
+        engines, so picks agree unless the TRUE cosine sits within an
+        ulp of an e9 grid boundary — the residual near-tie assumption.
+        Returns ([picked tuples], [their scores])."""
         import math
 
         cands = sorted(cands, key=lambda c: (-c[1], c[0]))
@@ -11214,7 +11227,8 @@ def _make_mmr_select():
             t = 0.0
             for x, y in zip(a[2], b[2]):
                 t += x * y
-            return t / math.sqrt(a[3] * b[3])
+            raw = t / math.sqrt(a[3] * b[3])
+            return math.floor(raw * 1e9 + 0.5) / 1e9
 
         selected = [cands[0]]
         scores = [cands[0][1]]
@@ -11258,8 +11272,9 @@ def v17_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     AFTER the top-8 cut so the shuffle carries 8 arrays per query, not
     |corpus|; the greedy runs per-query in ONE applyInPandas over a
     bounded 8-row group (k² = 64 pairwise cosines, arrival-order
-    independent), with pairwise dots summed sequentially to match the
-    oracle's aggregation order bit-for-bit."""
+    independent), with rel and pairwise cosines quantized to the e9 grid
+    in BOTH engines before any comparison (see mmr_select), so the greedy
+    picks agree regardless of either engine's summation order."""
     import pandas as pd
     from pyspark.sql.window import Window
 
@@ -11279,14 +11294,25 @@ def v17_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("qemb"),
         F.col("nn").alias("qnn"),
     )
+    # rel quantized to the e9 grid with the same expression the oracle
+    # uses (floor(x*1e9 + 0.5)/1e9), so the greedy MMR comparisons run on
+    # identical doubles in both engines (r8 ADVICE: unrounded near-ties
+    # could flip a pick under DuckDB's unordered SUM)
     rel = (
         embn.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_vec_id"))
         .select(
             "q_vec_id",
             "vec_id",
-            (dot(F.col("emb"), F.col("qemb"))
-             / F.sqrt(F.col("qnn") * F.col("nn"))).alias("rel"),
+            (
+                F.floor(
+                    dot(F.col("emb"), F.col("qemb"))
+                    / F.sqrt(F.col("qnn") * F.col("nn"))
+                    * F.lit(1000000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000000.0)
+            ).alias("rel"),
         )
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.col("rel").desc(), "vec_id")

@@ -724,6 +724,25 @@ def _src_data_signature(path: str) -> tuple:
     )
 
 
+def _flush_dir_intact(d: str, n_data: int) -> bool:
+    """True iff a cached flush dir still holds both watermark-flush
+    sentinels and ``n_data`` resolvable data symlinks."""
+    import os
+
+    if not os.path.isdir(d):
+        return False
+    flush, data = 0, 0
+    for f in os.listdir(d):
+        full = os.path.join(d, f)
+        if f.startswith("flush") and f.endswith(".parquet"):
+            flush += 1
+        elif f.endswith(".parquet"):
+            if not os.path.exists(full):  # dangling symlink
+                return False
+            data += 1
+    return flush == 2 and data == n_data
+
+
 def _flushed_events_dir(spark: SparkSession, path: str) -> "tuple[str, int]":
     """Build (idempotently) a stream directory holding the events parquet
     plus two tiny WATERMARK-FLUSH files; return (dir, number of data files).
@@ -764,7 +783,13 @@ def _flushed_events_dir(spark: SparkSession, path: str) -> "tuple[str, int]":
 
     cache_key = (path, _src_data_signature(path))
     hit = _FLUSH_DIR_CACHE.get(cache_key)
-    if hit is not None:
+    if hit is not None and _flush_dir_intact(*hit):
+        # cheap revalidation on every hit: the dir lives in /tmp under an
+        # md5(path) name, so a tmp cleaner or a concurrent process can
+        # remove sentinels/symlinks mid-session — running a stream on a
+        # dir missing its flush files would silently drop the outer-join
+        # NULL rows (r8 ADVICE).  Any damage falls through to the full
+        # rebuild below, which is idempotent.
         return hit
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

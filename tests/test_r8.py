@@ -20,21 +20,55 @@ def _sorted_rows(df):
 
 
 class TestBenchRepPolicy:
-    """bench.py's adaptive rep rule: two best readings within 20% stop
-    the loop; agreeing SLOW readings alone don't (a load spike tainting
-    consecutive reps must force another look), and the cap bounds it."""
+    """bench.py's adaptive rep rule (r9 form, closing the r8 ADVICE gap):
+    two best readings within 20% stop the loop only when an INDEPENDENT
+    reference confirms them — the committed baseline within 1.3x, or a
+    third rep when no baseline exists.  A load spike tainting reps 1-2
+    ([8.0, 8.1] on a ~3.5 s query) therefore no longer converges with the
+    tainted min; the cap still bounds the loop."""
 
-    def test_convergence_rule(self):
+    def test_convergence_without_baseline_requires_three_reps(self):
         from bench import reps_converged
 
         assert not reps_converged([])
         assert not reps_converged([3.0])
-        assert reps_converged([3.0, 3.1])         # steady state at 2
-        assert not reps_converged([6.0, 3.0])      # JIT-slow rep1 → rep3
-        assert reps_converged([6.0, 3.0, 3.3])     # best two now agree
-        assert not reps_converged([8.0, 8.1, 3.0])  # spike pair + 1 fast
+        assert not reps_converged([3.0, 3.1])       # agreement alone: no
+        assert reps_converged([3.0, 3.1, 3.2])      # 3rd rep confirms
+        assert not reps_converged([6.0, 3.0])        # JIT-slow rep1
+        assert reps_converged([6.0, 3.0, 3.3])       # best two agree at 3
+        assert not reps_converged([8.0, 8.1, 3.0])   # spike pair + 1 fast
         assert reps_converged([8.0, 8.1, 3.0, 3.1])  # cap reached
         assert reps_converged([9.0, 5.0, 7.0, 6.5])  # cap bounds the loop
+
+    def test_convergence_with_baseline(self):
+        from bench import reps_converged
+
+        # steady state confirmed by baseline: stops at 2
+        assert reps_converged([3.0, 3.1], baseline=3.2)
+        # the r7 j18 failure mode: spike covers both reps, readings agree
+        # but contradict the baseline -> loop must continue
+        assert not reps_converged([8.0, 8.1], baseline=3.5)
+        # ...and the third rep catching the true value leaves the best
+        # pair disagreeing, forcing the confirming fourth
+        assert not reps_converged([8.0, 8.1, 3.4], baseline=3.5)
+        assert reps_converged([8.0, 8.1, 3.4, 3.5], baseline=3.5)
+        # a genuine regression (three agreeing readings above baseline)
+        # is accepted after the extra look — and flagged downstream
+        assert reps_converged([8.0, 8.1, 7.9], baseline=3.5)
+
+    def test_headline_subset_and_regression_flagging(self):
+        from bench import headline_subset
+
+        timings = {f"a{i}_q": float(i) for i in range(1, 15)}
+        timings.update({"f1_flag": 0.2, "t9_new": 0.1, "j6_reg": 1.0})
+        baseline = {n: v for n, v in timings.items() if n != "t9_new"}
+        baseline["j6_reg"] = 0.5  # j6 regressed 2x
+        out = headline_subset(timings, baseline)
+        assert "f1_flag" in out            # f-family always present
+        assert "t9_new" in out             # no baseline -> new this round
+        assert "j6_reg" in out             # >1.5x baseline
+        assert "a14_q" in out and "a5_q" in out  # 10 slowest
+        assert "a1_q" not in out           # fast, baselined, unflagged
 
 
 class TestMMRSelect:
@@ -79,10 +113,13 @@ class TestMMRSelect:
         assert scores[0] == best_rel
 
         def cos(a, b):
+            # the r9 kernel contract quantizes pairwise cosines to the e9
+            # grid before comparison (oracle-parity fix, r8 ADVICE); the
+            # reference implementation here must do the same
             t = 0.0
             for x, y in zip(a[2], b[2]):
                 t += x * y
-            return t / math.sqrt(a[3] * b[3])
+            return math.floor(t / math.sqrt(a[3] * b[3]) * 1e9 + 0.5) / 1e9
 
         # each later pick maximizes the MMR score among the then-remaining
         for step in (1, 2):
