@@ -10463,6 +10463,90 @@ def f5_transformer_polygon_nearest(
     return out.select("c_custkey", "nat_key", "nat_name", "dist_m")
 
 
+#: event geo synthesis (distinct multipliers from customer/supplier so the
+#: three point sets are not colocated); lat band +-60 like the others
+EVENT_LON_SQL = "(event_id * 6133 % 3600) / 10.0 - 180.0"
+EVENT_LAT_SQL = "(event_id * 3571 % 1200) / 10.0 - 60.0"
+
+#: 2024-01-01T00:00:00Z — the driver's events table always spans Jan 2024
+_F6_EPOCH_JAN1 = 1_704_067_200
+#: visit-window synthesis from the supplier key: start day 0-22 of Jan,
+#: duration 2-7 days — pure integer arithmetic, replayed verbatim in SQL
+_F6_START_SQL = f"{_F6_EPOCH_JAN1} + (s_suppkey * 37 % 23) * 86400"
+_F6_END_SQL = f"({_F6_START_SQL}) + (s_suppkey * 13 % 6 + 2) * 86400"
+
+_F6_ORACLE = f"""
+WITH ev AS (SELECT event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS fulldate_ts,
+                   {EVENT_LON_SQL} AS lon, {EVENT_LAT_SQL} AS lat
+            FROM events),
+v AS (SELECT s_suppkey, {SUPP_LON_SQL} AS lon, {SUPP_LAT_SQL} AS lat,
+             {_F6_START_SQL} AS start_ts, {_F6_END_SQL} AS end_ts
+      FROM supplier),
+p AS (SELECT ev.event_id, v.s_suppkey,
+             {haversine_sql('ev.lon', 'ev.lat', 'v.lon', 'v.lat')} AS d,
+             ev.fulldate_ts, v.start_ts, v.end_ts
+      FROM ev CROSS JOIN v)
+SELECT event_id, s_suppkey AS site_key, CAST(round(d) AS INTEGER) AS dist_m
+FROM p
+WHERE CAST(round(d) AS INTEGER) <= 1000000
+  AND fulldate_ts BETWEEN start_ts AND end_ts
+"""
+
+
+@_register("f6_transformer_interval_condition", _F6_ORACLE)
+def f6_transformer_interval_condition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full ML-Transformer surface, TEMPORAL-interval-condition flavor:
+    the reference's first canonical extra-condition string —
+    ``right.fulldate_ts between left.start_ts and left.end_ts``
+    (BroadcastSpatialJoin.scala:513-521, spelled VERBATIM below) —
+    composed with `withindist 1000000` (J6) at driver scale: every event
+    within 1000 km of a supplier "visit site" whose visit window covers
+    the event's timestamp.  f1-f5 drive only non-equi/inequality
+    condition forms; this is the end-to-end temporal-interval row (golden
+    unit: tests/test_spatial_join.py:318).  The condition's dataset-side
+    columns (start_ts/end_ts) are NOT in dataColumns — the transformer
+    must fetch them for the kernel yet keep them out of the output, the
+    reference's extraConditionColumns contract
+    (BroadcastSpatialJoin.scala:498-506).  Scale shape: visit windows
+    broadcast (dimension side); the grid equi-key pre-join bounds
+    candidates to neighbor cells; the interval condition and exact
+    Int-meter re-filter run post-pair inside the kernel, so the shuffle
+    carries only grid keys, never widened pairs."""
+    from spark_ml_spatialjointransformer_spark.transformer import (
+        BroadcastSpatialJoin,
+    )
+
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(SUPP_LON_SQL).alias("lon"),
+        F.expr(SUPP_LAT_SQL).alias("lat"),
+        F.expr(_F6_START_SQL).alias("start_ts"),
+        F.expr(_F6_END_SQL).alias("end_ts"),
+    )
+    supp.createOrReplaceTempView("sjt_visits_f6")
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        F.unix_timestamp("ts").alias("fulldate_ts"),
+        F.expr(EVENT_LON_SQL).alias("lon"),
+        F.expr(EVENT_LAT_SQL).alias("lat"),
+    )
+    t = BroadcastSpatialJoin(
+        dataset="sjt_visits_f6",
+        dataColumns="s_suppkey as site_key",
+        datasetPoint="lon, lat",
+        inputPoint="lon, lat",
+        predicate="withindist 1000000",
+        condition="right.fulldate_ts between left.start_ts and left.end_ts",
+        broadcast="dataset",
+        distanceColumnAlias="dist_m",
+        distanceKernel="haversine",
+    )
+    return t.transform(ev).select("event_id", "site_key", "dist_m")
+
+
 _A29_SQL = """
 SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000e0 + 0.5e0)
                      AS BIGINT)) AS BIGINT) AS revenue_e4,
