@@ -11810,6 +11810,114 @@ def _j34_margin(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     )
 
 
+_T53_K = 4       #: k-gram width (tokens) for the anchor hash
+_T53_W = 5       #: winnowing window (positions) — expected anchor density 1/W
+_T53_L = 12      #: verified span length (tokens) anchored at each anchor
+
+_T53_ORACLE = f"""
+WITH tok AS (SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents),
+t AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) >= {_T53_W + _T53_K - 1}),
+p AS (SELECT doc_id, n, w, unnest(range(1, n - {_T53_K - 2})) AS i FROM t),
+h AS (SELECT doc_id, n, i,
+             {h60_sql(f"array_to_string(w[i : i + {_T53_K - 1}], ' ')")} AS gh,
+             CASE WHEN i <= n - {_T53_L - 1}
+                  THEN {h60_sql(f"array_to_string(w[i : i + {_T53_L - 1}], ' ')")}
+             END AS sp
+      FROM p),
+a AS (SELECT doc_id, i, gh, sp,
+             min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN {_T53_W - 1} PRECEDING AND CURRENT ROW)
+               AS m
+      FROM h),
+s AS (SELECT DISTINCT doc_id, sp FROM a
+      WHERE i >= {_T53_W} AND gh = m AND sp IS NOT NULL)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_spans
+FROM s a JOIN s b ON b.sp = a.sp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@_register("t53_span_dedup", _T53_ORACLE)
+def t53_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (span) dedup, the Lee-et-al-style gap in the dedup
+    family: find document PAIRS sharing a long duplicated token span
+    embedded at possibly DIFFERENT offsets in otherwise-distinct docs —
+    the case whole-doc (t2), shingle-set (t5/t6/t9), chunk (t25), prefix
+    (t51) and containment (t35) dedup all miss.  Method (winnowing-
+    anchored span match, reusing t8's fingerprint machinery): hash every
+    positional token {_T53_K}-gram (h60, identical in both engines); a
+    position is an ANCHOR iff its hash is the minimum of the {_T53_W}-
+    window ENDING at it (content-defined local minimum — both copies of
+    a duplicated region anchor at the SAME content-relative offsets, and
+    uniform md5 makes the expected anchor density 1/{_T53_W}); each
+    anchor is VERIFIED by the h60 of the {_T53_L}-token span it starts,
+    so a reported pair shares an exact {_T53_L}-token span (60-bit
+    collision odds aside), not merely a k-gram.  A duplicated span of S
+    tokens is caught iff an anchor lands in its first S-{_T53_L}+1
+    k-gram positions — probability 1-(1-1/{_T53_W}
+    )^(S-{_T53_L}+1) under uniform hashing (>91% at S=2L), the same
+    content-defined-sampling trade the CDC chunker (t44) makes; the
+    ORACLE applies the identical rule, so the correctness gate is exact.
+    Scale shape vs t43's brute n-gram coverage: only ~1/{_T53_W} of
+    positions survive to the join, and everything past the one
+    project-stage (tokens -> two int hashes) moves (doc_id, int) rows —
+    the anchor window shuffles ints keyed by doc_id, the pair join
+    shuffles ints keyed by the 60-bit span hash (uniform, no salting),
+    and the text NEVER shuffles.  At 100 TB: per-doc state is O(tokens)
+    ints in one window pass; join volume is anchors (~tokens/{_T53_W}),
+    each 16 bytes."""
+    from pyspark.sql.window import Window
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .select("doc_id", "w", F.size("w").alias("n"))
+        .where(F.col("n") >= _T53_W + _T53_K - 1)
+    )
+    pos = tok.select(
+        "doc_id",
+        "n",
+        "w",
+        F.explode(F.expr(f"sequence(1, n - {_T53_K - 2})")).alias("i"),
+    )
+    hashed = pos.select(
+        "doc_id",
+        "n",
+        "i",
+        h60_col(
+            F.expr(f"array_join(slice(w, i, {_T53_K}), ' ')")
+        ).alias("gh"),
+        F.when(
+            F.col("i") <= F.col("n") - (_T53_L - 1),
+            h60_col(F.expr(f"array_join(slice(w, i, {_T53_L}), ' ')")),
+        ).alias("sp"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_T53_W - 1), Window.currentRow)
+    )
+    anchors = (
+        hashed.withColumn("m", F.min("gh").over(win))
+        .where(
+            (F.col("i") >= _T53_W)
+            & (F.col("gh") == F.col("m"))
+            & F.col("sp").isNotNull()
+        )
+        .select("doc_id", "sp")
+        .distinct()
+    )
+    a, b = anchors.alias("a"), anchors.alias("b")
+    return (
+        a.join(b, "sp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #

@@ -65,3 +65,41 @@ class TestFlushDirCacheRevalidation:
         os.remove(os.path.join(d, link))
         d3, n3 = W._flushed_events_dir(spark, src)
         assert W._flush_dir_intact(d3, n3)
+
+
+class TestT53SpanDedup:
+    """t53 must catch a long span duplicated at DIFFERENT offsets inside
+    otherwise-distinct documents — the case whole-doc/shingle/chunk/
+    prefix dedup miss — and must NOT pair docs with no long shared
+    span."""
+
+    def test_embedded_span_at_different_offsets(self, spark):
+        import random
+
+        rng = random.Random(53)
+        vocab = [f"w{i}" for i in range(1000)]
+        span = " ".join(rng.choice(vocab) for _ in range(30))
+
+        def noise(n):
+            return " ".join(rng.choice(vocab) for _ in range(n))
+
+        rows = [
+            (1, noise(5) + " " + span + " " + noise(40)),   # span at off 5
+            (2, noise(25) + " " + span + " " + noise(10)),  # span at off 25
+            (3, noise(80)),                                  # unrelated
+            (4, noise(80)),                                  # unrelated
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .createOrReplaceTempView("documents_t53")
+
+        from spark_ml_spatialjointransformer_spark import queries as Q
+
+        tmpdir = None  # reuse the registry fn via a temp parquet dir
+        import tempfile, os
+        tmpdir = tempfile.mkdtemp()
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.mode("overwrite").parquet(os.path.join(tmpdir, "documents.parquet"))
+        out = Q.QUERIES["t53_span_dedup"].fn(spark, tmpdir)
+        pairs = {(r.id_a, r.id_b) for r in out.collect()}
+        assert (1, 2) in pairs
+        assert all(p == (1, 2) for p in pairs), pairs
