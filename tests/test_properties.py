@@ -358,3 +358,93 @@ def test_wav_decode_total_on_truncated_real_file(prefix):
     mutated = prefix + good[len(prefix):]
     out = decode_wav(mutated)
     assert out is None or out[0].ndim == 2
+
+
+# --- broadcast ≡ partitioned across every predicate (r9, VERDICT #6) ------
+
+_rects = st.lists(
+    st.tuples(
+        st.integers(min_value=-170, max_value=160),
+        st.integers(min_value=-80, max_value=70),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=6,
+    unique=True,
+).map(
+    lambda rs: [
+        f"POLYGON(({x0} {y0},{x0 + w} {y0},{x0 + w} {y0 + h},"
+        f"{x0} {y0 + h},{x0} {y0}))"
+        for x0, y0, w, h in rs
+    ]
+)
+
+_WKT_SIDE = SideConfig(wkt_column="wkt")
+
+#: predicate -> (input kind, external kind, extra plan kwargs)
+_STRATEGY_MATRIX = {
+    "within": ("point", "wkt", {}),
+    "contains": ("point", "wkt", {"broadcast_input": True}),
+    "intersects": ("wkt", "wkt", {}),
+    "overlaps": ("wkt", "wkt", {}),
+    "withindist 700000": ("point", "point", {"distance_column": "dist_m"}),
+    "nearest": (
+        "point",
+        "point",
+        {"distance_column": "dist_m", "tie_break": ("e_id",)},
+    ),
+}
+
+
+def _side_df(spark, kind, pts, rects, prefix):
+    if kind == "point":
+        return (
+            _df(spark, pts, prefix),
+            SideConfig(point_columns=PointColumns("lon", "lat")),
+        )
+    return (
+        spark.createDataFrame(
+            list(enumerate(rects)), f"{prefix}_id int, wkt string"
+        ),
+        _WKT_SIDE,
+    )
+
+
+@pytest.mark.parametrize("predicate", sorted(_STRATEGY_MATRIX))
+@SPARK_SETTINGS
+@given(left=points, right=points, rects_l=_rects, rects_r=_rects)
+def test_broadcast_equals_partitioned(
+    spark, predicate, left, right, rects_l, rects_r
+):
+    """Cross-strategy equality as a PROPERTY, all six predicates: the
+    broadcast kernel and the partitioned grid path must return identical
+    row sets on arbitrary fixtures — r8 pinned this only for j34's k=2
+    route at fixed params; per-query oracles would catch a kernel
+    divergence a full driver round later (VERDICT r8 #6)."""
+    in_kind, ext_kind, extra = _STRATEGY_MATRIX[predicate]
+    inp, in_cfg = _side_df(spark, in_kind, left, rects_l, "i")
+    ext, ext_cfg = _side_df(spark, ext_kind, right, rects_r, "e")
+
+    results = []
+    for strategy in ("broadcast", "partitioned"):
+        plan = SpatialJoinPlan(
+            predicate=predicate,
+            external_side=ext_cfg,
+            input_side=in_cfg,
+            data_columns=(("e_id", "e_id"),),
+            broadcast_input=extra.get("broadcast_input", False),
+            distance_column=extra.get("distance_column"),
+            distance_kernel="haversine",
+            tie_break=extra.get("tie_break", ()),
+            strategy=strategy,
+        )
+        cols = ["i_id", "e_id"] + (
+            ["dist_m"] if extra.get("distance_column") else []
+        )
+        results.append(
+            sorted(
+                tuple(r) for r in spatial_join(inp, ext, plan).select(*cols).collect()
+            )
+        )
+    assert results[0] == results[1]
