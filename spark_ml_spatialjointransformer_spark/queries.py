@@ -11918,6 +11918,234 @@ def t53_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g10_oracle() -> str:
+    """g2's degree-oriented triangle CTEs plus the degree table: local
+    clustering coefficient = 2*tri / (deg*(deg-1)) per node of degree >= 2
+    (nodes in no triangle zero-fill)."""
+    return f"""
+WITH pairs AS ({_v2_oracle()}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+und AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+k AS (SELECT e.a, e.b,
+             da.d * 10000000 + e.a AS ka, db.d * 10000000 + e.b AS kb
+      FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b),
+o AS (SELECT CASE WHEN ka < kb THEN a ELSE b END AS src,
+             CASE WHEN ka < kb THEN b ELSE a END AS dst,
+             CASE WHEN ka < kb THEN kb ELSE ka END AS dkey
+      FROM k),
+tri AS (SELECT x.src AS u, x.dst AS v, y.dst AS w
+        FROM o x
+        JOIN o y ON x.src = y.src AND x.dkey < y.dkey
+        JOIN o z ON z.src = x.dst AND z.dst = y.dst),
+n AS (SELECT u AS id FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri),
+t AS (SELECT id, count(*) AS n_tri FROM n GROUP BY id)
+SELECT deg.u AS vec_id, CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(round(2.0 * coalesce(t.n_tri, 0) * 1000000
+                  / (deg.d * (deg.d - 1))) AS BIGINT) AS coeff_e6
+FROM deg LEFT JOIN t ON t.id = deg.u
+WHERE deg.d >= 2
+"""
+
+
+@_register("g10_clustering_coefficient", _g10_oracle())
+def g10_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the v2 near-duplicate pair graph:
+    2*tri(u) / (deg(u)*(deg(u)-1)) for every node of degree >= 2, with
+    zero-fill for triangle-free nodes — the per-node DENSITY ratio that
+    separates "hub of a near-dup clique" (coeff ~1: all my neighbors
+    duplicate each other too; safe to keep one representative) from
+    "template bridge" (coeff ~0: I share boilerplate with many otherwise-
+    unrelated docs; keeper election must NOT collapse my neighborhood) —
+    the standard graph-curation refinement on top of g2's raw counts.
+    Scale shape: one canonical-pair localCheckpoint feeds BOTH the degree
+    agg and the triangle counter (the LSH self-join lineage never
+    re-executes); everything downstream shuffles (int64 id, int64 count)
+    rows keyed by node id, the same budget class as g2."""
+    from spark_ml_spatialjointransformer_spark.operators.graph import (
+        triangles_per_node,
+    )
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    )
+    pairs = raw.select(
+        F.least("id_a", "id_b").cast("long").alias("id_a"),
+        F.greatest("id_a", "id_b").cast("long").alias("id_b"),
+    ).localCheckpoint(eager=False)
+    und = pairs.select(F.col("id_a").alias("u")).unionByName(
+        pairs.select(F.col("id_b").alias("u"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    tri = triangles_per_node(pairs, "id_a", "id_b")
+    d = F.col("degree")
+    return (
+        deg.where(d >= 2)
+        .join(tri, deg["u"] == tri["id"], "left")
+        .select(
+            F.col("u").alias("vec_id"),
+            d.cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+            F.round(
+                F.coalesce(F.col("n_tri"), F.lit(0)) * 2.0 * 1000000
+                / (d * (d - 1))
+            )
+            .cast("bigint")
+            .alias("coeff_e6"),
+        )
+    )
+
+
+#: 2^60 — h60 values are uniform on [0, 2^60), so ``dh < 2^60 // csize``
+#: keeps each member of a csize-cluster with probability 1/csize,
+#: deterministically by id hash (integer-exact in both engines; division
+#: instead of ``dh * csize < 2^60`` so a huge cluster can't overflow int64)
+_P12_H60_SPACE = 1 << 60
+
+_P12_ORACLE = f"""
+WITH p AS (SELECT doc_id, source,
+                  {h60_sql("substring(text, 1, 200)")} AS ph,
+                  {h60_sql("CAST(doc_id AS VARCHAR)")} AS dh
+           FROM documents),
+g AS (SELECT doc_id, source, dh,
+             count(*) OVER (PARTITION BY ph) AS csize
+      FROM p)
+SELECT doc_id, source, CAST(csize AS BIGINT) AS cluster_size,
+       CAST(round(1000000.0 / csize) AS BIGINT) AS weight_e6
+FROM g WHERE dh < {_P12_H60_SPACE} // csize
+"""
+
+
+@_register("p12_soft_dedup_sample", _P12_ORACLE)
+def p12_soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft (sampled) dedup — the curation alternative to hard keeper
+    election: instead of keeping exactly one doc per duplicate cluster
+    (t51/p1), keep each member with probability 1/cluster_size, so every
+    distinct CONTENT contributes ~one expected copy while intra-cluster
+    variety (different tails behind a shared prefix) still enters the mix
+    — the standard LLM-corpus recipe when near-dups carry signal.
+    Selection is hash-deterministic (keep iff h60(doc_id) falls below the
+    1/csize slice of the 60-bit space — reproducible, shuffle-free,
+    engine-exact), and survivors carry weight_e6 = 1e6/csize for loss
+    reweighting downstream.  Clusters key on the same 200-char-prefix
+    h60 as t51/t52, so the three queries form one family: detect (t51),
+    audit (t52), remediate (p12).  Scale shape: ONE exchange keyed by
+    the 60-bit prefix hash (the cluster-size window); text never
+    shuffles — both hashes are computed in the scan projection and only
+    (int, int) pairs move."""
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        h60_col(F.expr("substring(text, 1, 200)")).alias("ph"),
+        h60_col(F.col("doc_id").cast("string")).alias("dh"),
+    )
+    g = p.withColumn(
+        "csize", F.count(F.lit(1)).over(Window.partitionBy("ph"))
+    )
+    return g.where(
+        F.col("dh") < F.expr(f"{_P12_H60_SPACE}L div csize")
+    ).select(
+        "doc_id",
+        "source",
+        F.col("csize").cast("bigint").alias("cluster_size"),
+        F.round(1000000.0 / F.col("csize")).cast("bigint").alias("weight_e6"),
+    )
+
+
+_E21_ORACLE = """
+WITH b AS (SELECT CAST(epoch(date_trunc('hour', ts))
+                       - (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) % 21600)
+                       AS BIGINT) AS win_ts,
+                  CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS cents,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT win_ts, cents, n,
+             sum(n) OVER (PARTITION BY win_ts ORDER BY cents) AS cum,
+             sum(n) OVER (PARTITION BY win_ts) AS total
+      FROM b)
+SELECT win_ts, CAST(max(total) AS BIGINT) AS n_events,
+       CAST(min(CASE WHEN cum * 2 >= total THEN cents END) AS BIGINT)
+         AS p50_cents,
+       CAST(min(CASE WHEN cum * 20 >= total * 19 THEN cents END) AS BIGINT)
+         AS p95_cents
+FROM t GROUP BY win_ts
+"""
+
+
+@_register("e21_stream_histogram_quantiles", _E21_ORACLE)
+def e21_stream_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT streaming quantiles via the histogram decomposition: the
+    stream maintains a windowed value HISTOGRAM (6-hour tumbling window x
+    integer cents bucket — a plain incremental count agg, watermark-
+    bounded state, mergeable across partitions and micro-batches), and
+    the exact p50/p95 are read off the materialized histogram with an
+    integer cumulative-count rule (smallest bucket where 2*cum >= total /
+    20*cum >= 19*total).  This is how production pipelines get
+    percentile monitoring out of Structured Streaming without
+    approximate sketches: quantiles are not incrementally mergeable,
+    histograms are — so the stream does the mergeable part and the exact
+    selection runs over one (window, bucket) row per pair, never raw
+    events.  Integer buckets make the result engine-exact (no
+    percentile_approx drift vs DuckDB).  Scale shape: state rows =
+    distinct (window, bucket) pairs — bounded by the value domain, NOT
+    the event count; the post-materialization window pass shuffles those
+    same int rows once."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        events_stream,
+        run_to_memory,
+    )
+    from pyspark.sql.window import Window
+
+    sdf = (
+        events_stream(spark, f"{sf_dir}/events.parquet")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "6 hours").alias("w"),
+            F.expr("CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "q_e21_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    hist = run_to_memory(sdf, name, output_mode="complete").select(
+        F.unix_timestamp(F.col("w.start")).alias("win_ts"), "cents", "n"
+    )
+    wcum = Window.partitionBy("win_ts").orderBy("cents")
+    wtot = Window.partitionBy("win_ts")
+    t = hist.select(
+        "win_ts",
+        "cents",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    return t.groupBy("win_ts").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("cents")))
+        .cast("bigint")
+        .alias("p50_cents"),
+        F.min(
+            F.when(F.col("cum") * 20 >= F.col("total") * 19, F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("p95_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
