@@ -12146,6 +12146,152 @@ def e21_stream_histogram_quantiles(
     )
 
 
+_T54_ORACLE = f"""
+WITH tok AS (SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents),
+t AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) >= {_T53_W + _T53_K - 1}),
+p AS (SELECT doc_id, n, w, unnest(range(1, n - {_T53_K - 2})) AS i FROM t),
+h AS (SELECT doc_id, n, i,
+             {h60_sql(f"array_to_string(w[i : i + {_T53_K - 1}], ' ')")} AS gh,
+             CASE WHEN i <= n - {_T53_L - 1}
+                  THEN {h60_sql(f"array_to_string(w[i : i + {_T53_L - 1}], ' ')")}
+             END AS sp
+      FROM p),
+a AS (SELECT doc_id, i, gh, sp,
+             min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN {_T53_W - 1} PRECEDING AND CURRENT ROW)
+               AS m
+      FROM h),
+ap AS (SELECT doc_id, i, sp FROM a
+       WHERE i >= {_T53_W} AND gh = m AND sp IS NOT NULL),
+spc AS (SELECT sp, count(*) AS nd
+        FROM (SELECT DISTINCT doc_id, sp FROM ap) GROUP BY sp),
+ma AS (SELECT ap.doc_id, ap.i FROM ap JOIN spc ON spc.sp = ap.sp
+       WHERE spc.nd >= 2),
+isl AS (SELECT doc_id, i,
+               max(i + {_T53_L - 1}) OVER (
+                 PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM ma),
+grp AS (SELECT doc_id, i,
+               sum(CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM isl),
+cov AS (SELECT doc_id,
+               sum(mx - mn + 1) AS covered
+        FROM (SELECT doc_id, g, min(i) AS mn, max(i + {_T53_L - 1}) AS mx
+              FROM grp GROUP BY doc_id, g)
+        GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(round(coalesce(cov.covered, 0) * 1000000.0 / t.n) AS BIGINT)
+         AS coverage_e6
+FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id
+"""
+
+
+@_register("t54_span_coverage", _T54_ORACLE)
+def t54_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-token COVERAGE per document — the number every span-
+    dedup paper reports ("X% of the corpus is inside a duplicated span")
+    and the per-doc score a curation pipeline thresholds on, computed
+    from t53's winnowing anchors: an anchor is MATCHED iff its verified
+    {_T53_L}-token span hash occurs in >= 2 distinct docs; each matched
+    anchor covers tokens [i, i+{_T53_L - 1}], and the per-doc covered
+    count is the INTERVAL UNION of those spans (classic gaps-and-islands:
+    an island breaks where the next anchor starts past the running
+    max-end; union length = sum over islands of max_end - min_start + 1 —
+    overlapping spans never double-count).  Docs long enough to anchor
+    (>= {_T53_W + _T53_K - 1} tokens) but with no matched span zero-fill.
+    Scale shape: identical stages to t53 (one doc_id-keyed int window,
+    one span-hash-keyed int join) plus a second doc_id-keyed window pass
+    for the islands — matched-anchor rows are ~1/{_T53_W} of positions
+    and 16 bytes each; text never shuffles."""
+    from pyspark.sql.window import Window
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .select("doc_id", "w", F.size("w").alias("n"))
+        .where(F.col("n") >= _T53_W + _T53_K - 1)
+    )
+    pos = tok.select(
+        "doc_id",
+        "n",
+        "w",
+        F.explode(F.expr(f"sequence(1, n - {_T53_K - 2})")).alias("i"),
+    )
+    hashed = pos.select(
+        "doc_id",
+        "n",
+        "i",
+        h60_col(F.expr(f"array_join(slice(w, i, {_T53_K}), ' ')")).alias("gh"),
+        F.when(
+            F.col("i") <= F.col("n") - (_T53_L - 1),
+            h60_col(F.expr(f"array_join(slice(w, i, {_T53_L}), ' ')")),
+        ).alias("sp"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_T53_W - 1), Window.currentRow)
+    )
+    ap = (
+        hashed.withColumn("m", F.min("gh").over(win))
+        .where(
+            (F.col("i") >= _T53_W)
+            & (F.col("gh") == F.col("m"))
+            & F.col("sp").isNotNull()
+        )
+        .select("doc_id", "i", "sp")
+    )
+    spc = (
+        ap.select("doc_id", "sp")
+        .distinct()
+        .groupBy("sp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+    )
+    ma = ap.join(spc, "sp").select("doc_id", "i")
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = ma.withColumn(
+        "pe", F.max(F.col("i") + (_T53_L - 1)).over(wprev)
+    ).withColumn(
+        "g",
+        F.sum(
+            F.when(
+                F.col("pe").isNull() | (F.col("i") > F.col("pe")), 1
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    cov = (
+        grp.groupBy("doc_id", "g")
+        .agg(
+            F.min("i").alias("mn"),
+            F.max(F.col("i") + (_T53_L - 1)).alias("mx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("mx") - F.col("mn") + 1).alias("covered"))
+    )
+    covered = F.coalesce(F.col("covered"), F.lit(0))
+    return tok.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        covered.cast("bigint").alias("covered_tokens"),
+        F.round(covered * 1000000.0 / F.col("n"))
+        .cast("bigint")
+        .alias("coverage_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #

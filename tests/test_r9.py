@@ -103,3 +103,43 @@ class TestT53SpanDedup:
         pairs = {(r.id_a, r.id_b) for r in out.collect()}
         assert (1, 2) in pairs
         assert all(p == (1, 2) for p in pairs), pairs
+
+
+class TestT54SpanCoverage:
+    """Coverage must union overlapping spans (no double-count) and report
+    zero for docs whose spans match nothing."""
+
+    def test_interval_union_no_double_count(self, spark, tmp_path):
+        import os
+        import random
+
+        rng = random.Random(54)
+        vocab = [f"w{i}" for i in range(1000)]
+        # 40-token span duplicated across docs 1 and 2 -> its anchors
+        # overlap heavily inside each doc; union must not exceed doc length
+        span = " ".join(rng.choice(vocab) for _ in range(40))
+
+        def noise(n):
+            return " ".join(rng.choice(vocab) for _ in range(n))
+
+        rows = [
+            (1, noise(10) + " " + span + " " + noise(10)),
+            (2, span + " " + noise(20)),
+            (3, noise(60)),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+        from spark_ml_spatialjointransformer_spark import queries as Q
+
+        out = {
+            r.doc_id: r
+            for r in Q.QUERIES["t54_span_coverage"].fn(spark, str(tmp_path)).collect()
+        }
+        assert out[3].covered_tokens == 0 and out[3].coverage_e6 == 0
+        for d in (1, 2):
+            assert 0 < out[d].covered_tokens <= out[d].n_tokens
+            # the union of anchored 12-token spans inside one 40-token
+            # duplicated region can never exceed the region itself
+            assert out[d].covered_tokens <= 40
