@@ -347,3 +347,76 @@ def sssp_int(
             .localCheckpoint(eager=False)
         )
     return d
+
+
+def personalized_pagerank_int(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    seeds: DataFrame,
+    id_col: str,
+    iters: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer personalized PageRank (random walk with restart) over the
+    undirected pair graph: ``pagerank_int``'s recurrence with the restart
+    mass concentrated on the SEED set instead of spread uniformly —
+    proximity-to-seeds ranking (curation: "how close is this node to the
+    vetted examples, weighted by all walk paths" — the smooth counterpart
+    of ``bfs_hops``' hard hop distance).
+
+    Recurrence (all int64, non-negative):
+        r0(v)   = scale·[v ∈ seeds]
+        c_i(u)  = r_i(u) div deg(u)
+        r_i+1(v)= [v ∈ seeds]·(15·scale div 100) + (85 · Σ_{u→v} c_i(u)) div 100
+
+    The seed indicator joins onto the EDGE list once before the loop
+    (keyed by receiver), so each iteration stays exactly one src-keyed
+    hash join + one dst-keyed aggregation with map-side combine — the
+    same two-exchange-per-round budget as ``pagerank_int``; the teleport
+    term folds into the aggregate as ``max`` of the constant-per-receiver
+    flag.  Fixed ``iters`` keeps the plan static and the oracle an
+    unrolled CTE chain; truncating division on the non-negative domain
+    makes Spark `div` and DuckDB `//` agree bit-for-bit.
+
+    Output: (id, ppr_e6) — one row per node of the pair graph (nodes the
+    walk never reaches carry 0, so row sets match engine-for-engine).
+    """
+    teleport = (15 * scale) // 100
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    ).localCheckpoint(eager=False)  # pair lineage computes once (see g1)
+    e = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+    sd = seeds.select(
+        F.col(id_col).cast("long").alias("dst"),
+        F.lit(1).cast("long").alias("__s"),
+    )
+    # receiver-side seed flag rides the edge list: no per-iteration
+    # node-keyed teleport join
+    ed = (
+        e.join(deg, "src")
+        .join(sd, "dst", "left")
+        .withColumn("__s", F.coalesce(F.col("__s"), F.lit(0)))
+    )
+    ranks = deg.join(
+        sd.withColumnRenamed("dst", "src"), "src", "left"
+    ).select(
+        "src",
+        (F.coalesce(F.col("__s"), F.lit(0)) * scale).cast("long").alias("__r"),
+    )
+    for _ in range(iters):
+        contrib = ed.join(ranks, "src").select(
+            F.col("dst").alias("src"),  # next iteration keys on the receiver
+            F.col("__s"),
+            F.expr("__r div __d").alias("__c"),
+        )
+        ranks = contrib.groupBy("src").agg(
+            F.expr(
+                f"CAST({teleport} * max(__s) + (85 * sum(__c)) div 100 AS BIGINT)"
+            ).alias("__r")
+        )
+    return ranks.select(F.col("src").alias("id"), F.col("__r").alias("ppr_e6"))

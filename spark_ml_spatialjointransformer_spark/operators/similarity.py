@@ -1130,3 +1130,101 @@ def kmeans_int(
         F.col("__cid").alias("cluster"),
         F.col("__d2").alias("d2"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    dim: int,
+    n_planes: int = 6,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into coarse embedding cells,
+    rank each cell's members by affinity to the cell centroid, and drop
+    every member that is >= ``threshold`` cosine-similar to a member
+    ranked before it — the paper keeps LOW-centroid-similarity examples
+    (the diverse rim of a semantic cluster) and removes the redundant
+    core.
+
+    Engine-exact adaptation (every step replayable in the SQL oracle):
+
+    - cells are the integer SRP bucket of ``srp_int_planes`` (one band of
+      ``n_planes`` planes => 2^n_planes cells) instead of trained k-means
+      — deterministic, shuffle-free assignment; cell count is the
+      resolution knob exactly like the paper's k;
+    - centroid affinity is the EXACT int64 dot(q_member, sum of the
+      cell's quantized vectors) — unnormalized (the norm bias is
+      documented; ranking needs any deterministic centroid-proximity
+      order, and the integer dot avoids a cross-engine division), ties
+      break on id;
+    - the pair refine is the quantized cosine of ``lsh_neardup_pairs``'s
+      integer tier: BIGINT dot, per-side double sqrt of integer norm² —
+      bit-identical across engines (v2's precedent).
+
+    int64 bound: |qv| <= SRP_INT_SCALE·max|v| and the cell sum adds
+    |cell| of them, so the affinity term is ~dim·|cell|·(1e5·max|v|)² —
+    at 1e5-member cells and unit-scale components that is ~6e16, inside
+    int64 with an order of magnitude to spare; cells beyond that need a
+    higher plane count anyway (the paper's k grows with corpus size).
+
+    Scale shape: the centroid sums are a (cell, dim)-keyed integer
+    aggregate (2^n_planes · dim rows — broadcast back); the only
+    corpus-quadratic work is intra-cell pairs, bounded by the cell-size
+    distribution the plane count controls; arrays shuffle once into the
+    cell self-join.
+
+    Output: (id, cell, rank_in_cell, kept, max_sim_e6) — one row per
+    corpus member; ``kept = 0`` rows carry the max similarity to an
+    earlier-ranked member that evicted them.
+    """
+    from pyspark.sql.window import Window
+
+    thr_e6 = int(threshold * 1_000_000)
+    base = _quantized_base(df, id_col, emb_col, dim, n_planes, bands=1)
+    cells = base.select(
+        "__id", F.col("__buckets")[0].alias("__cell"), "__q", "__qn2"
+    ).localCheckpoint(eager=False)  # feats UDF runs once; 3 readers below
+    expl = cells.select("__cell", F.posexplode("__q").alias("__i", "__qv"))
+    csum = expl.groupBy("__cell", "__i").agg(F.sum("__qv").alias("__sv"))
+    aff = (
+        cells.select("__id", "__cell", F.posexplode("__q").alias("__i", "__qv"))
+        .join(F.broadcast(csum), ["__cell", "__i"])
+        .groupBy("__id")
+        .agg(F.sum(F.col("__qv") * F.col("__sv")).alias("__aff"))
+    )
+    w = Window.partitionBy("__cell").orderBy(
+        F.col("__aff").asc(), F.col("__id").asc()
+    )
+    ranked = (
+        cells.join(aff, "__id")
+        .withColumn("__rk", F.row_number().over(w))
+        .localCheckpoint(eager=False)  # self-join reads it twice
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    qcos = _pair_qcos_udf()(
+        F.col("a.__q"), F.col("a.__qn2"), F.col("b.__q"), F.col("b.__qn2")
+    )
+    evicted = (
+        a.join(b, "__cell")
+        .where(F.col("b.__rk") < F.col("a.__rk"))
+        .select(
+            F.col("a.__id").alias("__id"),
+            F.round(qcos * 1_000_000).cast("bigint").alias("__ce6"),
+        )
+        .where(F.col("__ce6") >= thr_e6)
+        .groupBy("__id")
+        .agg(F.max("__ce6").alias("max_sim_e6"))
+    )
+    return ranked.join(evicted, "__id", "left").select(
+        F.col("__id").alias("id"),
+        F.col("__cell").cast("bigint").alias("cell"),
+        F.col("__rk").cast("bigint").alias("rank_in_cell"),
+        F.when(F.col("max_sim_e6").isNull(), 1).otherwise(0).cast("int").alias(
+            "kept"
+        ),
+        F.coalesce(F.col("max_sim_e6"), F.lit(0)).cast("bigint").alias(
+            "max_sim_e6"
+        ),
+    )

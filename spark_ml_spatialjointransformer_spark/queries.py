@@ -12292,6 +12292,292 @@ def t54_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: p13 split cells: 10 hash cells over the CLUSTER key — 0 test, 1 val,
+#: rest train, the same 80/10/10 geometry as p7's per-doc split
+_P13_SPLIT = (
+    "CASE sh % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END"
+)
+
+_P13_ORACLE = f"""
+WITH p AS (SELECT doc_id, {h60_sql("substring(text, 1, 200)")} AS ph
+           FROM documents),
+g AS (SELECT doc_id, ph,
+             count(*) OVER (PARTITION BY ph) AS csize,
+             {h60_sql("'gsplit#' || CAST(ph AS VARCHAR)")} AS sh
+      FROM p)
+SELECT doc_id, {_P13_SPLIT} AS split, CAST(csize AS BIGINT) AS cluster_size
+FROM g
+"""
+
+
+@_register("p13_group_split", _P13_ORACLE)
+def p13_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-SAFE split assignment — the REMEDIATION for what p7 audits:
+    hash the duplicate-CLUSTER key into the 80/10/10 split cells instead
+    of the doc id, so every member of a duplicate cluster lands in the
+    same split by construction and exact-dup train/test leakage is
+    structurally zero (near-dup leakage drops to the pairs the cluster
+    key misses).  Clusters key on the t51/t52/p12 200-char-prefix h60,
+    completing that family: detect (t51), audit (t52), downweight (p12),
+    split-safely (p13).  The split hash salts the cluster key with its
+    own prefix ('gsplit#') so split cell and every other ph-derived
+    decision stay decorrelated.  Scale shape: ONE exchange (the
+    cluster-size window keyed by ph); both hashes are scan-projection
+    codegen and only (int, int) pairs move — text never shuffles."""
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "documents").select(
+        "doc_id", h60_col(F.expr("substring(text, 1, 200)")).alias("ph")
+    )
+    g = p.withColumn(
+        "csize", F.count(F.lit(1)).over(Window.partitionBy("ph"))
+    ).withColumn(
+        "sh", h60_col(F.concat(F.lit("gsplit#"), F.col("ph").cast("string")))
+    )
+    return g.select(
+        "doc_id",
+        F.expr(_P13_SPLIT).alias("split"),
+        F.col("csize").cast("bigint").alias("cluster_size"),
+    )
+
+
+#: d26 forward-tolerance window: the next order counts only within 3 days
+_D26_TOL_S = 3 * 86400
+
+_D26_ORACLE = f"""
+WITH od0 AS (SELECT o_custkey AS user_id, {_O_TS_DUCK} AS o_ts,
+                    o_orderkey,
+                    row_number() OVER (PARTITION BY o_custkey, o_orderkey * 7 % 40000
+                                       ORDER BY o_orderkey DESC) AS rn
+             FROM orders),
+od AS (SELECT user_id, o_ts, o_orderkey FROM od0 WHERE rn = 1),
+a AS (SELECT e.event_id, e.user_id, od.o_orderkey, od.o_ts, e.ts
+      FROM events e ASOF LEFT JOIN od
+        ON e.user_id = od.user_id AND e.ts <= od.o_ts)
+SELECT event_id, user_id,
+       CASE WHEN epoch(o_ts) - floor(epoch(ts)) <= {_D26_TOL_S}
+            THEN o_orderkey END AS order_key,
+       CAST(CASE WHEN epoch(o_ts) - floor(epoch(ts)) <= {_D26_TOL_S}
+                 THEN epoch(o_ts) - floor(epoch(ts)) END AS BIGINT) AS wait_s
+FROM a
+"""
+
+
+@_register("d26_asof_tolerance", _D26_ORACLE)
+def d26_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance bound — the other half of the
+    as-of surface (d1/e14 are backward): each event attaches the user's
+    NEXT order, null unless it arrives within 3 days — time-to-conversion
+    attribution, pandas' ``merge_asof(direction='forward', tolerance=...)``
+    re-expressed distributed.  Spark side reuses the union-merge as-of
+    operator with the sort direction flipped (ONE user-keyed window
+    exchange, no join node); the tolerance null-out runs post-match, so
+    left rows stay left-join complete.  The oracle is DuckDB's native
+    forward ASOF LEFT JOIN — an algorithmically different merge, so
+    agreement checks semantics, not plan.  Scale shape: d1's exactly —
+    state per user is one open candidate inside the window sort; only
+    (id, ts) pairs shuffle."""
+    from spark_ml_spatialjointransformer_spark.operators.temporal import (
+        asof_join,
+    )
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id")
+    w = Window.partitionBy("user_id", "o_ts").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.expr(_O_TS_SPARK).alias("o_ts"),
+            "o_orderkey",
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    m = asof_join(
+        ev,
+        od,
+        on=["user_id"],
+        left_time="ts",
+        right_time="o_ts",
+        right_cols=(("o_orderkey", "__ok"), ("o_ts", "__ots")),
+        direction="forward",
+    )
+    wait = F.unix_timestamp("__ots") - F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    in_tol = wait <= _D26_TOL_S
+    return m.select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, F.col("__ok")).alias("order_key"),
+        F.when(in_tol, wait).cast("bigint").alias("wait_s"),
+    )
+
+
+def _g11_oracle() -> str:
+    """g1's unrolled integer recurrence with the restart mass concentrated
+    on the seed set (vec_id % 500 = 0, the g3 anchor convention): r0 is
+    scale on seeds / 0 elsewhere, and each iteration's teleport term is
+    150000·[dst ∈ seeds] via max() of the constant-per-receiver flag."""
+    iter_ctes, prev = [], "r0"
+    for i in range(1, 6):
+        iter_ctes.append(
+            f"""r{i} AS (
+  SELECT e.dst AS id,
+         CAST(150000 * max(CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END)
+              + (85 * sum({prev}.r // deg.d)) // 100 AS BIGINT) AS r
+  FROM e JOIN {prev} ON {prev}.id = e.src
+         JOIN deg ON deg.src = e.src
+         LEFT JOIN sd ON sd.id = e.dst
+  GROUP BY e.dst)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iter_ctes)
+    return f"""
+WITH pairs AS ({_v2_oracle()}),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+sd AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 50 = 0),
+r0 AS (SELECT deg.src AS id,
+              CAST(CASE WHEN sd.id IS NOT NULL THEN 1000000 ELSE 0 END
+                   AS BIGINT) AS r
+       FROM deg LEFT JOIN sd ON sd.id = deg.src),
+{chain}
+SELECT id AS vec_id, r AS ppr_e6 FROM r5
+"""
+
+
+@_register("g11_personalized_pagerank", _g11_oracle())
+def g11_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from the curated
+    anchor set (vec_id % 50 = 0 — denser than g3's query-set convention so
+    the walk has in-graph sources at every driver scale) over the v2
+    near-duplicate pair graph —
+    the SMOOTH proximity-to-vetted-examples score whose hard-threshold
+    counterpart is g3's hop distance: g3 says "within k dup-hops of a
+    known-good doc", g11 says how strongly all walk paths tie the node to
+    the anchors (multiplicity and path length both count).  Integer-exact
+    like g1: rank ×1e6, truncating division, restart mass only on seeds
+    — so Spark's iterated join-aggregate and the oracle's unrolled CTE
+    chain agree bit-for-bit.  Scale shape: per iteration one src-keyed
+    hash join + one dst-keyed map-combined aggregation; the seed flag
+    rides the edge list (joined ONCE before the loop), so no extra
+    per-iteration exchange vs g1 (see
+    ``operators/graph.py:personalized_pagerank_int``)."""
+    from spark_ml_spatialjointransformer_spark.operators.graph import (
+        personalized_pagerank_int,
+    )
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    )
+    seeds = emb.where(F.col("vec_id") % 50 == 0).select("vec_id")
+    return personalized_pagerank_int(
+        pairs, "id_a", "id_b", seeds, "vec_id", iters=5
+    ).select(F.col("id").alias("vec_id"), "ppr_e6")
+
+
+#: v19 semantic-dedup eviction threshold (cosine ×1e6)
+_V19_THR_E6 = 400_000
+#: v19 cell resolution: 6 SRP planes => 64 cells (the paper's k knob)
+_V19_PLANES = 6
+
+
+def _v19_oracle() -> str:
+    """DuckDB replica of operators/similarity.semdedup: v2's quantization
+    and integer planes, cell = the 6-plane SRP bucket, centroid affinity =
+    exact BIGINT dot(member, cell sum), rank by (affinity, id), evict on
+    quantized cosine >= threshold to ANY earlier-ranked cell member."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) - 1 AS i FROM e),
+nrm0 AS (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id),
+q AS (SELECT u.vec_id, u.i, CAST(floor(u.v * 100000.0 + 0.5) AS BIGINT) AS qv
+      FROM u JOIN nrm0 ON nrm0.vec_id = u.vec_id WHERE nrm0.nm > 0),
+qn AS (SELECT vec_id, sum(qv * qv) AS qn2 FROM q GROUP BY vec_id
+       HAVING sum(qv * qv) > 0),
+p AS (SELECT j, i, ((j * 73856093 + i * 19349663 + 83492791) % 2039) % 17 - 8 AS pv
+      FROM range({_V19_PLANES}) t1(j) CROSS JOIN range({_EMB_DIM}) t2(i)),
+d AS (SELECT q.vec_id, p.j, sum(q.qv * p.pv) AS dot
+      FROM q JOIN qn USING (vec_id) JOIN p ON p.i = q.i GROUP BY q.vec_id, p.j),
+cell AS (SELECT vec_id,
+                sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS c
+         FROM d GROUP BY vec_id),
+cs AS (SELECT cell.c, q.i, sum(q.qv) AS sv
+       FROM q JOIN cell USING (vec_id) GROUP BY cell.c, q.i),
+aff AS (SELECT q.vec_id, cell.c, sum(q.qv * cs.sv) AS a
+        FROM q JOIN cell USING (vec_id)
+        JOIN cs ON cs.c = cell.c AND cs.i = q.i
+        GROUP BY q.vec_id, cell.c),
+rk AS (SELECT vec_id, c, a,
+              row_number() OVER (PARTITION BY c ORDER BY a, vec_id) AS rk
+       FROM aff),
+pr AS (SELECT x.vec_id AS vid, y.vec_id AS other
+       FROM rk x JOIN rk y ON y.c = x.c AND y.rk < x.rk),
+dp AS (SELECT pr.vid, pr.other, sum(qa.qv * qb.qv) AS dot
+       FROM pr JOIN q qa ON qa.vec_id = pr.vid
+               JOIN q qb ON qb.vec_id = pr.other AND qb.i = qa.i
+       GROUP BY pr.vid, pr.other),
+mx AS (SELECT dp.vid AS vec_id,
+              max(CAST(round(CAST(dp.dot AS DOUBLE)
+                    / (sqrt(CAST(na.qn2 AS DOUBLE)) * sqrt(CAST(nb.qn2 AS DOUBLE)))
+                    * 1000000) AS BIGINT)) AS ms
+       FROM dp JOIN qn na ON na.vec_id = dp.vid
+               JOIN qn nb ON nb.vec_id = dp.other
+       GROUP BY dp.vid
+       HAVING max(CAST(round(CAST(dp.dot AS DOUBLE)
+                    / (sqrt(CAST(na.qn2 AS DOUBLE)) * sqrt(CAST(nb.qn2 AS DOUBLE)))
+                    * 1000000) AS BIGINT)) >= {_V19_THR_E6})
+SELECT rk.vec_id, CAST(rk.c AS BIGINT) AS cell,
+       CAST(rk.rk AS BIGINT) AS rank_in_cell,
+       CAST(CASE WHEN mx.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
+       CAST(coalesce(mx.ms, 0) AS BIGINT) AS max_sim_e6
+FROM rk LEFT JOIN mx ON mx.vec_id = rk.vec_id
+"""
+
+
+@_register("v19_semdedup", _v19_oracle())
+def v19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
+    embedding cells, centroid-affinity keeper ranking, evict members
+    >= 0.4 cosine to an earlier-ranked cell-mate — the embedding-space
+    curation pass that removes REDUNDANT MEANING (paraphrases, template
+    text, re-encodings) where v4 removes only re-encoded bytes and
+    t5/t6 only shared surface n-grams.  Every step is engine-exact (SRP
+    integer cells, BIGINT centroid dots, v2's quantized-cosine refine),
+    so the full keep/evict decision — not a proxy — is oracle-gated.
+    Scale shape: see ``operators/similarity.py:semdedup`` — the one
+    quadratic term is intra-cell pairs, controlled by the plane count
+    exactly like the paper's cluster count k."""
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        semdedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb, "vec_id", "embedding", dim=_EMB_DIM,
+        n_planes=_V19_PLANES, threshold=_V19_THR_E6 / 1_000_000,
+    ).select(
+        F.col("id").alias("vec_id"),
+        "cell",
+        "rank_in_cell",
+        "kept",
+        "max_sim_e6",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #

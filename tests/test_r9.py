@@ -143,3 +143,171 @@ class TestT54SpanCoverage:
             # the union of anchored 12-token spans inside one 40-token
             # duplicated region can never exceed the region itself
             assert out[d].covered_tokens <= 40
+
+
+class TestPersonalizedPagerank:
+    """g11's operator must replay the integer recurrence exactly: restart
+    mass only on seeds, truncating division, fixed iterations."""
+
+    def test_matches_pure_python_replay(self, spark):
+        from spark_ml_spatialjointransformer_spark.operators.graph import (
+            personalized_pagerank_int,
+        )
+
+        # path 1-2-3-4 plus triangle 4-5-6 (undirected), seeds {1, 5}
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+        seeds = {1, 5}
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        scale, iters = 1_000_000, 5
+        r = {v: scale * (v in seeds) for v in adj}
+        for _ in range(iters):
+            c = {v: r[v] // len(adj[v]) for v in adj}
+            r = {
+                v: (15 * scale // 100) * (v in seeds)
+                + (85 * sum(c[u] for u in adj[v])) // 100
+                for v in adj
+            }
+
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "vec_id long")
+        got = {
+            row.id: row.ppr_e6
+            for row in personalized_pagerank_int(
+                pdf, "id_a", "id_b", sdf, "vec_id", iters=iters
+            ).collect()
+        }
+        assert got == r
+
+    def test_seed_outside_graph_ignored(self, spark):
+        from spark_ml_spatialjointransformer_spark.operators.graph import (
+            personalized_pagerank_int,
+        )
+
+        pdf = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        sdf = spark.createDataFrame([(99,)], "vec_id long")
+        rows = personalized_pagerank_int(
+            pdf, "id_a", "id_b", sdf, "vec_id", iters=3
+        ).collect()
+        assert {row.id for row in rows} == {1, 2}
+        assert all(row.ppr_e6 == 0 for row in rows)  # walk never starts
+
+
+class TestSemDedup:
+    """v19's operator invariants on a controlled corpus: exact duplicates
+    in one cell evict the later-ranked copy at sim 1e6; every cell's
+    rank-1 member is kept."""
+
+    def _emb(self, rng, dim=64):
+        return [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+
+    def test_exact_duplicate_evicted(self, spark):
+        import random
+
+        from spark_ml_spatialjointransformer_spark.operators.similarity import (
+            semdedup,
+        )
+
+        rng = random.Random(19)
+        dup = self._emb(rng)
+        rows = [(0, dup), (1, list(dup))] + [
+            (i, self._emb(rng)) for i in range(2, 30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r.id: r
+            for r in semdedup(
+                df, "vec_id", "embedding", dim=64, n_planes=6, threshold=0.95
+            ).collect()
+        }
+        assert len(out) == 30
+        assert out[0].cell == out[1].cell  # identical vectors, same cell
+        # identical affinity -> id breaks the tie -> 0 ranks first, 1 evicted
+        assert out[0].kept == 1 or out[0].max_sim_e6 == 1_000_000
+        assert out[1].kept == 0 and out[1].max_sim_e6 == 1_000_000
+        # rank-1 members can never be evicted (nothing ranks before them)
+        for r in out.values():
+            if r.rank_in_cell == 1:
+                assert r.kept == 1
+
+    def test_threshold_one_keeps_everything_distinct(self, spark):
+        import random
+
+        from spark_ml_spatialjointransformer_spark.operators.similarity import (
+            semdedup,
+        )
+
+        rng = random.Random(23)
+        rows = [(i, self._emb(rng)) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semdedup(
+            df, "vec_id", "embedding", dim=64, n_planes=6, threshold=1.01
+        ).collect()
+        assert all(r.kept == 1 for r in out)
+
+
+class TestForwardAsofTolerance:
+    """d26's building block: forward as-of picks the SMALLEST right time
+    >= left time (inclusive), per key, with left-join completeness."""
+
+    def test_forward_semantics(self, spark):
+        from spark_ml_spatialjointransformer_spark.operators.temporal import (
+            asof_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 7, 100), (2, 7, 250), (3, 7, 400), (4, 8, 100)],
+            "event_id long, user_id long, ts long",
+        )
+        right = spark.createDataFrame(
+            [(7, 250, 10), (7, 300, 11), (7, 90, 12)],
+            "user_id long, o_ts long, ok long",
+        )
+        got = {
+            r.event_id: r.ok
+            for r in asof_join(
+                left, right, on=["user_id"], left_time="ts",
+                right_time="o_ts", right_cols=(("ok", "ok"),),
+                direction="forward",
+            ).collect()
+        }
+        # 100 -> 250 (smallest >=); 250 -> 250 (inclusive); 400 -> none;
+        # user 8 -> none (left-join completeness)
+        assert got == {1: 10, 2: 10, 3: None, 4: None}
+
+
+class TestGroupSplit:
+    """p13: every member of a prefix cluster must land in the SAME split
+    (leakage-safe by construction)."""
+
+    def test_clusters_never_straddle_splits(self, spark, tmp_path):
+        import os
+
+        # 40 clusters x 3 members sharing a >=200-char prefix with
+        # distinct tails
+        pad = "x" * 220
+        rows = []
+        for c in range(40):
+            for m in range(3):
+                rows.append(
+                    (c * 10 + m, f"cluster{c:03d} {pad} tail-{m}", "en", "web", 240)
+                )
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet")
+        )
+
+        from spark_ml_spatialjointransformer_spark import queries as Q
+
+        out = Q.QUERIES["p13_group_split"].fn(spark, str(tmp_path)).collect()
+        assert len(out) == 120
+        by_cluster = {}
+        for r in out:
+            assert r.cluster_size == 3
+            by_cluster.setdefault(r.doc_id // 10, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_cluster.values())
+        # the hash actually spreads clusters across cells
+        assert len({next(iter(s)) for s in by_cluster.values()}) >= 2
