@@ -12578,6 +12578,177 @@ def v19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E22_ORACLE = """
+WITH b AS (SELECT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS win_ts,
+                  event_id, ts
+           FROM events),
+r AS (SELECT user_id, win_ts, event_id,
+             row_number() OVER (PARTITION BY user_id, win_ts
+                                ORDER BY ts, event_id) AS rn
+      FROM b)
+SELECT user_id, win_ts, event_id, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3
+"""
+
+
+@_register("e22_stream_throttle", _E22_ORACLE)
+def e22_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key rate limiter: admit the FIRST 3 events per
+    (user, UTC day) in event-time order (p99 daily rate is 6 at sf0.01,
+    so the cap genuinely cuts), drop the rest — the quota /
+    sampling-cap operator that turns downstream per-event cost into
+    O(keys·N) (dedupe-adjacent but ORDER-aware: e5 keeps distinct ids,
+    this keeps a bounded prefix).  Custom stateful kernel
+    (applyInPandasWithState, one int of state per live key) because no
+    built-in streaming aggregate can emit a row-level admit/deny
+    decision that depends on arrival history.  The batch oracle is the
+    row_number()-over-window prefix — exact under the harness's
+    one-trigger-per-key replay (caveat class of e20's no-watermark
+    note).  Scale shape: state shards by (user, window) — one int64
+    per key, evictable at window close via state TTL in production;
+    only (id, ts) ints enter the group shuffle."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        run_to_memory,
+        throttled_events_stream,
+    )
+
+    name = "q_e22_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return run_to_memory(
+        throttled_events_stream(spark, f"{sf_dir}/events.parquet"),
+        name,
+        output_mode="append",
+    ).select("user_id", "win_ts", "event_id", "rn")
+
+
+#: j36 trajectory synthesis: per-user HOME (user-keyed hash grid) plus a
+#: per-event drift of 0-2° — consecutive points sometimes hop >150 km
+#: (drift span ~270 km), sometimes dwell, so segment breaks come from
+#: BOTH rules.  Kept integer (×10 degrees) until the one division so
+#: centroid sums are engine-exact.
+_J36_LON10 = "(user_id * 6133 % 3580 + event_id * 13 % 21)"
+_J36_LAT10 = "(user_id * 3571 % 1180 + event_id * 17 % 21)"
+_J36_LON = f"{_J36_LON10} / 10.0 - 180.0"
+_J36_LAT = f"{_J36_LAT10} / 10.0 - 60.0"
+#: stay segmentation thresholds: spatial jump (m) and time gap (s)
+_J36_JUMP_M = 150_000
+_J36_GAP_S = 7_200
+
+_J36_ORACLE = f"""
+WITH pts AS (SELECT user_id, event_id,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                    {_J36_LON10} AS lon10, {_J36_LAT10} AS lat10,
+                    {_J36_LON} AS lon, {_J36_LAT} AS lat
+             FROM events),
+seg AS (SELECT user_id, event_id, ts_s, lon10, lat10, lon, lat,
+               lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+               lag(ts_s) OVER w AS pts_s
+        FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+brk AS (SELECT *,
+               CASE WHEN pts_s IS NULL
+                         OR ts_s - pts_s > {_J36_GAP_S}
+                         OR CAST(round({haversine_sql('plon', 'plat', 'lon', 'lat')})
+                                 AS BIGINT) > {_J36_JUMP_M}
+                    THEN 1 ELSE 0 END AS b
+        FROM seg),
+grp AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY event_id) AS g
+        FROM brk),
+st AS (SELECT user_id, g AS stay_seq,
+              count(*) AS n_events,
+              min(ts_s) AS start_ts, max(ts_s) AS end_ts,
+              sum(lon10) AS slon, sum(lat10) AS slat
+       FROM grp GROUP BY user_id, g)
+SELECT user_id, CAST(stay_seq AS BIGINT) AS stay_seq,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(start_ts AS BIGINT) AS start_ts,
+       CAST(end_ts - start_ts AS BIGINT) AS dur_s,
+       CAST(slon * 100000 // n_events - 180000000 AS BIGINT) AS c_lon_e6,
+       CAST(slat * 100000 // n_events - 60000000 AS BIGINT) AS c_lat_e6
+FROM st
+WHERE n_events >= 2 AND end_ts - start_ts >= 600
+"""
+
+
+@_register("j36_stay_points", _J36_ORACLE)
+def j36_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection — the spatio-TEMPORAL segmentation primitive
+    of trajectory mining (Zheng et al.'s GPS-trace line): split each
+    user's point sequence wherever consecutive points jump >150 km OR
+    pause >2 h, keep segments that dwell (>=2 points, >=10 min), and
+    report each stay's span and centroid.  Combines what the registry
+    had only separately: d15/d25 segment in TIME alone, j28 measures
+    space with no segmentation.  Everything is one user-keyed exchange:
+    the lag window, the break cumsum, and the (user, segment) rollup all
+    share it (d25's pattern with a spatial predicate in the break rule).
+    Centroids stay integer end-to-end: points carry ×10-degree ints,
+    sums are int64, and the single truncating division happens on the
+    non-negative shifted domain (engine-exact; the haversine jump test
+    rounds to Int meters per segment, P3's determinism precedent).
+    Ordering is by the integer event id, monotone in ts per user
+    (j28's nanos-truncation note)."""
+    from pyspark.sql.window import Window
+
+    from spark_ml_spatialjointransformer_spark.functions.geodesic import (
+        haversine_expr,
+    )
+
+    pts = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_s"),
+        F.expr(_J36_LON10).alias("lon10"),
+        F.expr(_J36_LAT10).alias("lat10"),
+        F.expr(_J36_LON).alias("lon"),
+        F.expr(_J36_LAT).alias("lat"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seg = pts.select(
+        "*",
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("ts_s").over(w).alias("pts_s"),
+    )
+    jump = F.round(
+        haversine_expr(F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat"))
+    ).cast("bigint")
+    brk = seg.withColumn(
+        "b",
+        F.when(
+            F.col("pts_s").isNull()
+            | (F.col("ts_s") - F.col("pts_s") > _J36_GAP_S)
+            | (jump > _J36_JUMP_M),
+            1,
+        ).otherwise(0),
+    )
+    grp = brk.withColumn(
+        "g", F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    st = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_s").alias("start_ts"),
+        F.max("ts_s").alias("end_ts"),
+        F.sum("lon10").alias("slon"),
+        F.sum("lat10").alias("slat"),
+    )
+    return st.where(
+        (F.col("n_events") >= 2) & (F.col("end_ts") - F.col("start_ts") >= 600)
+    ).select(
+        "user_id",
+        F.col("g").cast("bigint").alias("stay_seq"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("start_ts").cast("bigint").alias("start_ts"),
+        (F.col("end_ts") - F.col("start_ts")).cast("bigint").alias("dur_s"),
+        F.expr("CAST(slon * 100000 div n_events - 180000000 AS BIGINT)").alias(
+            "c_lon_e6"
+        ),
+        F.expr("CAST(slat * 100000 div n_events - 60000000 AS BIGINT)").alias(
+            "c_lat_e6"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #

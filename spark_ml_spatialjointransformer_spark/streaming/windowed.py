@@ -1125,3 +1125,90 @@ def bloom_decontaminated_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("sum_value_e4"),
     )
+
+
+#: e22 throttle: admit at most N events per (user, UTC day)
+THROTTLE_N = 3
+_THROTTLE_OUT_SCHEMA = "user_id LONG, win_ts LONG, event_id LONG, rn LONG"
+#: per-USER state: the newest window seen and its admitted count — keying
+#: the state store by user (1.5k groups at sf0.1) instead of
+#: (user, window) (46k groups) cut the query 40 s -> ~2 s: the cost of
+#: applyInPandasWithState is per-GROUP Python invocation, not per-row,
+#: so the key choice IS the performance knob (e3's lesson, re-measured)
+_THROTTLE_STATE_SCHEMA = "win_ts LONG, n LONG"
+
+
+def _throttle_first_n(
+    key: Tuple[int],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful kernel: admit the first THROTTLE_N events per (user, UTC
+    day), all of a user's windows vectorized in ONE pandas pass (sort by
+    event time, per-window cumcount, cap) — the state carries only the
+    NEWEST window's admitted count across triggers, because with
+    event-time-ordered replay only that window can continue into the
+    next trigger.  A trigger delivering rows for an already-closed
+    OLDER window would restart that window's quota — the documented
+    caveat class of e20's no-watermark note (the file-replay harness
+    keeps each user's rows inside one trigger; production keys a TTL'd
+    map state by window via transformWithState, README's gated tier)."""
+    win_last, n_last = state.get if state.exists else (-1, 0)
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        carry = (pdf["win_ts"].to_numpy() == win_last) * n_last
+        rn = pdf.groupby("win_ts").cumcount().to_numpy() + 1 + carry
+        admit = rn <= THROTTLE_N
+        lw = int(pdf["win_ts"].iloc[-1])
+        in_lw = int((pdf["win_ts"].to_numpy() == lw).sum())
+        n_new = min(THROTTLE_N, (n_last if win_last == lw else 0) + in_lw)
+        state.update((lw, n_new))
+        if admit.any():
+            take = pdf.loc[admit]
+            yield pd.DataFrame(
+                {
+                    "user_id": take["user_id"].to_numpy(),
+                    "win_ts": take["win_ts"].to_numpy(),
+                    "event_id": take["event_id"].to_numpy(),
+                    "rn": rn[admit],
+                }
+            )
+    else:
+        state.update((win_last, n_last))
+
+
+def throttled_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rate limiter: at most THROTTLE_N events per user per
+    UTC day, first-come in event time, emitted in append mode —
+    the per-key quota/sampling-cap operator every ingestion pipeline
+    fronts its expensive stages with (downstream work becomes
+    O(keys*N), not O(events)).
+
+    State shards by USER — one (window, count) pair per user, NOT one
+    entry per (user, window): the newest-window count is all that can
+    carry across triggers under event-time-ordered replay, so state is
+    O(users), windows expire implicitly as newer ones arrive, and the
+    group count (= state-store key count = Python invocations per
+    trigger) stays 30x smaller than the (user, window) keying this
+    shipped with first (40 s -> ~2 s at sf0.1)."""
+    ensure_udf_portability()
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT) * 86400").alias(
+            "win_ts"
+        ),
+        "event_id",
+        "ts",
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _throttle_first_n,
+        outputStructType=_THROTTLE_OUT_SCHEMA,
+        stateStructType=_THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -311,3 +311,67 @@ class TestGroupSplit:
         assert all(len(s) == 1 for s in by_cluster.values())
         # the hash actually spreads clusters across cells
         assert len({next(iter(s)) for s in by_cluster.values()}) >= 2
+
+
+class TestStayPoints:
+    """j36 segment invariants on real data: stays are per-user
+    time-disjoint, dwell-filtered, and centroids stay in range."""
+
+    def test_segments_disjoint_and_filtered(self, spark):
+        from spark_ml_spatialjointransformer_spark import queries as Q
+
+        rows = Q.QUERIES["j36_stay_points"].fn(spark, SF_DIR).collect()
+        assert rows, "sf0.001 must produce at least one stay"
+        by_user = {}
+        for r in rows:
+            assert r.n_events >= 2 and r.dur_s >= 600
+            assert -180_000_000 <= r.c_lon_e6 <= 180_000_000
+            assert -60_000_000 <= r.c_lat_e6 <= 60_000_000
+            by_user.setdefault(r.user_id, []).append(r)
+        for stays in by_user.values():
+            stays.sort(key=lambda r: r.stay_seq)
+            for a, b in zip(stays, stays[1:]):
+                # a later segment starts after the earlier one ends
+                assert b.start_ts > a.start_ts + a.dur_s
+
+
+class TestStreamThrottle:
+    """e22's kernel: at most N admits per (user, day), earliest-first,
+    rn dense from 1."""
+
+    def test_first_n_by_event_time(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+            THROTTLE_N,
+            run_to_memory,
+            throttled_events_stream,
+        )
+
+        base = dt.datetime(2024, 1, 10, 12, 0, 0)
+        rows = []
+        # user 1: 5 events in one day -> first 3 by ts admitted
+        for i in range(5):
+            rows.append((100 + i, base + dt.timedelta(minutes=10 * i), 1))
+        # user 1, next day: counter resets with the new window key
+        rows.append((200, base + dt.timedelta(days=1), 1))
+        # user 2: under the cap
+        rows.append((300, base, 2))
+        src = os.path.join(str(tmp_path), "events.parquet")
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        ).coalesce(1).write.parquet(src)
+
+        out = run_to_memory(
+            throttled_events_stream(spark, src),
+            "q_e22_unit_test",
+            output_mode="append",
+        ).collect()
+        got = {(r.user_id, r.event_id): r.rn for r in out}
+        assert got == {
+            (1, 100): 1, (1, 101): 2, (1, 102): 3,  # 103/104 throttled
+            (1, 200): 1,                             # new day, fresh quota
+            (2, 300): 1,
+        }
+        assert THROTTLE_N == 3
