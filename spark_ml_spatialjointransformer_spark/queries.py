@@ -12495,13 +12495,12 @@ _V19_THR_E6 = 400_000
 _V19_PLANES = 6
 
 
-def _v19_oracle() -> str:
-    """DuckDB replica of operators/similarity.semdedup: v2's quantization
-    and integer planes, cell = the 6-plane SRP bucket, centroid affinity =
-    exact BIGINT dot(member, cell sum), rank by (affinity, id), evict on
-    quantized cosine >= threshold to ANY earlier-ranked cell member."""
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+def _srp_cells_cte() -> str:
+    """Shared WITH-chain prefix: v2's quantization + integer planes +
+    the {_V19_PLANES}-plane SRP cell id per vector (CTEs e/u/nrm0/q/qn/
+    p/d/cell) — the deterministic cell assignment v19 (semantic dedup)
+    and v20 (cell-stratified sampling) both build on."""
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) - 1 AS i FROM e),
 nrm0 AS (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id),
 q AS (SELECT u.vec_id, u.i, CAST(floor(u.v * 100000.0 + 0.5) AS BIGINT) AS qv
@@ -12514,7 +12513,16 @@ d AS (SELECT q.vec_id, p.j, sum(q.qv * p.pv) AS dot
       FROM q JOIN qn USING (vec_id) JOIN p ON p.i = q.i GROUP BY q.vec_id, p.j),
 cell AS (SELECT vec_id,
                 sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS c
-         FROM d GROUP BY vec_id),
+         FROM d GROUP BY vec_id)"""
+
+
+def _v19_oracle() -> str:
+    """DuckDB replica of operators/similarity.semdedup: v2's quantization
+    and integer planes, cell = the 6-plane SRP bucket, centroid affinity =
+    exact BIGINT dot(member, cell sum), rank by (affinity, id), evict on
+    quantized cosine >= threshold to ANY earlier-ranked cell member."""
+    return f"""
+WITH {_srp_cells_cte()},
 cs AS (SELECT cell.c, q.i, sum(q.qv) AS sv
        FROM q JOIN cell USING (vec_id) GROUP BY cell.c, q.i),
 aff AS (SELECT q.vec_id, cell.c, sum(q.qv * cs.sv) AS a
@@ -12575,6 +12583,150 @@ def v19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_in_cell",
         "kept",
         "max_sim_e6",
+    )
+
+
+#: v20 picks per cell (the stratum quota)
+_V20_K = 3
+
+
+def _v20_oracle() -> str:
+    h = h60_sql("'v20#' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH {_srp_cells_cte()},
+g AS (SELECT vec_id, c, {h} AS ph,
+             count(*) OVER (PARTITION BY c) AS csize
+      FROM cell),
+r AS (SELECT vec_id, c, csize,
+             row_number() OVER (PARTITION BY c ORDER BY ph, vec_id) AS rk
+      FROM g)
+SELECT vec_id, CAST(c AS BIGINT) AS cell, CAST(rk AS BIGINT) AS pick_rank,
+       CAST(csize AS BIGINT) AS cell_size
+FROM r WHERE rk <= {_V20_K}
+"""
+
+
+@_register("v20_cell_stratified_sample", _v20_oracle())
+def v20_cell_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-stratified corpus sampling in EMBEDDING space: pick (up
+    to) {_V20_K} members per semantic cell by deterministic hash rank —
+    the cluster-balanced subset selection step of data-curation
+    pipelines (small eval/seed sets that cover the semantic space
+    instead of oversampling its dense core; t12 stratifies by METADATA
+    column, this stratifies by learned geometry).  Cells are v19's SRP
+    buckets — same assignment, so v19's audit and v20's sample describe
+    the same partition of the corpus; the pick hash is salted ('v20#')
+    so selection is independent of every other vec_id-keyed decision.
+    Scale shape: one Arrow pass for the cell ids (shared machinery),
+    then ONE cell-keyed exchange of (int, int) rows for the rank window;
+    embeddings never shuffle — quota selection needs no pairwise work at
+    all, which is what makes it the cheap first cut before v19's
+    pairwise dedup."""
+    from pyspark.sql.window import Window
+
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        _quantized_base,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = _quantized_base(
+        emb, "vec_id", "embedding", _EMB_DIM, _V19_PLANES, 1
+    ).select(
+        F.col("__id").alias("vec_id"),
+        F.col("__buckets")[0].alias("cell"),
+        h60_col(
+            F.concat(F.lit("v20#"), F.col("__id").cast("string"))
+        ).alias("ph"),
+    )
+    wc = Window.partitionBy("cell")
+    wr = Window.partitionBy("cell").orderBy("ph", "vec_id")
+    return (
+        cells.withColumn("cell_size", F.count(F.lit(1)).over(wc))
+        .withColumn("pick_rank", F.row_number().over(wr))
+        .where(F.col("pick_rank") <= _V20_K)
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("pick_rank").cast("bigint").alias("pick_rank"),
+            F.col("cell_size").cast("bigint").alias("cell_size"),
+        )
+    )
+
+
+#: j37 IDW: neighbors, distance floor (m), weight scale, value shift.
+#: w = 1e15 div max(d,1000)^2 keeps every term int64: w <= 1e9, shifted
+#: value u_e4 = v_e4 + 1e7 >= 0 (acctbal >= -1000), u*w <= 1.1e17, x5
+#: neighbors = 5.5e17 < 2^63.  The +1e7 shift keeps the division on the
+#: non-negative domain (Spark div = DuckDB // there) and cancels exactly:
+#: (A + shift*W) div W - shift = floor(A/W) for any integer A.
+_J37_K = 5
+_J37_D_FLOOR = 1_000
+_J37_W_SCALE = 10**15
+_J37_SHIFT_E4 = 10_000_000
+
+_J37_ORACLE = f"""
+WITH {_GEO_CTE},
+p AS (SELECT c.c_custkey, s.s_suppkey, s.s_acctbal, {_HAV} AS d
+      FROM c CROSS JOIN s),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
+      FROM p),
+k AS (SELECT c_custkey,
+             CAST(floor(s_acctbal * 10000e0 + 0.5e0) AS BIGINT)
+               + {_J37_SHIFT_E4} AS u_e4,
+             {_J37_W_SCALE} // (greatest(CAST(round(d) AS BIGINT), {_J37_D_FLOOR})
+                              * greatest(CAST(round(d) AS BIGINT), {_J37_D_FLOOR}))
+               AS w
+      FROM r WHERE rn <= {_J37_K})
+SELECT c_custkey,
+       CAST(sum(u_e4 * w) // sum(w) - {_J37_SHIFT_E4} AS BIGINT) AS interp_e4
+FROM k GROUP BY c_custkey
+"""
+
+
+@_register("j37_idw_interpolation", _J37_ORACLE)
+def j37_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial feature interpolation — inverse-distance-weighted value at
+    every customer location from its {_J37_K} nearest supplier "sensors"
+    (acctbal as the reading): the kriging-lite feature-engineering join
+    (sensor gridding, nearest-station climate features) that turns a
+    point cloud into a per-entity continuous feature.  Retrieval is the
+    zero-shuffle broadcast-kNN kernel (j16's path, k={_J37_K}); the
+    blend is integer-exact — Int-meter distances with a {_J37_D_FLOOR} m
+    floor, reciprocal-square weights as one truncating division, and the
+    value shift documented above keeps the final division on the
+    non-negative domain.  Scale shape: kNN kernel + ONE customer-keyed
+    combine of (int, int) rows; above the broadcast bound the retrieval
+    auto-routes to the partitioned grid strategy (j34's guard)."""
+    cust = customers_geo(spark, sf_dir).select("c_custkey", "lon", "lat")
+    supp = suppliers_geo(spark, sf_dir)
+    plan = SpatialJoinPlan(
+        predicate="nearest",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_suppkey", "supp_key"), ("s_acctbal", "v")),
+        distance_column="dist_m",
+        broadcast_input=False,
+        distance_kernel="haversine",
+        tie_break=("s_suppkey",),
+        k=_J37_K,
+    )
+    knn = spatial_join(cust, supp, plan)
+    d2 = F.expr(f"greatest(CAST(dist_m AS BIGINT), {_J37_D_FLOOR})")
+    k = knn.select(
+        "c_custkey",
+        (
+            F.floor(F.col("v") * 10000 + F.lit(0.5)).cast("bigint")
+            + _J37_SHIFT_E4
+        ).alias("u_e4"),
+        F.expr(
+            f"{_J37_W_SCALE} div (greatest(CAST(dist_m AS BIGINT), {_J37_D_FLOOR})"
+            f" * greatest(CAST(dist_m AS BIGINT), {_J37_D_FLOOR}))"
+        ).alias("w"),
+    )
+    return k.groupBy("c_custkey").agg(
+        F.expr(
+            f"CAST(sum(u_e4 * w) div sum(w) - {_J37_SHIFT_E4} AS BIGINT)"
+        ).alias("interp_e4")
     )
 
 
