@@ -13,6 +13,10 @@ near-dup / graph queries face a constructed 25x PAIR potential at 5x
 rows, the same pessimistic stress documented for t11/j35 in SCALE.md.
 
 Usage: python examples/measure_scale.py q1 [q2 ...] [--sf /root/testdata/sf0.1]
+                                        [--replicas 5]
+
+--replicas 25 gives the deep-scale point (two decades above bench when
+combined with the 5x row); exponents then report log_R(tR/t1).
 """
 
 from __future__ import annotations
@@ -28,12 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-REPLICAS = 5
-#: below graph._ORIENT_KEY / 5 so replicated vec_ids stay valid for the
-#: packed (degree, id) triangle orientation key (the 1e7 guard fires
-#: otherwise — by design); also preserves the `% 500 == 0` seed/query-set
-#: convention, so seed counts scale with the replicas
-ID_OFFSET = 1_000_000
+REPLICAS = 5  # overridable via --replicas
+#: 25 × 400k stays below graph._ORIENT_KEY (1e7), so replicated vec_ids
+#: remain valid for the packed (degree, id) triangle orientation key even
+#: at the 25x deep-scale point (the guard fires otherwise — by design);
+#: 400k ≡ 0 (mod 500) also preserves the `% 500 == 0` / `% 50 == 0`
+#: seed/query-set conventions, so seed counts scale with the replicas
+ID_OFFSET = 400_000
 
 #: fact tables and the id columns each copy shifts by c * ID_OFFSET
 FACT_SHIFTS = {
@@ -95,10 +100,14 @@ def time_query(fn, spark, sf_dir: str, reps: int = 3) -> float:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    global REPLICAS
+    argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.1"
-    if "--sf" in sys.argv:
-        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+    if "--sf" in argv:
+        i = argv.index("--sf"); sf_dir = argv[i + 1]; del argv[i : i + 2]
+    if "--replicas" in argv:
+        i = argv.index("--replicas"); REPLICAS = int(argv[i + 1]); del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -126,7 +135,7 @@ def main() -> None:
         print(json.dumps({
             "query": key,
             "sf01_s": round(t1, 2),
-            "x5_s": round(t5, 2),
+            f"x{REPLICAS}_s": round(t5, 2),
             "exponent": round(exp, 2) if exp is not None else None,
         }), flush=True)
     spark.stop()

@@ -420,3 +420,50 @@ def personalized_pagerank_int(
             ).alias("__r")
         )
     return ranks.select(F.col("src").alias("id"), F.col("__r").alias("ppr_e6"))
+
+
+def edge_common_neighbors(
+    pairs: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Per-EDGE common-neighbor counts over the undirected pair graph:
+    for each canonical pair (a, b), how many nodes are adjacent to BOTH —
+    the edge-granularity triangle support.  n_common = 0 identifies a
+    LOCAL BRIDGE (Easley/Kleinberg: an edge whose endpoints share no
+    other connection), the edge-level counterpart of a low clustering
+    coefficient: in a near-duplicate graph a zero-support edge is a
+    template accident or hash collision joining two otherwise-unrelated
+    neighborhoods — exactly the edges a keeper election must NOT
+    contract across, where high-support edges sit inside genuine
+    duplicate cliques.
+
+    Relationally: one wedge join (edges from a × edges from b on the
+    shared far endpoint) + a per-edge count + a zero-fill left join —
+    the same O(Σ wedge) budget class as ``triangles_per_node`` but
+    WITHOUT the degree-orientation machinery, because the output is per
+    edge and each common neighbor must count exactly once per edge
+    (orientation dedup is only needed when triangles would otherwise be
+    triple-counted per NODE).  All shuffles move (int64, int64) rows
+    keyed by node ids; the pair lineage checkpoints once.
+
+    Output: (id_a, id_b, n_common) — one row per input pair, zero-filled.
+    """
+    pe = pairs.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    ).localCheckpoint(eager=False)  # pair lineage computes once (see g1)
+    e = pe.unionByName(
+        pe.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    x = e.select(F.col("a").alias("__xa"), F.col("b").alias("__w"))
+    y = e.select(F.col("a").alias("__ya"), F.col("b").alias("__yw"))
+    cn = (
+        pe.join(x, pe["a"] == x["__xa"])
+        .join(y, (pe["b"] == y["__ya"]) & (x["__w"] == y["__yw"]))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return pe.join(cn, ["a", "b"], "left").select(
+        F.col("a").alias("id_a"),
+        F.col("b").alias("id_b"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_common"),
+    )

@@ -12489,6 +12489,120 @@ def g11_personalized_pagerank(
     ).select(F.col("id").alias("vec_id"), "ppr_e6")
 
 
+def _g12_oracle() -> str:
+    return f"""
+WITH pairs AS ({_v2_oracle()}),
+pe AS (SELECT id_a AS a, id_b AS b FROM pairs),
+e AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe),
+cn AS (SELECT pe.a, pe.b, count(*) AS n
+       FROM pe JOIN e x ON x.src = pe.a
+               JOIN e y ON y.src = pe.b AND y.dst = x.dst
+       GROUP BY pe.a, pe.b)
+SELECT pe.a AS id_a, pe.b AS id_b,
+       CAST(coalesce(cn.n, 0) AS BIGINT) AS n_common,
+       CAST(CASE WHEN coalesce(cn.n, 0) = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS is_bridge
+FROM pe LEFT JOIN cn ON cn.a = pe.a AND cn.b = pe.b
+"""
+
+
+@_register("g12_local_bridges", _g12_oracle())
+def g12_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-bridge detection over the v2 near-duplicate pair graph:
+    per-EDGE common-neighbor support, zero meaning the edge is a LOCAL
+    BRIDGE (its endpoints share no other connection) — the
+    edge-granularity refinement of g10's per-node clustering
+    coefficient: g10 scores how clique-like a NODE's neighborhood is,
+    g12 pinpoints WHICH edges are the template accidents / hash
+    collisions stitching unrelated neighborhoods together, the exact
+    edges a dedup keeper election must not contract across (cutting
+    them splits spurious mega-clusters; t52 measures that pathology,
+    g12 locates its causes).  Scale shape: one wedge join + per-edge
+    count + zero-fill, all (int64, int64) node-keyed shuffles; the LSH
+    pair lineage checkpoints once (``operators/graph.py:
+    edge_common_neighbors``)."""
+    from spark_ml_spatialjointransformer_spark.operators.graph import (
+        edge_common_neighbors,
+    )
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    )
+    cn = edge_common_neighbors(pairs, "id_a", "id_b")
+    return cn.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        F.when(F.col("n_common") == 0, 1).otherwise(0).cast("int").alias(
+            "is_bridge"
+        ),
+    )
+
+
+def _v21_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_v2_oracle()}),
+pe AS (SELECT id_a AS a, id_b AS b FROM pairs),
+e0 AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe),
+cn AS (SELECT pe.a, pe.b, count(*) AS n
+       FROM pe JOIN e0 x ON x.src = pe.a
+               JOIN e0 y ON y.src = pe.b AND y.dst = x.dst
+       GROUP BY pe.a, pe.b),
+kept AS (SELECT pe.a, pe.b FROM pe JOIN cn ON cn.a = pe.a AND cn.b = pe.b),
+edges AS (SELECT a, b FROM kept UNION ALL SELECT b, a FROM kept),
+reach(v, u2) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.v, eg.b FROM reach r JOIN edges eg ON eg.a = r.u2
+),
+k AS (SELECT v AS vec_id, min(u2) AS keeper FROM reach GROUP BY v)
+SELECT em.vec_id, k.keeper, k.keeper != em.vec_id AS is_dup
+FROM embeddings em JOIN k USING (vec_id)
+"""
+
+
+@_register("v21_bridge_cut_keepers", _v21_oracle())
+def v21_bridge_cut_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge-robust dedup clustering — g12's signal APPLIED: cut every
+    local bridge (zero common-neighbor support) out of the loose
+    cosine>=0.3 near-dup graph, then run the transitive-closure keeper
+    election on what remains.  This is the standard defense against LSH
+    chaining: A~B~C chains through template accidents weld unrelated
+    docs into one mega-cluster under plain closure (v4 avoids it only by
+    its conservative 0.9 threshold); requiring each surviving edge to
+    sit in at least one triangle keeps the aggressive threshold's recall
+    while confining the closure to locally-dense (genuine duplicate)
+    neighborhoods.  Scale shape: g12's wedge join + t11's O(edges)
+    Hash-Min closure, both int64 node-keyed; the pair lineage
+    checkpoints once and feeds both."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        dedup_connected_components,
+    )
+    from spark_ml_spatialjointransformer_spark.operators.graph import (
+        edge_common_neighbors,
+    )
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    )
+    kept = edge_common_neighbors(pairs, "id_a", "id_b").where(
+        F.col("n_common") > 0
+    )
+    return dedup_connected_components(
+        kept.select("id_a", "id_b"), emb.select("vec_id"), "vec_id"
+    )
+
+
 #: v19 semantic-dedup eviction threshold (cosine ×1e6)
 _V19_THR_E6 = 400_000
 #: v19 cell resolution: 6 SRP planes => 64 cells (the paper's k knob)

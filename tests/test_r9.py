@@ -375,3 +375,22 @@ class TestStreamThrottle:
             (2, 300): 1,
         }
         assert THROTTLE_N == 3
+
+
+class TestEdgeCommonNeighbors:
+    """g12's operator on a hand graph: triangle edges have support 1,
+    the pendant edge is a local bridge (0)."""
+
+    def test_triangle_plus_pendant(self, spark):
+        from spark_ml_spatialjointransformer_spark.operators.graph import (
+            edge_common_neighbors,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4)], "id_a long, id_b long"
+        )
+        got = {
+            (r.id_a, r.id_b): r.n_common
+            for r in edge_common_neighbors(pairs, "id_a", "id_b").collect()
+        }
+        assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (3, 4): 0}
