@@ -13015,6 +13015,160 @@ def j36_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: t55 quality signal, integer-exact on both engines: stopword density
+#: scaled e6 via two floor divisions (' the ' occurrences * 1e6 // token
+#: count) — no doubles, so the argmax election can never flip on a
+#: rounding near-tie (the v17 lesson applied at design time).
+_T55_Q_SQL = (
+    "((length(text) - length(replace(text, ' the ', ''))) // 5) * 1000000"
+    " // (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
+)
+
+_T55_ORACLE = f"""
+WITH RECURSIVE {_TOK_SH_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(round(inter * 1000000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) >= 600000
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(v, u) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN edges e ON e.a = r.u
+),
+k AS (SELECT v AS doc_id, min(u) AS cluster FROM reach GROUP BY v),
+q AS (SELECT doc_id, {_T55_Q_SQL} AS q_e6 FROM documents),
+m AS (SELECT k.doc_id, k.cluster, q.q_e6,
+        row_number() OVER (PARTITION BY k.cluster
+                           ORDER BY q.q_e6 DESC, k.doc_id) AS rk
+      FROM k JOIN q USING (doc_id)),
+e AS (SELECT cluster, doc_id AS elected FROM m WHERE rk = 1)
+SELECT m.doc_id, CAST(m.cluster AS BIGINT) AS cluster,
+       CAST(e.elected AS BIGINT) AS keeper,
+       CAST(CASE WHEN m.doc_id = e.elected THEN 1 ELSE 0 END AS INTEGER) AS kept,
+       CAST(m.q_e6 AS BIGINT) AS q_e6
+FROM m JOIN e USING (cluster)
+"""
+
+
+@_register("t55_quality_keeper", _T55_ORACLE)
+def t55_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper election — the FineWeb/Dolma refinement of
+    min-id dedup: within each near-dup closure cluster (t11's LSH-
+    verified Jaccard >= 0.6 components) keep the member with the BEST
+    quality signal (stopword density, t3's family), not the smallest
+    id.  Min-id keeps whichever copy happened to be crawled first; a
+    corpus built that way systematically prefers the boilerplate-
+    wrapped mirror over the clean original, which is why production
+    dedup pipelines elect on quality.  At sf0.01 the two elections
+    genuinely diverge: 8 of 23 multi-member clusters pick a non-min-id
+    keeper.  Scale shape: everything up to the cluster labels is t11's
+    machinery (band keys shuffle, never text; O(edges) Hash-Min); the
+    election adds ONE cluster-keyed exchange of (cluster, doc_id, q_e6)
+    int triples — quality scores compute corpus-linear in codegen and
+    join back by doc_id.  The quality key is computed by floor division
+    end-to-end (no doubles), so the argmax cannot flip on an engine
+    rounding near-tie."""
+    from pyspark.sql.window import Window
+
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        dedup_connected_components,
+        neardup_pairs_lsh_verified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup_pairs_lsh_verified(docs, "doc_id", "text", threshold=0.6)
+    cc = dedup_connected_components(
+        pairs.select("id_a", "id_b"), docs.select("doc_id"), "doc_id"
+    ).select("doc_id", F.col("keeper").alias("cluster"))
+    q = docs.select(
+        "doc_id",
+        F.expr(
+            "(CAST(length(text) - length(replace(text, ' the ', '')) AS BIGINT)"
+            " div 5) * 1000000"
+            " div (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
+        ).alias("q_e6"),
+    )
+    # argmax by ordered-window first(): ONE cluster-keyed exchange, no
+    # ranked-vs-elected self-join (a row_number + rejoin formulation costs
+    # two more exchanges for the same answer)
+    w = (
+        Window.partitionBy("cluster")
+        .orderBy(F.desc("q_e6"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        cc.join(q, "doc_id")
+        .withColumn("keeper", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.col("keeper").cast("bigint").alias("keeper"),
+            F.when(F.col("doc_id") == F.col("keeper"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+            F.col("q_e6").cast("bigint").alias("q_e6"),
+        )
+    )
+
+
+_E23_ORACLE = """
+WITH b AS (SELECT user_id, event_id, ts,
+                  CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS v_c
+           FROM events),
+r AS (SELECT user_id, event_id, v_c,
+             count(*) OVER w AS n,
+             sum(v_c) OVER w AS s,
+             sum(v_c * v_c) OVER w AS q
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id, v_c, CAST(n AS BIGINT) AS n_prior
+FROM r
+WHERE n >= 5 AND (n * v_c - s) * (n * v_c - s) > 9 * (n * q - s * s)
+"""
+
+
+@_register("e23_stream_zscore", _E23_ORACLE)
+def e23_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key anomaly detection: flag an event whose value
+    deviates from the RUNNING mean of that user's prior events by more
+    than 3 sigma — the live data-quality monitor an ingestion pipeline
+    runs ahead of training-data collection (e13 finds heavy KEYS, e21
+    value HISTOGRAMS; this is the per-EVENT verdict against the key's
+    own history, which no built-in streaming aggregate emits).  The
+    verdict is integer-exact by cross-multiplication — (n*x - S)^2 >
+    9*(n*Q - S^2) on value-cents — so the stateful kernel and the batch
+    window oracle agree bit-for-bit (no float variance on either
+    engine; flags ~3%% of events at both sf0.01 and sf0.1).  Scale
+    shape: state is THREE int64s per user (count, sum, sum-of-squares),
+    O(users) forever with no eviction pressure; only (id, ts, cents)
+    ints enter the group shuffle.  Ordered-replay caveat class of
+    e20/e22 (see ``streaming/windowed.py:zscore_anomaly_stream``)."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        run_to_memory,
+        zscore_anomaly_stream,
+    )
+
+    name = "q_e23_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return run_to_memory(
+        zscore_anomaly_stream(spark, f"{sf_dir}/events.parquet"),
+        name,
+        output_mode="append",
+    ).select("user_id", "event_id", "v_c", "n_prior")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #

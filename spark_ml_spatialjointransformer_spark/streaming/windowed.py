@@ -1212,3 +1212,97 @@ def throttled_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: e23 anomaly gate: minimum PRIOR history before an event can be judged,
+#: and the sigma multiple (3) squared for the integer comparison.
+ZSCORE_MIN_N = 5
+_ZSCORE_K2 = 9
+_ZSCORE_OUT_SCHEMA = "user_id LONG, event_id LONG, v_c LONG, n_prior LONG"
+#: per-USER running moments of admitted history: count, sum(cents),
+#: sum(cents^2) — three int64s, the whole anomaly model
+_ZSCORE_STATE_SCHEMA = "n LONG, s LONG, q LONG"
+
+
+def _zscore_flag(
+    key: Tuple[int],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful kernel: flag an event whose value-in-cents deviates from
+    the running mean of the user's PRIOR events by more than 3 sigma,
+    judged integer-exactly by cross-multiplication —
+    (n*x - S)^2 > 9*(n*Q - S^2) with S/Q the prior sum / sum-of-squares
+    — so the streaming verdict is bit-identical to the batch window
+    formulation (no float variance anywhere).  Each trigger's rows sort
+    by (ts, event_id) and fold onto the carried moments with one numpy
+    prefix-sum pass; the state is exactly three int64s per user.
+    Overflow bound: |n*x| must stay below ~3e9 (n = per-user event
+    count, x = cents), i.e. ~54k events/user at this data's value
+    range — past that, widen the comparison to DECIMAL(38) or split
+    the history into decayed epochs."""
+    import numpy as np
+
+    n, s, q = state.get if state.exists else (0, 0, 0)
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        v = pdf["v_c"].to_numpy(dtype="int64")
+        cn = n + np.arange(len(v), dtype="int64")
+        cs = s + np.concatenate(([0], np.cumsum(v)[:-1]))
+        cq = q + np.concatenate(([0], np.cumsum(v * v)[:-1]))
+        lhs = (cn * v - cs) ** 2
+        rhs = _ZSCORE_K2 * (cn * cq - cs * cs)
+        flag = (cn >= ZSCORE_MIN_N) & (lhs > rhs)
+        state.update(
+            (int(n + len(v)), int(s + v.sum()), int(q + (v * v).sum()))
+        )
+        if flag.any():
+            take = pdf.loc[flag]
+            yield pd.DataFrame(
+                {
+                    "user_id": take["user_id"].to_numpy(),
+                    "event_id": take["event_id"].to_numpy(),
+                    "v_c": take["v_c"].to_numpy(),
+                    "n_prior": cn[flag],
+                }
+            )
+    else:
+        state.update((n, s, q))
+
+
+def zscore_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detector: per-user running-moments (Welford-
+    class, but integer cross-multiplied) 3-sigma flag over the event
+    value stream — the quality-monitor operator an ingestion pipeline
+    runs AHEAD of training-data collection (spot a sensor/source going
+    wild the trigger it happens, not at batch close).  e13 finds heavy
+    KEYS and e21 builds value HISTOGRAMS; this is the per-event verdict
+    against each key's own history, which neither can express.
+
+    State shards by user: three int64s (count, sum, sum-of-squares) —
+    no window, no eviction problem, O(users) state forever.  Same
+    event-time-ordered-replay caveat class as e20/e22: a trigger
+    delivering rows older than already-folded history would judge them
+    against moments that include their future; the file-replay harness
+    keeps each user's rows in ts order, production fronts this with a
+    watermarked sort or accepts the approximation (anomaly thresholds
+    are heuristic by nature)."""
+    ensure_udf_portability()
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)").alias("v_c"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _zscore_flag,
+        outputStructType=_ZSCORE_OUT_SCHEMA,
+        stateStructType=_ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

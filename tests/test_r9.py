@@ -394,3 +394,89 @@ class TestEdgeCommonNeighbors:
             for r in edge_common_neighbors(pairs, "id_a", "id_b").collect()
         }
         assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (3, 4): 0}
+
+
+class TestQualityKeeper:
+    """t55 must elect the HIGHEST-quality cluster member (not min-id),
+    tie-break min doc_id, and leave singletons keeping themselves."""
+
+    def test_quality_beats_min_id(self, spark, tmp_path):
+        import os
+        import random
+
+        rng = random.Random(55)
+        vocab = [f"w{i}" for i in range(500)]
+        # 20-token base with exactly 2 ' the ' occurrences; doc 2 appends
+        # ' the conclusion' -> trigram Jaccard 18/20 = 0.9 (near-dup) and
+        # q(doc2) = 3e6//22 = 136363 > q(doc1) = 2e6//20 = 100000, so the
+        # election must pick doc 2 over the smaller id
+        base = (
+            " ".join(rng.choice(vocab) for _ in range(8))
+            + " the "
+            + " ".join(rng.choice(vocab) for _ in range(4))
+            + " the "
+            + " ".join(rng.choice(vocab) for _ in range(6))
+        )
+        rows = [
+            (1, base),
+            (2, base + " the conclusion"),
+            (3, " ".join(rng.choice(vocab) for _ in range(40))),  # singleton
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+        from spark_ml_spatialjointransformer_spark import queries as Q
+
+        out = {
+            r.doc_id: r
+            for r in Q.QUERIES["t55_quality_keeper"].fn(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out[1].cluster == 1 and out[2].cluster == 1
+        assert out[1].keeper == 2 and out[2].keeper == 2  # quality won
+        assert out[1].kept == 0 and out[2].kept == 1
+        assert out[3].keeper == 3 and out[3].kept == 1
+        assert out[2].q_e6 > out[1].q_e6
+
+
+class TestStreamZscore:
+    """e23's kernel: integer-exact 3-sigma flag against PRIOR running
+    moments; no verdict before ZSCORE_MIN_N prior events."""
+
+    def test_spike_flags_stable_history_does_not(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+            ZSCORE_MIN_N,
+            run_to_memory,
+            zscore_anomaly_stream,
+        )
+
+        base = dt.datetime(2024, 3, 1, 9, 0, 0)
+        rows = []
+        # user 1: five stable 10.00 readings (never judged: n<5 for all),
+        # then a 50.00 spike (zero prior variance -> any deviation flags),
+        # then 10.00 again (spike inflated sigma -> no flag: lhs 1.6e7
+        # vs rhs 7.2e8, hand-computed)
+        vals = [10.0, 10.0, 10.0, 10.0, 10.0, 50.0, 10.0]
+        for i, v in enumerate(vals):
+            rows.append((100 + i, base + dt.timedelta(minutes=i), 1, v))
+        # user 2: too little history -> nothing ever flagged
+        for i, v in enumerate([1.0, 99.0, 1.0]):
+            rows.append((200 + i, base + dt.timedelta(minutes=i), 2, v))
+        src = os.path.join(str(tmp_path), "events.parquet")
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        ).coalesce(1).write.parquet(src)
+
+        out = run_to_memory(
+            zscore_anomaly_stream(spark, src),
+            "q_e23_unit_test",
+            output_mode="append",
+        ).collect()
+        flagged = {(r.user_id, r.event_id): (r.v_c, r.n_prior) for r in out}
+        assert flagged == {(1, 105): (5000, 5)}
+        assert ZSCORE_MIN_N == 5
