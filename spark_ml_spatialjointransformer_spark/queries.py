@@ -13169,6 +13169,177 @@ def e23_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "v_c", "n_prior")
 
 
+#: p14 anonymity parameters: suppression threshold k, and the balance
+#: generalization band width in cents (the +100000 shift keeps the
+#: floor division on the non-negative domain — Spark `div` truncates
+#: toward zero while DuckDB `//` floors, and they agree only for >= 0;
+#: c_acctbal >= -999.99 so shifted cents >= 1).
+_P14_K = 5
+_P14_BAND_CENTS = 200_000
+_P14_SHIFT = 100_000
+
+_P14_ORACLE = f"""
+WITH q AS (SELECT c.c_custkey, CAST(n.n_regionkey AS BIGINT) AS region,
+                  c.c_mktsegment AS seg,
+                  (CAST(floor(c.c_acctbal * 100e0 + 0.5e0) AS BIGINT)
+                   + {_P14_SHIFT}) // {_P14_BAND_CENTS} AS bal_band
+           FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey),
+g AS (SELECT *, count(*) OVER (PARTITION BY region, seg, bal_band) AS group_n
+      FROM q)
+SELECT c_custkey, region, seg, CAST(bal_band AS BIGINT) AS bal_band,
+       CAST(group_n AS BIGINT) AS group_n,
+       CAST(CASE WHEN group_n < {_P14_K} THEN 1 ELSE 0 END AS INTEGER)
+         AS suppressed
+FROM g
+"""
+
+
+@_register("p14_k_anonymity", _P14_ORACLE)
+def p14_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the generalized quasi-identifier (region,
+    market segment, $2000 balance band): any record whose quasi-group
+    has fewer than k=5 members is marked for suppression — the release
+    gate a training corpus with user-derived metadata must pass before
+    export (Sweeney's model; t28 scrubs DIRECT identifiers, this
+    catches records re-identifiable through indirect attribute
+    COMBINATIONS).  The generalization ladder is in the key itself:
+    nation coarsens to region via the broadcast dimension join, the
+    raw balance to a wide integer band (floor division on the shifted
+    non-negative domain, engine-exact).  At sf0.01, 34 of 1500 records
+    fall in sub-threshold groups.  Scale shape: one broadcast dim join
+    + ONE quasi-key exchange shared by the count window — no text, no
+    self-join; suppression at 100 TB is exactly this plan with more
+    partitions."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    from pyspark.sql.window import Window
+
+    q = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey",
+        F.col("n_regionkey").cast("bigint").alias("region"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            f"(CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT)"
+            f" + {_P14_SHIFT}) div {_P14_BAND_CENTS}"
+        ).alias("bal_band"),
+    )
+    w = Window.partitionBy("region", "seg", "bal_band")
+    return q.withColumn("group_n", F.count(F.lit(1)).over(w)).select(
+        "c_custkey",
+        "region",
+        "seg",
+        F.col("bal_band").cast("bigint").alias("bal_band"),
+        F.col("group_n").cast("bigint").alias("group_n"),
+        F.when(F.col("group_n") < _P14_K, 1).otherwise(0).cast("int").alias(
+            "suppressed"
+        ),
+    )
+
+
+#: t56 DSIR geometry: hashed-bigram feature buckets, add-1 smoothed
+#: likelihood-ratio weights scaled e6 (floor division — the log() of the
+#: paper is monotone in the ratio, and staying on the ratio keeps every
+#: weight integer-exact across engines), and the target-likeness
+#: threshold on the per-bigram average.
+_T56_BUCKETS = 4096
+_T56_KEEP_AVG_E6 = 450_000
+
+_T56_ORACLE = f"""
+WITH tk AS (SELECT doc_id, lang, str_split(lower(text), ' ') AS t
+            FROM documents),
+bg AS (SELECT doc_id, lang,
+              {h60_sql("t[i+1] || ' ' || t[i+2]")} % {_T56_BUCKETS} AS b
+       FROM tk, unnest(range(len(t) - 1)) r(i)
+       WHERE len(t) >= 2),
+cnt AS (SELECT b, count(*) AS s_cnt, count(*) FILTER (lang = 'en') AS t_cnt
+        FROM bg GROUP BY b),
+w AS (SELECT b, (t_cnt + 1) * 1000000 // (s_cnt + 1) AS w_e6 FROM cnt),
+sc AS (SELECT bg.doc_id, count(*) AS n_bigrams, sum(w.w_e6) AS score_e6
+       FROM bg JOIN w USING (b) GROUP BY bg.doc_id)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(score_e6 AS BIGINT) AS score_e6,
+       CAST(score_e6 // n_bigrams AS BIGINT) AS avg_e6,
+       CAST(CASE WHEN score_e6 // n_bigrams >= {_T56_KEEP_AVG_E6}
+                 THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM sc
+"""
+
+
+@_register("t56_dsir_score", _T56_ORACLE)
+def t56_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023): hash each doc's
+    word bigrams into {_T56_BUCKETS} feature buckets, weight every
+    bucket by the smoothed target-vs-source likelihood ratio (target =
+    the English slice, source = the whole corpus), and score each doc
+    by its summed bucket weights — the data-selection operator that
+    resamples a raw crawl TOWARD a target distribution (t18 scores
+    against a frequency table, t26 lifts whole sources; this learns a
+    per-FEATURE reweighting from the corpus itself).  Weights stay on
+    the raw likelihood ratio instead of its log so everything is
+    integer floor division (the log is monotone — selection order is
+    unchanged); at sf0.01 the English median per-bigram average is
+    467k-e6 vs ~437k for the other languages, and the 0.45 threshold
+    keeps the target-like slice.  Scale shape: text never shuffles —
+    bigrams drop to (doc_id, bucket) int pairs before the ONE bucket
+    count exchange, the {_T56_BUCKETS}-row weight table broadcasts
+    back, and the doc rollup is the second exchange; both are
+    map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.split(F.lower(F.col("text")), " ").alias("t"),
+    )
+    # Spark [] indexing is 0-based where DuckDB's is 1-based: t[i]/t[i+1]
+    # here IS the oracle's t[i+1]/t[i+2] adjacency
+    bigram = (
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"
+    )
+    bg = (
+        docs.where(F.expr("size(t) >= 2"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(bigram)).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (h60_col(F.col("s")) % _T56_BUCKETS).alias("b"),
+        )
+    )
+    wts = (
+        bg.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("s_cnt"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("t_cnt"),
+        )
+        .select(
+            "b",
+            F.expr("(t_cnt + 1) * 1000000 div (s_cnt + 1)").alias("w_e6"),
+        )
+    )
+    sc = (
+        bg.join(F.broadcast(wts), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("w_e6").alias("score_e6"),
+        )
+    )
+    return sc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("score_e6").cast("bigint").alias("score_e6"),
+        F.expr("score_e6 div n_bigrams").cast("bigint").alias("avg_e6"),
+        F.expr(
+            f"CAST(CASE WHEN score_e6 div n_bigrams >= {_T56_KEEP_AVG_E6}"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #

@@ -480,3 +480,84 @@ class TestStreamZscore:
         flagged = {(r.user_id, r.event_id): (r.v_c, r.n_prior) for r in out}
         assert flagged == {(1, 105): (5000, 5)}
         assert ZSCORE_MIN_N == 5
+
+
+class TestKAnonymity:
+    """p14: sub-k quasi-groups suppress, group_n is the GROUP's size,
+    and the balance band generalizes on the shifted non-negative
+    domain (truncation == floor there)."""
+
+    def test_small_groups_suppressed(self, spark, tmp_path):
+        import os
+
+        # region 0 via nations 0/1; band = (cents + 1e5) // 2e5
+        cust = [
+            # 5 customers in (region 0, AUTO, band 1) -> kept
+            *[(i, f"c{i}", 0, 1500.0, "AUTO") for i in range(1, 6)],
+            # 1 customer alone in (region 0, AUTO, band 5) -> suppressed
+            (6, "c6", 1, 9000.0, "AUTO"),
+            # negative balance: cents -50000 -> band (+1e5)//2e5 = 0
+            (7, "c7", 0, -500.0, "AUTO"),
+        ]
+        nat = [(0, "A", 0), (1, "B", 0)]
+        spark.createDataFrame(
+            cust,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "customer.parquet")
+        )
+        spark.createDataFrame(
+            nat, "n_nationkey int, n_name string, n_regionkey int"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "nation.parquet")
+        )
+
+        from spark_ml_spatialjointransformer_spark import queries as Q
+
+        out = {
+            r.c_custkey: r
+            for r in Q.QUERIES["p14_k_anonymity"].fn(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        for i in range(1, 6):
+            assert out[i].suppressed == 0 and out[i].group_n == 5
+        assert out[6].suppressed == 1 and out[6].group_n == 1
+        assert out[7].suppressed == 1 and out[7].bal_band == 0
+
+
+class TestDsirScore:
+    """t56: a doc made of target-exclusive bigrams must out-score a doc
+    of source-only bigrams, and weights are the smoothed ratio."""
+
+    def test_target_like_doc_scores_higher(self, spark, tmp_path):
+        import os
+
+        # 'en' docs repeat one bigram vocabulary; the 'zh' doc another.
+        # Target buckets then carry weight ~(n+1)/(n+1)=1e6 while the
+        # source-only bucket carries (0+1)*1e6//(n+1).
+        rows = [
+            (1, "alpha beta alpha beta alpha beta", "en"),
+            (2, "alpha beta alpha beta", "en"),
+            (3, "kappa lambda kappa lambda kappa lambda", "zh"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet")
+        )
+
+        from spark_ml_spatialjointransformer_spark import queries as Q
+
+        out = {
+            r.doc_id: r
+            for r in Q.QUERIES["t56_dsir_score"].fn(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out[1].n_bigrams == 5 and out[3].n_bigrams == 5
+        assert out[1].avg_e6 > out[3].avg_e6
+        assert out[1].kept == 1 and out[3].kept == 0
+        # doc 2 shares doc 1's buckets -> same per-bigram average
+        assert out[2].avg_e6 == out[1].avg_e6
