@@ -139,3 +139,63 @@ def pack_sequences(
         .withColumn("offset", (F.col("__before") % window_tokens).cast("bigint"))
         .drop("__bucket", "__prefix", "__before")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global 1-based rank by ``(key_col, id_col)`` — the
+    scale-safe replacement for ``row_number() OVER (ORDER BY ...)``,
+    whose empty-partitionBy window serializes the whole input through
+    ONE task.  Same two-level decomposition as ``pack_sequences``, but
+    bucketed on the SORT KEY's value range instead of the id: rows with
+    equal keys always land in the same bucket, so the (key, id)
+    tie-break inside each bucket is globally consistent.  One tiny
+    min/max job fixes the bucket width, per-bucket counts (B rows)
+    window into an exclusive prefix and broadcast back, and the single
+    full-data exchange is the within-bucket rank window.  Deterministic
+    under any partitioning/retry; 64-bit exact.  ``key_col`` must be
+    integral; value skew only unbalances buckets (raise
+    ``num_partitions``), never changes results.
+
+    Output: input columns ++ ``out_col``.
+    """
+    spark = df.sparkSession
+    n_buckets = num_partitions or spark.sparkContext.defaultParallelism
+    bounds = df.agg(
+        F.min(F.col(key_col).cast("bigint")).alias("lo"),
+        F.max(F.col(key_col).cast("bigint")).alias("hi"),
+    ).first()
+    if bounds["lo"] is None:
+        return df.withColumn(out_col, F.lit(0).cast("bigint"))
+    span = bounds["hi"] - bounds["lo"] + 1
+    width = max(1, -(-span // n_buckets))
+    b = df.withColumn(
+        "__bucket",
+        F.expr(
+            f"(CAST(`{key_col}` AS BIGINT) - {bounds['lo']}L) div {width}L"
+        ).cast("int"),
+    )
+    totals = b.groupBy("__bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    w_tot = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = totals.withColumn(
+        "__prefix",
+        F.coalesce(F.sum("__n").over(w_tot), F.lit(0)).cast("bigint"),
+    ).select("__bucket", "__prefix")
+    w_in = Window.partitionBy("__bucket").orderBy(key_col, id_col)
+    return (
+        b.join(F.broadcast(prefix), "__bucket")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w_in) + F.col("__prefix")).cast("bigint"),
+        )
+        .drop("__bucket", "__prefix")
+    )

@@ -13340,6 +13340,81 @@ def t56_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: p15 curriculum: number of phases, and the integer difficulty proxy —
+#: 2x average token length (longer words = harder) plus the stopword
+#: DEFICIT (fewer function words = harder), all floor division so both
+#: engines agree bit-for-bit.  stop_e6 <= 5e5 (a stopword needs a
+#: following token), so the deficit term is always positive.
+_P15_PHASES = 4
+_P15_NTOK_SQL = "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
+
+_P15_ORACLE = f"""
+WITH f AS (SELECT doc_id,
+                  {_P15_NTOK_SQL} AS ntok,
+                  (length(text) * 1000000) // {_P15_NTOK_SQL} * 2
+                  + (1000000
+                     - ((length(text) - length(replace(text, ' the ', ''))) // 5)
+                       * 1000000 // {_P15_NTOK_SQL}) AS d_e6
+           FROM documents),
+r AS (SELECT *, row_number() OVER (ORDER BY d_e6, doc_id) AS rnk,
+             count(*) OVER () AS n
+      FROM f)
+SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+       CAST(d_e6 AS BIGINT) AS difficulty_e6,
+       CAST(rnk AS BIGINT) AS curriculum_rank,
+       CAST((rnk - 1) * {_P15_PHASES} // n + 1 AS BIGINT) AS phase
+FROM r
+"""
+
+
+@_register("p15_curriculum_order", _P15_ORACLE)
+def p15_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning order (Bengio et al. 2009): rank every
+    training document easy-to-hard by an integer difficulty proxy
+    (2x average token length + stopword deficit) and cut the ranking
+    into {_P15_PHASES} equal phases — the staged data schedule
+    curriculum pretraining feeds the trainer (p1 assembles features,
+    p11 fills token budgets; this decides WHEN each document is seen).
+    The global ordering is the scale-honest part: a bare
+    ``row_number() OVER (ORDER BY difficulty)`` serializes the corpus
+    through one task, so the rank comes from the two-level prefix
+    decomposition (``operators/sampling.py:global_rank`` — value-range
+    buckets, per-bucket counts broadcast back, ONE full-data exchange),
+    and the phase is the closed form ``(rank-1)*k div N + 1`` on both
+    engines (SQL ntile() splits remainders differently, so the formula
+    IS the contract).  Difficulty is floor division end-to-end — no
+    doubles, no rounding near-ties."""
+    from spark_ml_spatialjointransformer_spark.operators.sampling import (
+        global_rank,
+    )
+
+    ntok = (
+        "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
+    )
+    f = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(ntok).cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"(CAST(length(text) AS BIGINT) * 1000000) div {ntok} * 2"
+            f" + (1000000"
+            f"    - (CAST(length(text) - length(replace(text, ' the ', ''))"
+            f"       AS BIGINT) div 5) * 1000000 div {ntok})"
+        ).alias("difficulty_e6"),
+    )
+    n = f.count()  # one count job; N also bounds the phase formula
+    ranked = global_rank(f, "difficulty_e6", "doc_id", out_col="curriculum_rank")
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "difficulty_e6",
+        "curriculum_rank",
+        F.expr(
+            f"CAST((curriculum_rank - 1) * {_P15_PHASES} div {n}L + 1"
+            " AS BIGINT)"
+        ).alias("phase"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #

@@ -561,3 +561,81 @@ class TestDsirScore:
         assert out[1].kept == 1 and out[3].kept == 0
         # doc 2 shares doc 1's buckets -> same per-bigram average
         assert out[2].avg_e6 == out[1].avg_e6
+
+
+class TestGlobalRank:
+    """global_rank must equal the single-window row_number for any data,
+    including ties that straddle value-range bucket boundaries and
+    skewed key distributions."""
+
+    def test_matches_global_window(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from spark_ml_spatialjointransformer_spark.operators.sampling import (
+            global_rank,
+        )
+
+        rng = random.Random(915)
+        # heavy ties + skew: keys drawn from a tiny domain plus outliers
+        rows = [(i, rng.choice([7, 7, 7, 42, 42, 1000, rng.randint(0, 50)]))
+                for i in range(1, 301)]
+        df = spark.createDataFrame(rows, "id long, k long")
+        got = {
+            r.id: r.rank
+            for r in global_rank(df, "k", "id", num_partitions=7).collect()
+        }
+        want = {
+            r.id: r.want
+            for r in df.withColumn(
+                "want", F.row_number().over(Window.orderBy("k", "id"))
+            ).collect()
+        }
+        assert got == want
+
+    def test_empty_input(self, spark):
+        from spark_ml_spatialjointransformer_spark.operators.sampling import (
+            global_rank,
+        )
+
+        df = spark.createDataFrame([], "id long, k long")
+        out = global_rank(df, "k", "id")
+        assert out.count() == 0 and "rank" in out.columns
+
+
+class TestCurriculumOrder:
+    """p15: phases are contiguous in rank, sizes differ by at most one,
+    and harder docs (longer words, fewer stopwords) rank later."""
+
+    def test_phase_partition(self, spark, tmp_path):
+        import os
+
+        rows = [
+            (1, "the a b the c d", "en"),          # easy: short words, stopwords
+            (2, "abcdefghij klmnopqrst uvwxyzabcd", "en"),  # hard: long, no stopwords
+            (3, "the x the y the z", "en"),
+            (4, "internationalization considerations", "en"),
+            (5, "a b c d e f", "en"),
+            (6, "supercalifragilistic expialidocious", "en"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet")
+        )
+
+        from spark_ml_spatialjointransformer_spark import queries as Q
+
+        out = sorted(
+            Q.QUERIES["p15_curriculum_order"].fn(spark, str(tmp_path)).collect(),
+            key=lambda r: r.curriculum_rank,
+        )
+        assert [r.curriculum_rank for r in out] == list(range(1, 7))
+        # phases non-decreasing along the rank order, all 4 phases hit
+        phases = [r.phase for r in out]
+        assert phases == sorted(phases) and set(phases) == {1, 2, 3, 4}
+        # the stopword-free long-word docs are in the last phase
+        hard = {r.doc_id for r in out if r.phase == 4}
+        assert hard <= {2, 4, 6} and len(hard) >= 1
