@@ -467,3 +467,61 @@ def edge_common_neighbors(
         F.col("b").alias("id_b"),
         F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_common"),
     )
+
+
+def label_propagation(
+    pairs: DataFrame, a_col: str, b_col: str, rounds: int = 2
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the undirected pair graph: every node starts as its
+    own label; each round it adopts the label held by the MOST of its
+    neighbors (tie -> smallest label), all nodes updating from the same
+    previous-round snapshot.  Deterministic by construction (the
+    classic algorithm breaks ties randomly; the (count DESC, label)
+    rule makes every round a pure function of the graph) and UNROLLED
+    a fixed ``rounds`` deep so an exact SQL oracle can replay it —
+    unlike Hash-Min closure (``dedup_connected_components``), which
+    converges to connected components, a bounded propagation finds
+    locally-dense COMMUNITIES: a thin chain of template accidents does
+    not merge two dup cliques in 2 rounds, which is exactly the
+    anti-chaining behavior a keeper election wants (the iterative
+    counterpart of v21's structural bridge cut).
+
+    Scale shape: per round ONE label join onto the bidirectional edge
+    list + a (node, label) count + a per-node argmax window — every
+    shuffle carries (int64, int64[, int64]) rows keyed by node id; the
+    pair lineage checkpoints once and each round's labels checkpoint so
+    round N+1 never recomputes round N.
+
+    Output: (node, community) — one row per graph node.
+    """
+    from pyspark.sql.window import Window
+
+    pe = pairs.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    ).localCheckpoint(eager=False)
+    edges = pe.unionByName(
+        pe.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(rounds):
+        nb = edges.join(
+            labels.select(F.col("v").alias("__nv"), "lbl"),
+            edges["b"] == F.col("__nv"),
+        ).select(F.col("a").alias("v"), "lbl")
+        labels = (
+            nb.groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("v", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("v").alias("node"), F.col("lbl").alias("community"))

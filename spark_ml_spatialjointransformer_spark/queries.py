@@ -13415,6 +13415,60 @@ def p15_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g13_oracle() -> str:
+    rnd = """
+n{i} AS (SELECT e.a AS v, l{p}.lbl, count(*) AS c
+        FROM e JOIN l{p} ON l{p}.v = e.b GROUP BY e.a, l{p}.lbl),
+p{i} AS (SELECT v, lbl, row_number() OVER (PARTITION BY v
+                                           ORDER BY c DESC, lbl) AS rk
+        FROM n{i}),
+l{i} AS (SELECT v, lbl FROM p{i} WHERE rk = 1)"""
+    return (
+        f"""
+WITH pairs AS ({_v2_oracle()}),
+pe AS (SELECT id_a AS a, id_b AS b FROM pairs),
+e AS (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe),
+l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM e),"""
+        + rnd.format(i=1, p=0)
+        + ","
+        + rnd.format(i=2, p=1)
+        + """
+SELECT v AS node, CAST(lbl AS BIGINT) AS community FROM l2
+"""
+    )
+
+
+@_register("g13_label_propagation", _g13_oracle())
+def g13_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007)
+    over the loose cosine>=0.3 near-dup graph, 2 synchronous rounds,
+    deterministic (count DESC, label) adoption — finds locally-DENSE
+    communities where t11/v4's closure finds connected components: a
+    thin chain of template accidents cannot carry a label across two
+    dup cliques in 2 rounds, so this is the iterative counterpart of
+    v21's structural bridge cut (v21 deletes the weak edges, g13
+    out-votes them).  The fixed unroll is what makes the exact oracle
+    possible; production tiers would run rounds to label-change
+    convergence with the same per-round plan.  Scale shape: per round
+    ONE label join on the bidirectional edge list + (node, label)
+    count + per-node argmax window — (int64, int64) shuffles only,
+    labels checkpoint per round (``operators/graph.py:
+    label_propagation``)."""
+    from spark_ml_spatialjointransformer_spark.operators.graph import (
+        label_propagation,
+    )
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    )
+    return label_propagation(pairs, "id_a", "id_b", rounds=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #

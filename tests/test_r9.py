@@ -639,3 +639,31 @@ class TestCurriculumOrder:
         # the stopword-free long-word docs are in the last phase
         hard = {r.doc_id for r in out if r.phase == 4}
         assert hard <= {2, 4, 6} and len(hard) >= 1
+
+
+class TestLabelPropagation:
+    """g13's kernel on a hand-computed graph: two triangles joined by a
+    bridge edge must NOT share any community label after 2 rounds, and
+    the per-node labels match the deterministic (count DESC, min label)
+    adoption exactly."""
+
+    def test_two_triangles_with_bridge(self, spark):
+        from spark_ml_spatialjointransformer_spark.operators.graph import (
+            label_propagation,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+            "id_a long, id_b long",
+        )
+        got = {
+            r.node: r.community
+            for r in label_propagation(pairs, "id_a", "id_b", rounds=2).collect()
+        }
+        # hand-unrolled: l1 = {1:2, 2:1, 3:1, 4:3, 5:4, 6:4};
+        # l2 = {1:1, 2:1, 3:1, 4:4, 5:3, 6:3}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+        # the two cliques never collapse to one label through the bridge
+        labels_a = {got[v] for v in (1, 2, 3)}
+        labels_b = {got[v] for v in (4, 5, 6)}
+        assert labels_a.isdisjoint(labels_b)
