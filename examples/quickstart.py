@@ -111,6 +111,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("8. token-budget fill: docs admitted per source:")
     fill.groupBy("source").count().orderBy("source").show(5)
 
+    # -- 9. corpus governance: keeper election, curriculum, k-anonymity --
+    keep = QUERIES["t55_quality_keeper"].fn(spark, sf_dir)
+    print("9. quality-aware dedup keepers: kept / dropped:")
+    keep.groupBy("kept").count().orderBy("kept").show()
+    cur = QUERIES["p15_curriculum_order"].fn(spark, sf_dir)
+    print("   curriculum phases (easy -> hard), docs per phase:")
+    cur.groupBy("phase").count().orderBy("phase").show()
+    anon = QUERIES["p14_k_anonymity"].fn(spark, sf_dir)
+    print("   k-anonymity: records needing suppression before export:",
+          anon.where(F.col("suppressed") == 1).count())
+
     spark.stop()
 
 
