@@ -667,3 +667,51 @@ class TestLabelPropagation:
         labels_a = {got[v] for v in (1, 2, 3)}
         labels_b = {got[v] for v in (4, 5, 6)}
         assert labels_a.isdisjoint(labels_b)
+
+
+class TestStreamZscoreStateCarry:
+    """e23's moments must CARRY across triggers: history folded in
+    trigger 1 judges events arriving in trigger 2."""
+
+    def test_cross_trigger_carry(self, spark, tmp_path):
+        import datetime as dt
+        import os
+        import time
+
+        from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+            run_to_memory,
+            zscore_anomaly_stream,
+        )
+
+        base = dt.datetime(2024, 3, 2, 9, 0, 0)
+        d = os.path.join(str(tmp_path), "events")
+        os.makedirs(d)
+        # file 1: five stable 10.00 readings -> state (n=5, S=5000, Q=5e6)
+        f1 = [(100 + i, base + dt.timedelta(minutes=i), 1, 10.0)
+              for i in range(5)]
+        # file 2: a 50.00 spike -> must flag with n_prior=5 USING the
+        # carried moments (zero prior variance)
+        f2 = [(200, base + dt.timedelta(minutes=10), 1, 50.0)]
+        schema = "event_id long, ts timestamp, user_id long, value double"
+        spark.createDataFrame(f1, schema).coalesce(1).write.parquet(
+            os.path.join(d, "a")
+        )
+        time.sleep(1.1)  # file-source replays in mtime order: f1 first
+        spark.createDataFrame(f2, schema).coalesce(1).write.parquet(
+            os.path.join(d, "b")
+        )
+        for sub in ("a", "b"):
+            for fn in os.listdir(os.path.join(d, sub)):
+                if fn.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(d, sub, fn),
+                        os.path.join(d, f"{sub}_{fn}"),
+                    )
+
+        out = run_to_memory(
+            zscore_anomaly_stream(spark, d),
+            "q_e23_carry_test",
+            output_mode="append",
+        ).collect()
+        flagged = {(r.user_id, r.event_id): (r.v_c, r.n_prior) for r in out}
+        assert flagged == {(1, 200): (5000, 5)}
