@@ -13149,7 +13149,7 @@ def e23_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict is integer-exact by cross-multiplication — (n*x - S)^2 >
     9*(n*Q - S^2) on value-cents — so the stateful kernel and the batch
     window oracle agree bit-for-bit (no float variance on either
-    engine; flags ~3%% of events at both sf0.01 and sf0.1).  Scale
+    engine; flags ~3% of events at both sf0.01 and sf0.1).  Scale
     shape: state is THREE int64s per user (count, sum, sum-of-squares),
     O(users) forever with no eviction pressure; only (id, ts, cents)
     ints enter the group shuffle.  Ordered-replay caveat class of
@@ -13270,7 +13270,7 @@ FROM sc
 @_register("t56_dsir_score", _T56_ORACLE)
 def t56_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scoring (Xie et al. 2023): hash each doc's
-    word bigrams into {_T56_BUCKETS} feature buckets, weight every
+    word bigrams into 4096 feature buckets, weight every
     bucket by the smoothed target-vs-source likelihood ratio (target =
     the English slice, source = the whole corpus), and score each doc
     by its summed bucket weights — the data-selection operator that
@@ -13372,7 +13372,7 @@ def p15_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning order (Bengio et al. 2009): rank every
     training document easy-to-hard by an integer difficulty proxy
     (2x average token length + stopword deficit) and cut the ranking
-    into {_P15_PHASES} equal phases — the staged data schedule
+    into 4 equal phases — the staged data schedule
     curriculum pretraining feeds the trainer (p1 assembles features,
     p11 fills token budgets; this decides WHEN each document is seen).
     The global ordering is the scale-honest part: a bare
