@@ -13469,6 +13469,74 @@ def g13_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(pairs, "id_a", "id_b", rounds=2)
 
 
+_F7_ORACLE = f"""
+WITH {_GEO_CTE},
+sf AS (SELECT * FROM s WHERE s_acctbal > 1000.0),
+p AS (SELECT s.s_suppkey, s.s_name, c.c_custkey, {_HAV} AS d
+      FROM sf s CROSS JOIN c
+      WHERE s.s_nationkey != c.c_nationkey),
+r AS (SELECT *, row_number() OVER (PARTITION BY s_suppkey
+                                   ORDER BY d, c_custkey) AS rn
+      FROM p)
+SELECT s_suppkey AS site_key, s_name AS site_name, c_custkey AS cust_key,
+       CAST(round(d) AS INTEGER) AS dist_m
+FROM r WHERE rn = 1
+"""
+
+
+@_register("f7_transformer_input_broadcast", _F7_ORACLE)
+def f7_transformer_input_broadcast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full ML-Transformer surface, INPUT-broadcast flavor: the verbatim
+    ``broadcast='input'`` spelling (transformer.py:106 — the reference's
+    OTHER documented direction value, BroadcastSpatialJoin.scala:237-249)
+    driven end-to-end for the first time: f1-f6 all broadcast the
+    dataset/external side, so the J9 direction swap had plan-level rows
+    (j9/j10) but no string-param row.  Composition: catalog dataset (S1)
+    + pre-join `filter` (F1: ``s_acctbal > 1000.0`` on the DATASET side
+    — the filter must keep applying to the catalog side when the
+    broadcast flips) + `nearest` with the flipped cardinality (one row
+    per DATASET row: nearest qualifying customer per supplier, j9's
+    semantics) + extra theta `condition` (J8: j10's verbatim
+    ``left.s_nationkey != right.c_nationkey`` — 'left' stays the
+    dataset side regardless of broadcast direction, the reference's
+    naming contract) + aliasing (P2) + Int-meter distance (P3) +
+    `numPartitions` (X1).  Scale shape: the INPUT (customers) is the
+    broadcast side — the scale-correct direction when the transform()
+    frame is the small one and the catalog dataset is big; candidates
+    mask inside the vectorized argmin kernel, so cardinality stays one
+    row per supplier with no post-filter re-rank."""
+    from spark_ml_spatialjointransformer_spark.transformer import (
+        BroadcastSpatialJoin,
+    )
+
+    suppliers_geo(spark, sf_dir).createOrReplaceTempView("sjt_suppliers_f7")
+    cust = customers_geo(spark, sf_dir).select(
+        "c_custkey", "c_nationkey", "lon", "lat"
+    )
+    t = BroadcastSpatialJoin(
+        dataset="sjt_suppliers_f7",
+        dataColumns="s_suppkey as site_key, s_name as site_name",
+        datasetPoint="lon, lat",
+        inputPoint="lon, lat",
+        predicate="nearest",
+        broadcast="input",
+        filter="s_acctbal > 1000.0",
+        condition="left.s_nationkey != right.c_nationkey",
+        distanceColumnAlias="dist_m",
+        distanceKernel="haversine",
+        tieBreak="c_custkey",
+        numPartitions="8",
+    )
+    return t.transform(cust).select(
+        "site_key",
+        "site_name",
+        F.col("c_custkey").alias("cust_key"),
+        "dist_m",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
