@@ -525,3 +525,71 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select(F.col("v").alias("node"), F.col("lbl").alias("community"))
+
+
+def hits_int(
+    pairs: DataFrame, a_col: str, b_col: str, iters: int = 2
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999) over the pair list read as a
+    DIRECTED graph (a_col → b_col): mutually-reinforcing hub and
+    authority scores, ``iters`` full update sweeps —
+    ``a_i(v) = Σ_{u→v} h_{i-1}(u)`` then ``h_i(u) = Σ_{u→v} a_i(v)``.
+    The classic algorithm L2-normalizes between sweeps; normalization
+    only rescales (both updates are linear), so the raw integer sums
+    preserve the ranking exactly while keeping every value int64 and
+    the oracle an unrolled CTE replay — no float norm on either engine.
+    Magnitude bound: scores grow like (max degree)^(2·iters); at
+    iters=2 a degree-10⁴ graph stays < 10¹⁶, inside int64.
+
+    Unlike PageRank (g1 — a single EIGENVECTOR of the walk matrix),
+    HITS separates the two ROLES a node plays in an asymmetric
+    relation: on a duplication graph directed by crawl order, a high
+    HUB is an origin whose content spreads into many strong sinks and
+    a high AUTHORITY is a sink assembled from many strong origins —
+    the mirror-farm / aggregator signature one score cannot expose.
+
+    Every src has ≥1 out-edge and every dst ≥1 in-edge BY CONSTRUCTION
+    of the edge list, so after the first sweep each side's aggregation
+    covers exactly the src / dst node sets and the final zero-fill is
+    only for nodes missing a side entirely (pure sources have auth 0,
+    pure sinks hub 0).
+
+    Scale shape: per half-sweep ONE node-id-keyed hash join + one
+    map-side-combinable sum — (int64, int64) shuffles only; the edge
+    list checkpoints once and with a fixed small ``iters`` the score
+    lineage stays lazy (g1's trade).
+
+    Output: (id, auth, hub) — one row per graph node.
+    """
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = nodes.select("id", F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(iters):
+        a = (
+            e.join(h.select(F.col("id").alias("__u"), "h"), F.col("src") == F.col("__u"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        h = (
+            e.join(a.select(F.col("id").alias("__v"), "a"), F.col("dst") == F.col("__v"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+    return (
+        nodes.join(a, "id", "left")
+        .join(h, "id", "left")
+        .select(
+            "id",
+            F.coalesce("a", F.lit(0)).cast("long").alias("auth"),
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub"),
+        )
+    )

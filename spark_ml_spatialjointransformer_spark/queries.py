@@ -13537,6 +13537,59 @@ def f7_transformer_input_broadcast(
     )
 
 
+def _g14_oracle() -> str:
+    sweep = """
+a{i} AS (SELECT e.dst AS id, CAST(sum(h{p}.h) AS BIGINT) AS a
+         FROM e JOIN h{p} ON h{p}.id = e.src GROUP BY e.dst),
+h{i} AS (SELECT e.src AS id, CAST(sum(a{i}.a) AS BIGINT) AS h
+         FROM e JOIN a{i} ON a{i}.id = e.dst GROUP BY e.src)"""
+    return (
+        f"""
+WITH pairs AS ({_v2_oracle()}),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs),
+n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT id, CAST(1 AS BIGINT) AS h FROM n),"""
+        + sweep.format(i=1, p=0)
+        + ","
+        + sweep.format(i=2, p=1)
+        + """
+SELECT n.id AS vec_id, CAST(coalesce(a2.a, 0) AS BIGINT) AS auth,
+       CAST(coalesce(h2.h, 0) AS BIGINT) AS hub
+FROM n LEFT JOIN a2 ON a2.id = n.id LEFT JOIN h2 ON h2.id = n.id
+"""
+    )
+
+
+@_register("g14_hits", _g14_oracle())
+def g14_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub/authority decomposition (HITS, Kleinberg 1999) of the v2
+    near-duplicate graph read as a DIRECTED relation — edges point
+    low vec_id → high vec_id, i.e. crawl order, so a HUB is an origin
+    whose content spreads into many well-copied later documents and an
+    AUTHORITY is a later document assembled from many productive
+    origins: the mirror-farm/aggregator signature that g1's single
+    PageRank score cannot separate (a node central in ONE role scores
+    the same as a node central in both).  Two full integer sweeps,
+    un-normalized (normalization only rescales a linear update, so
+    rankings are exact and both engines stay in int64 — no float norm
+    anywhere).  Scale shape: per half-sweep ONE node-keyed hash join +
+    one map-combined sum of (int64, int64) rows; the LSH pair lineage
+    checkpoints once (``operators/graph.py:hits_int``)."""
+    from spark_ml_spatialjointransformer_spark.operators.graph import hits_int
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    )
+    return hits_int(pairs, "id_a", "id_b", iters=2).select(
+        F.col("id").alias("vec_id"), "auth", "hub"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
