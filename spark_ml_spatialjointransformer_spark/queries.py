@@ -13590,6 +13590,103 @@ def g14_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d27 bitemporal quote synthesis from supplier: valid_from spread over
+#: Jan days 0-22, recording LAG of 0-5 days (the transaction-time axis),
+#: price = acctbal cents.  The knowledge lag below asks "what did the
+#: system believe TWO DAYS BEFORE the event" — the recorded_at filter.
+_D27_JAN1 = 1_704_067_200
+_D27_LAG_S = 172_800
+_D27_VF_SQL = f"{_D27_JAN1} + (s_suppkey * 37 % 23) * 86400"
+_D27_RA_SQL = f"({_D27_VF_SQL}) + (s_suppkey * 13 % 6) * 86400"
+
+_D27_ORACLE = f"""
+WITH q AS (SELECT s_suppkey, s_nationkey AS k,
+                  CAST(floor(s_acctbal * 100e0 + 0.5e0) AS BIGINT) AS price_c,
+                  CAST({_D27_VF_SQL} AS BIGINT) AS valid_from,
+                  CAST({_D27_RA_SQL} AS BIGINT) AS recorded_at
+           FROM supplier),
+ev AS (SELECT event_id, user_id % 25 AS k,
+              CAST(floor(epoch(ts)) AS BIGINT) AS t
+       FROM events),
+j AS (SELECT ev.event_id, ev.k, ev.t,
+             q.s_suppkey, q.price_c, q.valid_from, q.recorded_at
+      FROM ev JOIN q ON q.k = ev.k
+      WHERE q.valid_from <= ev.t
+        AND q.recorded_at <= ev.t - {_D27_LAG_S}),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY valid_from DESC,
+                                            recorded_at DESC,
+                                            s_suppkey) AS rn
+      FROM j)
+SELECT event_id, CAST(k AS BIGINT) AS quote_key, s_suppkey AS quote_supp,
+       price_c, CAST((t - valid_from) // 86400 AS BIGINT) AS valid_age_days
+FROM r WHERE rn = 1
+"""
+
+
+@_register("d27_bitemporal_asof", _D27_ORACLE)
+def d27_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of join — the two-axis temporal lookup d1/d26 (one
+    time axis) and d8 (SCD2 intervals, one axis) cannot express: for
+    every event, the quote that was IN EFFECT at event time (valid-time
+    axis: max ``valid_from <= t``) *as the system KNEW it two days
+    earlier* (transaction-time axis: ``recorded_at <= t - 172800``) —
+    the reproducibility query behind every audited feature store and
+    point-in-time-correct training set ("what did the model see THEN",
+    immune to late backfills).  A quote recorded with a long lag is
+    invisible near its valid_from even though a later snapshot shows it
+    was in effect — that divergence between the axes is what the test
+    pins.  Precedence: latest valid_from, then latest recorded_at (the
+    freshest belief about the same validity instant), supplier id as
+    the final deterministic tie.  Scale shape: the quote dimension
+    BROADCASTS (dims are small by definition; a big-quote variant
+    buckets both sides by key); the event side never widens — the
+    range predicates filter inside the broadcast hash join and the
+    per-event argmax is ONE map-side-combinable max(struct) aggregate,
+    not a window (no second sort, ties resolved by the struct's
+    lexicographic order on pure int64 fields)."""
+    q = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("k"),
+        F.expr("CAST(floor(s_acctbal * 100e0 + 0.5e0) AS BIGINT)").alias(
+            "price_c"
+        ),
+        F.expr(f"CAST({_D27_VF_SQL} AS BIGINT)").alias("valid_from"),
+        F.expr(f"CAST({_D27_RA_SQL} AS BIGINT)").alias("recorded_at"),
+    )
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        (F.col("user_id") % 25).alias("k"),
+        F.unix_timestamp("ts").alias("t"),
+    )
+    j = (
+        ev.join(F.broadcast(q), "k")
+        .where(
+            (F.col("valid_from") <= F.col("t"))
+            & (F.col("recorded_at") <= F.col("t") - _D27_LAG_S)
+        )
+    )
+    best = j.groupBy("event_id", "k", "t").agg(
+        F.max(
+            F.struct(
+                "valid_from",
+                "recorded_at",
+                (-F.col("s_suppkey")).alias("neg_sk"),
+                "price_c",
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_id",
+        F.col("k").cast("bigint").alias("quote_key"),
+        (-F.col("b.neg_sk")).cast("bigint").alias("quote_supp"),
+        F.col("b.price_c").alias("price_c"),
+        F.expr("(t - b.valid_from) div 86400").cast("bigint").alias(
+            "valid_age_days"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
