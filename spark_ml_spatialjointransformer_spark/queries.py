@@ -13687,6 +13687,164 @@ def d27_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: t57: the p10 template fingerprint (first 8 words) as the cross-SOURCE
+#: overlap unit — documents sharing it are the same template family.
+_T57_FP = "array_to_string((str_split(lower(text), ' '))[1:8], ' ')"
+
+_T57_ORACLE = f"""
+WITH f AS (SELECT DISTINCT source, {h60_sql(_T57_FP)} AS fp FROM documents),
+szs AS (SELECT source, count(*) AS n FROM f GROUP BY source),
+p AS (SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT p.source_a, p.source_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(p.n_shared * 1000000 // least(sa.n, sb.n) AS BIGINT)
+         AS containment_e6
+FROM p JOIN szs sa ON sa.source = p.source_a
+       JOIN szs sb ON sb.source = p.source_b
+"""
+
+
+@_register("t57_source_overlap", _T57_ORACLE)
+def t57_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap matrix — for every SOURCE pair, how
+    many template families (p10's first-8-words fingerprint) they
+    share, normalized by the smaller source's family count (containment
+    — the mirror-detection direction: a small source fully contained in
+    a big one scores 1e6 regardless of the big one's breadth).  This is
+    the corpus-governance view the per-DOC dedup line (t2…t55) never
+    produces: which SOURCES to drop/merge wholesale before paying for
+    row-level dedup, and the input to source-level contamination audits
+    (a source overlapping the benchmark source is quarantined at the
+    manifest level).  Scale shape: text drops to (source, fp-int60)
+    rows immediately; each fingerprint's source set aggregates in ONE
+    fp-keyed exchange and pairs expand JVM-side inside the row
+    (|sources| is small by definition — no fp self-join, no text
+    shuffle); the pair rollup and the |sources|-row size table are the
+    only other exchanges, and the size table broadcasts back."""
+    # the distinct (source, fp) set feeds BOTH the size table and the
+    # per-fp grouping: lazy-checkpoint it so the text scan + distinct
+    # exchange run once (t11/g13's shared-subtree idiom)
+    f = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            h60_col(
+                F.concat_ws(
+                    " ", F.slice(F.split(F.lower("text"), " "), 1, 8)
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    szs = f.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    grp = f.groupBy("fp").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pair_expr = (
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), "
+        "y -> struct(x AS a, y AS b))))"
+    )
+    pairs = (
+        grp.where(F.size("srcs") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = F.broadcast(szs.select(F.col("source").alias("source_a"), F.col("n").alias("na")))
+    sb = F.broadcast(szs.select(F.col("source").alias("source_b"), F.col("n").alias("nb")))
+    return (
+        pairs.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr("n_shared * 1000000 div least(na, nb)")
+            .cast("bigint")
+            .alias("containment_e6"),
+        )
+    )
+
+
+_T58_ORACLE = """
+WITH tok AS (SELECT source, unnest(str_split(lower(trim(text)), ' ')) AS w
+             FROM documents),
+c AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+ca AS (SELECT w, CAST(sum(c) AS BIGINT) AS c_all FROM c GROUP BY 1),
+na AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM ca),
+t AS (SELECT g.source, g.n,
+             abs(coalesce(c.c, 0) * 1000000 // g.n
+                 - g.c_all * 1000000 // g.n_all) AS term
+      FROM (SELECT ns.source, ns.n, ca.w, ca.c_all, na.n_all
+            FROM ns CROSS JOIN ca CROSS JOIN na) g
+      LEFT JOIN c ON c.source = g.source AND c.w = g.w)
+SELECT source, CAST(min(n) AS BIGINT) AS n_tokens,
+       CAST(sum(term) // 2 AS BIGINT) AS tv_e6
+FROM t GROUP BY source
+"""
+
+
+@_register("t58_source_tv_drift", _T58_ORACLE)
+def t58_source_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift: total-variation distance (½ Σ|p_src −
+    p_corpus|, e6-scaled integer) between each source's unigram
+    distribution and the whole corpus — the distribution-shift gate a
+    training-mix pipeline runs per ingest batch (a source whose token
+    distribution drifts from the mix is a format break, a language mix
+    error, or spam, BEFORE any model sees it; t46 audits labels, this
+    audits the text itself).  TV rather than KL: bounded [0, 1e6],
+    defined when a source misses tokens (KL needs smoothing and logs —
+    float on both engines), and integer-exact via per-term floor
+    division before the absolute difference.  The absent-token terms
+    are real (a source missing a corpus-common token drifts BY that
+    absence), so the (source × vocab) grid is constructed explicitly —
+    grid rows are (string, int) pairs, |sources|·|vocab| of them, never
+    text.  Scale shape: text drops to (source, token) counts in ONE
+    map-combinable exchange; the vocab and source-total tables that
+    build the grid are tiny by definition (a 100 TB corpus still has a
+    bounded working vocabulary; a hashed-bucket variant caps it hard —
+    t56's trick) and broadcast; the grid left-joins the counts on the
+    same (source, token) key and the final rollup re-uses the source
+    key."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    )
+    # the (source, token) count table feeds THREE consumers (source
+    # totals, vocab totals, and the grid's left join): lazy-checkpoint
+    # so the explode + count exchange runs once
+    c = (
+        tok.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    ns = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    ca = c.groupBy("w").agg(F.sum("c").cast("bigint").alias("c_all"))
+    na = ca.agg(F.sum("c_all").cast("bigint").alias("n_all"))
+    grid = (
+        ns.crossJoin(F.broadcast(ca)).crossJoin(F.broadcast(na))
+    )
+    t = grid.join(c, ["source", "w"], "left").select(
+        "source",
+        "n",
+        F.abs(
+            F.expr("coalesce(c, 0) * 1000000 div n")
+            - F.expr("c_all * 1000000 div n_all")
+        ).alias("term"),
+    )
+    return t.groupBy("source").agg(
+        F.min("n").cast("bigint").alias("n_tokens"),
+        F.expr("CAST(sum(term) div 2 AS BIGINT)").alias("tv_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
