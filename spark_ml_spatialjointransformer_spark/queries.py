@@ -13845,6 +13845,90 @@ def t58_source_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: j38 co-location radius: wide enough that every (segment, nation) cell
+#: with presence accumulates pairs at sf0.001 and up
+_J38_DIST_M = 2_000_000
+
+_J38_ORACLE = f"""
+WITH c AS (SELECT c_mktsegment, {CUST_LON_SQL} AS lon, {CUST_LAT_SQL} AS lat
+           FROM customer),
+s AS (SELECT s_nationkey, {SUPP_LON_SQL} AS lon, {SUPP_LAT_SQL} AS lat
+      FROM supplier),
+p AS (SELECT c.c_mktsegment AS seg, s.s_nationkey AS nat
+      FROM c CROSS JOIN s
+      WHERE CAST(round({_HAV}) AS INTEGER) <= {_J38_DIST_M}),
+cell AS (SELECT seg, nat, CAST(count(*) AS BIGINT) AS obs
+         FROM p GROUP BY 1, 2),
+r AS (SELECT seg, CAST(sum(obs) AS BIGINT) AS rm FROM cell GROUP BY 1),
+cm AS (SELECT nat, CAST(sum(obs) AS BIGINT) AS cmm FROM cell GROUP BY 1),
+tt AS (SELECT CAST(sum(obs) AS BIGINT) AS t FROM cell)
+SELECT cell.seg AS segment, CAST(cell.nat AS BIGINT) AS supp_nation,
+       cell.obs AS n_pairs,
+       CAST(cell.obs * tt.t * 1000000 // (r.rm * cm.cmm) AS BIGINT)
+         AS lift_e6
+FROM cell JOIN r ON r.seg = cell.seg
+          JOIN cm ON cm.nat = cell.nat
+          CROSS JOIN tt
+"""
+
+
+@_register("j38_colocation_lift", _J38_ORACLE)
+def j38_colocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial co-location pattern mining (Shekhar & Huang 2001, the
+    association-rule LIFT form): which (customer segment, supplier
+    nation) category pairs co-occur within 2000 km MORE than the
+    within-radius pair population predicts — obs·T·1e6 div (row
+    marginal · column marginal), > 1e6 meaning positive spatial
+    association.  j6/j35 count and densify raw proximity; this is the
+    CATEGORICAL second stage (which KINDS of things cluster together),
+    the signal behind geo-aware feature crosses and market-placement
+    analytics.  Integer-exact: the lift numerator/denominator are pure
+    int64 products (bound: obs·T·1e6 needs obs·T < 9.2e12 — at larger
+    scales emit the three counts and divide downstream, or e3-scale).
+    Scale shape: the pair stage IS j6's two-phase grid join (equi-key
+    cells → broadcast hash join, exact Int-meter re-filter post-pair,
+    no cross join anywhere); pairs collapse to (segment, nation) cells
+    in ONE map-combinable exchange off the join, the cell table is
+    |segments|·|nations| rows forever, and the marginals compute from
+    the CELLS (never re-scanning pairs) then broadcast back."""
+    cust = customers_geo(spark, sf_dir).select(
+        F.col("c_mktsegment").alias("seg"), "lon", "lat"
+    )
+    supp = suppliers_geo(spark, sf_dir).select("s_nationkey", "lon", "lat")
+    plan = SpatialJoinPlan(
+        predicate=f"withindist {_J38_DIST_M}",
+        external_side=_POINT,
+        input_side=_POINT,
+        data_columns=(("s_nationkey", "nat"),),
+        broadcast_input=False,
+        distance_kernel="haversine",
+    )
+    pairs = spatial_join(cust, supp, plan).select("seg", "nat")
+    # cells feed the output row AND both marginals AND the total:
+    # checkpoint so the grid join + cell rollup run once
+    cell = (
+        pairs.groupBy("seg", "nat")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+        .localCheckpoint(eager=False)
+    )
+    r = cell.groupBy("seg").agg(F.sum("obs").cast("bigint").alias("rm"))
+    cm = cell.groupBy("nat").agg(F.sum("obs").cast("bigint").alias("cmm"))
+    tt = cell.agg(F.sum("obs").cast("bigint").alias("t"))
+    return (
+        cell.join(F.broadcast(r), "seg")
+        .join(F.broadcast(cm), "nat")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("nat").cast("bigint").alias("supp_nation"),
+            F.col("obs").alias("n_pairs"),
+            F.expr("obs * t * 1000000 div (rm * cmm)")
+            .cast("bigint")
+            .alias("lift_e6"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
