@@ -13929,6 +13929,71 @@ def j38_colocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: v22 outlier gate: a vector whose 5th-nearest neighbor is below this
+#: cosine (e6) sits in an empty region of embedding space (sf0.01
+#: distribution: min 242k, p5 260k, median 291k)
+_V22_K = 5
+_V22_THR_E6 = 260_000
+
+_V22_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM e),
+q AS (SELECT vec_id, i, CAST(floor(v * 100000.0 + 0.5) AS BIGINT) AS qv FROM u),
+qn AS (SELECT vec_id, sum(qv * qv) AS qn2 FROM q GROUP BY vec_id
+       HAVING sum(qv * qv) > 0),
+d AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.qv * b.qv) AS dot
+      FROM q a JOIN q b ON a.i = b.i AND a.vec_id != b.vec_id
+      WHERE a.vec_id IN (SELECT vec_id FROM qn)
+        AND b.vec_id IN (SELECT vec_id FROM qn)
+      GROUP BY a.vec_id, b.vec_id),
+c AS (SELECT d.ia, d.ib,
+             d.dot / (sqrt(CAST(na.qn2 AS DOUBLE)) * sqrt(CAST(nb.qn2 AS DOUBLE)))
+               AS sim
+      FROM d JOIN qn na ON na.vec_id = d.ia JOIN qn nb ON nb.vec_id = d.ib),
+r AS (SELECT *, row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rn
+      FROM c)
+SELECT ia AS vec_id,
+       CAST(floor(sim * 1000000e0 + 0.5e0) AS BIGINT) AS kth_sim_e6,
+       floor(sim * 1000000e0 + 0.5e0) < {_V22_THR_E6} AS is_outlier
+FROM r WHERE rn = {_V22_K}
+"""
+
+
+@_register("v22_knn_outliers", _V22_ORACLE)
+def v22_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring by k-NN distance (Ramaswamy et
+    al. 2000, the curation form): every vector's similarity to its 5th
+    nearest neighbor — a LOW kth-neighbor similarity means the vector
+    sits in an empty region (mis-embedded junk, OCR garbage, wrong-
+    modality rows), the standard embedding-QA gate before centroid/
+    cluster work trusts the space.  v19 removes points for having
+    near-identical neighbors; this flags the OPPOSITE tail (no close
+    neighbors at all), and unlike v9's centroid distances it is
+    model-free — no cluster assumption, just local density.  Score =
+    min cos_e6 over the exact top-5 (the 5th-best, since rounding is
+    monotone and the top-5 set matches the oracle's (sim DESC, id)
+    rank — v6's tie contract).  Scale shape: one scan-shaped Arrow
+    pass against the broadcast quantized corpus (v6's kernel, guarded
+    collect with the IVF/LSH tiers as the named big-corpus path) + ONE
+    map-combinable min-aggregate keyed by vec_id; nothing else
+    shuffles."""
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        knn_join_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_join_exact(emb, "vec_id", "embedding", k=_V22_K)
+    return (
+        knn.groupBy("vec_id")
+        .agg(F.min("cos_e6").cast("bigint").alias("kth_sim_e6"))
+        .select(
+            "vec_id",
+            "kth_sim_e6",
+            (F.col("kth_sim_e6") < _V22_THR_E6).alias("is_outlier"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
