@@ -13994,6 +13994,50 @@ def v22_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E24_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT e.user_id, e.ts, e.event_id,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts)
+SELECT p.user_id, p.event_id AS purchase_event,
+       CAST((epoch_us(p.ts) - epoch_us(v.v_ts)) // 60000000 AS BIGINT)
+         AS delay_min
+FROM p JOIN v ON v.user_id = p.user_id
+WHERE p.rn = 1
+"""
+
+
+@_register("e24_stream_funnel", _E24_ORACLE)
+def e24_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered funnel: one append-mode row per user at the
+    FIRST 'purchase' at-or-after their first 'view' — d5's conversion
+    query moved to the trigger it becomes true (the real-time
+    attribution/alerting half; append mode can never emit the
+    non-converted, which stays d5's batch job).  The oracle is the
+    batch replay over the same file: first view per user, first
+    at-or-after purchase by (ts, event_id), whole-minute integer
+    delay.  Scale shape: state is TWO int64s per user (first-view ts
+    + emitted latch), O(users) forever — no window, no eviction; the
+    kernel folds each trigger's rows in one vectorized pandas pass
+    (``streaming/windowed.py:funnel_conversion_stream``)."""
+    import hashlib
+
+    from spark_ml_spatialjointransformer_spark.streaming.windowed import (
+        funnel_conversion_stream,
+        run_to_memory,
+    )
+
+    name = "q_e24_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return run_to_memory(
+        funnel_conversion_stream(spark, f"{sf_dir}/events.parquet"),
+        name,
+        output_mode="append",
+    ).select("user_id", "purchase_event", "delay_min")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #

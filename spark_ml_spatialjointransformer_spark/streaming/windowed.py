@@ -1306,3 +1306,92 @@ def zscore_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: e24 funnel: emitted once per user at the FIRST purchase at-or-after
+#: the user's first view
+_FUNNEL_OUT_SCHEMA = (
+    "user_id LONG, purchase_event LONG, delay_min LONG"
+)
+#: per-USER state: earliest view ts (μs, -1 = none yet) and the
+#: emitted-once latch — two int64s, O(users) forever
+_FUNNEL_STATE_SCHEMA = "v_us LONG, done LONG"
+
+
+def _funnel_convert(
+    key: Tuple[int],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful kernel: ordered two-step funnel (view → purchase) judged
+    per user as events arrive — the trigger a purchase lands AT OR
+    AFTER the user's first view, emit ONE conversion row with the
+    whole-minute delay and latch.  The view floor folds first (min
+    over carried + this trigger's views), THEN purchases are screened
+    against it with ``ts >= v_us`` regardless of their position in the
+    trigger — so a purchase and its qualifying view landing in the
+    same trigger convert exactly like the batch formulation
+    (d5's ``e.ts >= v.v_ts``), including the equal-timestamp tie.
+    Delay is integer microsecond arithmetic truncated to minutes
+    (non-negative by the screen, so div/floor agree — d5's rule).
+    Cross-trigger equal-ts ties share e20/e22/e23's ordered-replay
+    caveat: a purchase replayed in an EARLIER trigger than its
+    equal-ts view is judged before the view exists."""
+    import numpy as np
+
+    v_us, done = state.get if state.exists else (-1, 0)
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["t_us", "event_id"])
+            .reset_index(drop=True)
+        )
+        is_v = (pdf["event_type"] == "view").to_numpy()
+        if is_v.any():
+            bv = int(pdf.loc[is_v, "t_us"].min())
+            v_us = bv if v_us < 0 else min(v_us, bv)
+        if not done and v_us >= 0:
+            t = pdf["t_us"].to_numpy(dtype="int64")
+            hit = (pdf["event_type"] == "purchase").to_numpy() & (t >= v_us)
+            if hit.any():
+                # first hit in (t_us, event_id) order — pdf is sorted
+                i = int(np.flatnonzero(hit)[0])
+                done = 1
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(key[0])],
+                        "purchase_event": [int(pdf["event_id"].iloc[i])],
+                        "delay_min": [int((int(t[i]) - v_us) // 60_000_000)],
+                    }
+                )
+    state.update((int(v_us), int(done)))
+
+
+def funnel_conversion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered-funnel detector: for every user, emit ONE row
+    the moment their first 'purchase' at-or-after their first 'view'
+    arrives — the real-time conversion/attribution operator whose
+    batch twin is d5 (which also reports the non-converted; append
+    mode can only ever emit the conversions, the streamable half).
+    e12/e20 sessionize and e23 judges values; this is ORDER pattern
+    matching across event types, which no built-in streaming
+    aggregate expresses.
+
+    State shards by user and is exactly two int64s (first-view ts +
+    emitted latch) — O(users) forever, no window, no eviction
+    pressure; only (type, id, μs) columns enter the group shuffle."""
+    ensure_udf_portability()
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_convert,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
