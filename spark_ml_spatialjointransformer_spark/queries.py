@@ -14038,6 +14038,187 @@ def e24_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "purchase_event", "delay_min")
 
 
+#: d28 Holt smoothing: α = β = 1/2 as floor(x/2.0) — the double division
+#: is EXACT here (|x| < 2^53 by the value bound) and floor() agrees with
+#: DuckDB's on negatives, where Spark's integer `div` (truncating) would
+#: not; trend can be negative, level cannot.
+_D28_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT) AS v_e4,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+h AS (
+  SELECT user_id, event_id, rn, v_e4,
+         v_e4 AS l, CAST(0 AS BIGINT) AS b
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_id, e.rn, e.v_e4,
+         CAST(floor((e.v_e4 + h.l + h.b) / 2.0) AS BIGINT) AS l,
+         CAST(floor((h.b
+                     + CAST(floor((e.v_e4 + h.l + h.b) / 2.0) AS BIGINT)
+                     - h.l) / 2.0) AS BIGINT) AS b
+  FROM e JOIN h ON e.user_id = h.user_id AND e.rn = h.rn + 1)
+SELECT user_id, event_id, CAST(l AS BIGINT) AS level_e4,
+       CAST(b AS BIGINT) AS trend_e4,
+       CAST(l + b AS BIGINT) AS forecast_e4
+FROM h
+"""
+
+
+def _d28_holt(pdf):
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    v = pdf["v_e4"].to_list()
+    ls, bs = [], []
+    l = b = 0
+    for i, x in enumerate(v):
+        if i == 0:
+            l, b = x, 0
+        else:
+            nl = (x + l + b) // 2  # python // floors — matches floor()
+            b = (b + (nl - l)) // 2
+            l = nl
+        ls.append(l)
+        bs.append(b)
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "level_e4": ls,
+            "trend_e4": bs,
+            "forecast_e4": [x + y for x, y in zip(ls, bs)],
+        }
+    )
+
+
+@_register("d28_holt_trend", _D28_ORACLE)
+def d28_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend), exact: per
+    user-stream, ``l_t = ⌊(v_t + l_{t-1} + b_{t-1})/2⌋`` and ``b_t =
+    ⌊(b_{t-1} + Δl)/2⌋`` with the one-step forecast ``l + b`` — the
+    trend-aware counterpart of d16's EWMA, which is a FIR truncation
+    (8 lag taps) precisely because an infinite-memory recurrence has
+    no window form.  This query keeps the TRUE infinite-memory
+    recurrence: Spark runs it sequentially inside each group
+    (grouped ``applyInPandas`` — the group is the unit of order, so
+    the kernel is exact, not windowed), and the oracle replays it as
+    a recursive CTE row-chain.  α = β = ½ via ``floor(x/2)`` on BOTH
+    engines: the trend axis goes negative on declining streams, where
+    Spark's integer ``div`` (truncate-toward-zero) would diverge from
+    DuckDB's flooring ``//`` — the floor(double) form is exact below
+    2^53 and floors identically on both (the d4/d22 sign rule, solved
+    the opposite way).  Scale shape: ONE user-keyed exchange; each
+    group's pass is O(rows) in Arrow batches; state never crosses
+    groups, so the operator shards perfectly by key (the streaming
+    twin would carry (l, b) per user — e23's state class)."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)").alias(
+            "v_e4"
+        ),
+    )
+    out_schema = (
+        "user_id long, event_id long, level_e4 long, trend_e4 long,"
+        " forecast_e4 long"
+    )
+    return ev.groupBy("user_id").applyInPandas(_d28_holt, out_schema)
+
+
+#: p16 annotator proxies: the two INDEPENDENT quality rules whose
+#: agreement is audited (t3/p10's signals, binarized)
+_P16_A_SQL = "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) >= 40"
+_P16_B_SQL = (
+    "((length(text) - length(replace(text, ' the ', ''))) / 5) * 200"
+    " >= (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
+)
+
+_P16_ORACLE = f"""
+WITH lab AS (SELECT source,
+                    CASE WHEN {_P16_A_SQL} THEN 1 ELSE 0 END AS a,
+                    CASE WHEN {_P16_B_SQL} THEN 1 ELSE 0 END AS b
+             FROM documents),
+c AS (SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a * b) AS BIGINT) AS n11,
+             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM lab GROUP BY source),
+k AS (SELECT source, n, n11 + n00 AS agree,
+             n * (n11 + n00)
+               - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+               AS num,
+             n * n
+               - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+               AS den
+      FROM c)
+SELECT source, n AS n_docs,
+       CAST(agree * 1000000 // n AS BIGINT) AS agree_e6,
+       CAST((num + den) * 1000000 // den - 1000000 AS BIGINT) AS kappa_e6
+FROM k WHERE den > 0
+"""
+
+
+@_register("p16_label_agreement", _P16_ORACLE)
+def p16_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: Cohen's kappa between two independent quality
+    raters (the length rule and the stopword rule — t3's signals
+    binarized) per source — raw agreement flatters imbalanced labels
+    (two raters calling everything "keep" agree 100% by accident), so
+    the mix governance gate reads the chance-corrected kappa before
+    trusting any single rule as a filter (low kappa on a source means
+    the rules measure different things THERE — route it to review, or
+    ensemble).  Integer-exact and NEGATIVE-SAFE: kappa =
+    (num+den)·1e6 div den − 1e6, which keeps the dividend
+    non-negative (num ≥ −den by kappa ≥ −1), the domain where Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree — the d4
+    sign rule applied to a quotient that genuinely crosses zero.
+    Constant-rater sources (den = 0, kappa undefined) are excluded by
+    contract.  Overflow bound: n²·1e6 < 2^63 ⇒ n < 3e6 docs per
+    source; past that, compute kappa from the four counts downstream.
+    Scale shape: ONE map-combinable source-keyed exchange of four int
+    counts; every label is a scan-side codegen expression — no text
+    ever shuffles, the cell table is |sources| rows forever."""
+    lab = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(f"CASE WHEN {_P16_A_SQL} THEN 1 ELSE 0 END").alias("a"),
+        F.expr(f"CASE WHEN {_P16_B_SQL} THEN 1 ELSE 0 END").alias("b"),
+    )
+    c = lab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("a * b")).cast("bigint").alias("n11"),
+        F.sum(F.expr("a * (1 - b)")).cast("bigint").alias("n10"),
+        F.sum(F.expr("(1 - a) * b")).cast("bigint").alias("n01"),
+        F.sum(F.expr("(1 - a) * (1 - b)")).cast("bigint").alias("n00"),
+    )
+    k = c.select(
+        "source",
+        "n",
+        F.expr("n11 + n00").alias("agree"),
+        F.expr(
+            "n * (n11 + n00)"
+            " - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+        ).alias("num"),
+        F.expr(
+            "n * n"
+            " - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+        ).alias("den"),
+    )
+    return k.where(F.col("den") > 0).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr("agree * 1000000 div n").cast("bigint").alias("agree_e6"),
+        F.expr("(num + den) * 1000000 div den - 1000000")
+        .cast("bigint")
+        .alias("kappa_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #

@@ -292,3 +292,86 @@ class TestStreamFunnel:
         assert [(r.user_id, r.purchase_event, r.delay_min) for r in out] == [
             (7, 100, 0)
         ]
+
+
+class TestHoltTrend:
+    def test_declining_series_negative_trend_floors(self, spark):
+        """A strictly declining stream drives the trend negative — the
+        axis where floor(x/2) (both engines) and integer `div`
+        (Spark-only truncation) diverge; pin the hand-rolled
+        recurrence including the negative floors."""
+        import datetime as dtm
+
+        base = dtm.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dtm.timedelta(minutes=i), 1, float(v), "{}")
+            for i, v in enumerate([100.0, 80.0, 60.0, 40.0])
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, value double,"
+            " props string",
+        ).createOrReplaceTempView("__d28_events")
+        from spark_ml_spatialjointransformer_spark.queries import _d28_holt
+
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1] * 4,
+                "event_id": [0, 1, 2, 3],
+                "ts": [base + dtm.timedelta(minutes=i) for i in range(4)],
+                "v_e4": [1000000, 800000, 600000, 400000],
+            }
+        )
+        out = _d28_holt(pdf)
+        # hand-unrolled: l1=1000000,b1=0; l2=(800000+1000000)//2=900000,
+        # b2=(0+(900000-1000000))//2=-50000; l3=(600000+900000-50000)//2
+        # =725000, b3=(-50000+(725000-900000))//2=-112500;
+        # l4=(400000+725000-112500)//2=506250,
+        # b4=(-112500+(506250-725000))//2=floor(-331250/2)=-165625
+        assert out["level_e4"].to_list() == [1000000, 900000, 725000, 506250]
+        assert out["trend_e4"].to_list() == [0, -50000, -112500, -165625]
+
+
+class TestLabelAgreement:
+    def test_kappa_negative_safe_and_exact(self, spark):
+        """Construct a source whose raters systematically DISAGREE
+        (kappa < 0) and one in perfect agreement (kappa = 1e6); the
+        shifted integer formula must survive both."""
+        rows = []
+        # source 'anti': A says yes iff B says no (n10 = n01 = 5)
+        for i in range(5):
+            rows.append(("anti", 1, 0))
+            rows.append(("anti", 0, 1))
+        # source 'same': perfect agreement, balanced
+        for i in range(5):
+            rows.append(("same", 1, 1))
+            rows.append(("same", 0, 0))
+        df = spark.createDataFrame(rows, "source string, a int, b int")
+        from pyspark.sql import functions as FF
+
+        c = df.groupBy("source").agg(
+            FF.count(FF.lit(1)).cast("bigint").alias("n"),
+            FF.sum(FF.expr("a * b")).cast("bigint").alias("n11"),
+            FF.sum(FF.expr("a * (1 - b)")).cast("bigint").alias("n10"),
+            FF.sum(FF.expr("(1 - a) * b")).cast("bigint").alias("n01"),
+            FF.sum(FF.expr("(1 - a) * (1 - b)")).cast("bigint").alias("n00"),
+        )
+        k = c.select(
+            "source",
+            FF.expr(
+                "n * (n11 + n00)"
+                " - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+            ).alias("num"),
+            FF.expr(
+                "n * n"
+                " - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+            ).alias("den"),
+        ).select(
+            "source",
+            FF.expr("(num + den) * 1000000 div den - 1000000").alias("kappa"),
+        )
+        got = {r.source: r.kappa for r in k.collect()}
+        assert got["same"] == 1_000_000
+        assert got["anti"] == -1_000_000
