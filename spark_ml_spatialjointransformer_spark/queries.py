@@ -14219,6 +14219,88 @@ def p16_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T59_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t,
+         generate_subscripts(str_split(lower(text), ' '), 1) AS i
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(round(inter * 1000000.0 / (sa.sz + sb.sz - inter)) AS BIGINT)
+        >= 600000
+),
+keep AS (SELECT id_b AS doc_id, min(id_a) AS keeper FROM pairs GROUP BY id_b)
+SELECT dl.source AS from_source, dk.source AS to_source,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM keep k
+JOIN documents dl ON dl.doc_id = k.doc_id
+JOIN documents dk ON dk.doc_id = k.keeper
+GROUP BY 1, 2
+"""
+
+
+@_register("t59_dup_flow", _T59_ORACLE)
+def t59_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate ABSORPTION flow between sources: for every doc
+    t9's keeper election discards, one (losing source → keeper's
+    source) edge, rolled up to the source×source flow matrix — the
+    directional governance view t57's symmetric template overlap
+    cannot give: t57 says two sources SHARE content, this says WHOSE
+    copy survives dedup (a source whose docs systematically flow OUT
+    is a scraper/mirror; heavy self-flow is internal churn; the
+    asymmetry tells an acquisitions team which feed is the original).
+    Keeper rule and pair generation are t9's verbatim (MinHash-LSH
+    candidates, exact trigram-Jaccard ≥ 0.6 verify, min-id one-hop
+    keeper), so this is the same machinery read at source granularity.
+    Scale shape: everything text-sized happens inside t9's pipeline
+    (band keys shuffle, never shingles); the flow stage joins the
+    (dup, keeper) int-pair table to the (doc_id, source) projection
+    twice — doc_id-keyed hash joins of narrow rows — and the matrix
+    rollup is |sources|² rows forever."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        dedup_assign_keeper,
+        neardup_pairs_lsh_verified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup_pairs_lsh_verified(docs, "doc_id", "text", threshold=0.6)
+    keep = (
+        dedup_assign_keeper(
+            pairs.select("id_a", "id_b"), docs.select("doc_id"), "doc_id"
+        )
+        .where(F.col("is_dup"))
+        .select("doc_id", "keeper")
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        keep.join(src.withColumnsRenamed({"source": "from_source"}), "doc_id")
+        .join(
+            src.withColumnsRenamed(
+                {"doc_id": "keeper", "source": "to_source"}
+            ),
+            "keeper",
+        )
+        .groupBy("from_source", "to_source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
