@@ -122,6 +122,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("   k-anonymity: records needing suppression before export:",
           anon.where(F.col("suppressed") == 1).count())
 
+    # -- 10. source-level governance: overlap, drift, dup flow ----------
+    print("10. cross-source template containment (top pairs):")
+    QUERIES["t57_source_overlap"].fn(spark, sf_dir).orderBy(
+        F.desc("containment_e6")
+    ).show(3)
+    print("    vocabulary drift per source (highest TV):")
+    QUERIES["t58_source_tv_drift"].fn(spark, sf_dir).orderBy(
+        F.desc("tv_e6")
+    ).show(3)
+    print("    dedup absorption flow (who keeps whose content):")
+    QUERIES["t59_dup_flow"].fn(spark, sf_dir).orderBy(
+        F.desc("n_docs")
+    ).show(3)
+
     spark.stop()
 
 
