@@ -14301,6 +14301,85 @@ def t59_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d29: Allen's interval relations between same-cohort visit windows
+#: (f6's synthesis), collapsed to the 7 relation CLASSES (the 13-relation
+#: algebra folds symmetric inverses onto the a.key < b.key orientation).
+#: Windows have duration >= 2 days and distinct suppkeys, but starts/ends
+#: CAN coincide — all 7 classes are reachable.
+_D29_REL_SQL = """
+CASE WHEN a_e < b_s THEN 'before'
+     WHEN a_e = b_s THEN 'meets'
+     WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+     WHEN a_s = b_s THEN 'starts'
+     WHEN a_e = b_e THEN 'finishes'
+     WHEN a_s < b_s AND a_e > b_e THEN 'contains'
+     WHEN a_s > b_s AND a_e < b_e THEN 'during'
+     WHEN a_s < b_s AND a_e > b_s THEN 'overlaps'
+     ELSE 'overlapped_by' END
+"""
+
+_D29_ORACLE = f"""
+WITH v AS (SELECT s_suppkey, s_nationkey % 5 AS grp,
+                  CAST({_F6_START_SQL} AS BIGINT) AS s,
+                  CAST({_F6_END_SQL} AS BIGINT) AS e
+           FROM supplier),
+p AS (SELECT a.grp,
+             a.s AS a_s, a.e AS a_e, b.s AS b_s, b.e AS b_e
+      FROM v a JOIN v b ON a.grp = b.grp AND a.s_suppkey < b.s_suppkey),
+r AS (SELECT grp, {_D29_REL_SQL} AS rel FROM p)
+SELECT CAST(grp AS BIGINT) AS cohort, rel,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM r GROUP BY 1, 2
+"""
+
+
+@_register("d29_interval_relations", _D29_ORACLE)
+def d29_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra (Allen 1983) over each nation's visit
+    windows: classify every same-nation window pair into the seven
+    relation classes (before/meets/overlaps/starts/during/finishes/
+    equals, inverses folded onto the key orientation) and count per
+    (cohort, relation) — the temporal-RELATIONSHIP census d17/d18
+    only aggregate through (d17 counts concurrency, d18 measures
+    overlap length; neither says WHICH relation holds, which is what
+    schedule-conflict detection, staffing-handoff analysis, and
+    temporal-pattern features consume).  Boundary classes (meets,
+    starts, finishes, equals) are exact integer-second comparisons —
+    reachable by construction since the synthesized starts/ends land
+    on shared day boundaries.  Grouping is the 5-way region cohort
+    (``s_nationkey % 5``) so every scale factor down to sf0.001 has
+    same-group pairs.  Scale shape: the pair stage joins WITHIN the
+    partition key only (interval pair analysis is always run per
+    entity group; the group bounds the quadratic — production uses
+    the natural entity key), ONE key-equi shuffle join of
+    (int, int, int) rows, then a map-combinable (cohort, relation)
+    rollup of at most 7·|cohorts| output rows."""
+    v = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_nationkey") % 5).alias("grp"),
+        F.expr(f"CAST({_F6_START_SQL} AS BIGINT)").alias("s"),
+        F.expr(f"CAST({_F6_END_SQL} AS BIGINT)").alias("e"),
+    )
+    a = v.select(
+        "grp",
+        F.col("s_suppkey").alias("ka"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = v.select(
+        "grp",
+        F.col("s_suppkey").alias("kb"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    p = a.join(b, "grp").where(F.col("ka") < F.col("kb"))
+    return (
+        p.select("grp", F.expr(_D29_REL_SQL).alias("rel"))
+        .groupBy(F.col("grp").cast("bigint").alias("cohort"), "rel")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
