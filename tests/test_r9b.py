@@ -375,3 +375,32 @@ class TestLabelAgreement:
         got = {r.source: r.kappa for r in k.collect()}
         assert got["same"] == 1_000_000
         assert got["anti"] == -1_000_000
+
+
+class TestIntervalRelations:
+    def test_all_seven_classes_on_constructed_windows(self, spark):
+        """Hand-built window set hitting every relation class including
+        the boundary ones (meets/starts/finishes/equals) the sf data
+        may not produce."""
+        from spark_ml_spatialjointransformer_spark.queries import (
+            _D29_REL_SQL,
+        )
+
+        rows = [
+            # (a_s, a_e, b_s, b_e, want)
+            (0, 10, 20, 30, "before"),
+            (0, 10, 10, 30, "meets"),
+            (0, 10, 0, 10, "equals"),
+            (0, 10, 0, 30, "starts"),
+            (5, 30, 20, 30, "finishes"),
+            (0, 30, 10, 20, "contains"),
+            (10, 20, 0, 30, "during"),
+            (0, 15, 10, 30, "overlaps"),
+            (10, 30, 0, 15, "overlapped_by"),
+        ]
+        df = spark.createDataFrame(
+            [(a, b, c, d) for a, b, c, d, _ in rows],
+            "a_s long, a_e long, b_s long, b_e long",
+        )
+        got = [r.rel for r in df.select(F.expr(_D29_REL_SQL).alias("rel")).collect()]
+        assert got == [w for *_, w in rows]
