@@ -13845,9 +13845,12 @@ def t58_source_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: j38 co-location radius: wide enough that every (segment, nation) cell
-#: with presence accumulates pairs at sf0.001 and up
-_J38_DIST_M = 2_000_000
+#: j38 co-location radius: wide enough to accumulate pairs at sf0.001
+#: and up, tight enough that the 3x3 neighbor-cell candidate set stays a
+#: small fraction of the cross product (2000 km benched 13-28 s at sf0.1
+#: because ~world-width cells made the grid prefilter vacuous; 500 km is
+#: j6's class, ~1 s)
+_J38_DIST_M = 500_000
 
 _J38_ORACLE = f"""
 WITH c AS (SELECT c_mktsegment, {CUST_LON_SQL} AS lon, {CUST_LAT_SQL} AS lat
@@ -13876,7 +13879,7 @@ FROM cell JOIN r ON r.seg = cell.seg
 def j38_colocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial co-location pattern mining (Shekhar & Huang 2001, the
     association-rule LIFT form): which (customer segment, supplier
-    nation) category pairs co-occur within 2000 km MORE than the
+    nation) category pairs co-occur within 500 km MORE than the
     within-radius pair population predicts — obs·T·1e6 div (row
     marginal · column marginal), > 1e6 meaning positive spatial
     association.  j6/j35 count and densify raw proximity; this is the
