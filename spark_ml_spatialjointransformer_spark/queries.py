@@ -14383,6 +14383,130 @@ def d29_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d30 lags tested in both directions (a leads b / b leads a)
+_D30_LAGS = "[-2, -1, 0, 1, 2]"
+
+_D30_ORACLE = f"""
+WITH e AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS d
+           FROM events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00'),
+cnt AS (SELECT t, d, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+ty AS (SELECT DISTINCT t FROM cnt),
+g AS (SELECT ty.t, days.day, coalesce(cnt.c, 0) AS c
+      FROM ty CROSS JOIN days
+      LEFT JOIN cnt ON cnt.t = ty.t AND cnt.d = days.day),
+lg AS (SELECT unnest({_D30_LAGS}) AS lag),
+p AS (SELECT a.t AS type_a, b2.t AS type_b, lg.lag,
+             a.c AS x, b2.c AS y
+      FROM g a
+      CROSS JOIN lg
+      JOIN g b2 ON b2.t > a.t AND b2.day = a.day + lg.lag),
+m AS (SELECT type_a, type_b, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY 1, 2, 3)
+SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n AS n_days,
+       CAST(floor((n * sxy - sx * sy) * 1000000e0
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) + 0.5e0)
+            AS BIGINT) AS corr_e6
+FROM m
+WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+"""
+
+
+@_register("d30_leadlag_xcorr", _D30_ORACLE)
+def d30_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event-type daily series:
+    Pearson r at lags −2…+2 days for every type pair over the
+    zero-filled global daily grid — the cross-SERIES dependence
+    detector (does 'view' volume lead 'purchase' volume by a day?)
+    that d21's per-series trend and d19's per-series seasonality
+    cannot express; the lag argmax is the classic demand-forecasting /
+    incident-correlation feature.  Zero-filling on the global span is
+    part of the contract: absent days are real zeros, and correlating
+    only co-present days would bias r toward busy periods.  All six
+    moments are map-combinable int64 sums; the division happens once
+    per (pair, lag) on the cross-multiplied integers with the sqrt as
+    a fixed IEEE double sequence both engines replay bit-identically
+    (v6's rule), rounded half-up to e6.  Zero-variance series are
+    excluded on the INTEGER radicands (exact, no epsilon).  Scale
+    shape: events collapse to (type, day) counts in ONE map-combined
+    exchange; the grid is |types|·|span-days| rows — bounded by
+    calendar time, not data volume — so the lag join and moment
+    rollup run on broadcast-sized frames forever (a 10-year span at
+    1000 types is 3.7M rows; shard the pair space only past that)."""
+    ev = (
+        load_events(spark, sf_dir)
+        .where(F.expr("ts >= TIMESTAMP '1970-01-01 00:00:00'"))
+        .select(
+            F.col("event_type").alias("t"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+                "d"
+            ),
+        )
+    )
+    cnt = ev.groupBy("t", "d").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # the counts feed the grid twice (both join sides) plus the
+    # type/day bounds: lazy-checkpoint the small frame once
+    cnt = cnt.localCheckpoint(eager=False)
+    bounds = cnt.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    ty = cnt.select("t").distinct()
+    cnt2 = cnt.select(
+        F.col("t").alias("__ct"), F.col("d").alias("__cd"), "c"
+    )
+    g = (
+        ty.crossJoin(F.broadcast(days))
+        .join(
+            cnt2,
+            (F.col("t") == F.col("__ct")) & (F.col("day") == F.col("__cd")),
+            "left",
+        )
+        .select("t", "day", F.coalesce("c", F.lit(0)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lg = spark.range(1).select(
+        F.explode(F.expr(f"array{tuple(eval(_D30_LAGS))}")).alias("lag")
+    )
+    a = g.select(F.col("t").alias("type_a"), F.col("day").alias("da"), F.col("c").alias("x"))
+    b = g.select(F.col("t").alias("type_b"), F.col("day").alias("db"), F.col("c").alias("y"))
+    p = (
+        a.crossJoin(F.broadcast(lg))
+        .join(
+            F.broadcast(b),
+            (F.col("type_b") > F.col("type_a"))
+            & (F.col("db") == F.col("da") + F.col("lag")),
+        )
+    )
+    m = p.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    )
+    return m.where(
+        (F.expr("n * sxx - sx * sx") > 0) & (F.expr("n * syy - sy * sy") > 0)
+    ).select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST(floor((n * sxy - sx * sy) * 1000000e0"
+            " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) + 0.5e0)"
+            " AS BIGINT)"
+        ).alias("corr_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
