@@ -175,6 +175,13 @@ def main() -> None:
         # huge heap until mixed cycles land mid-query; at 24-32g the same
         # queries are stable.  Measured r6: j18 96g=13-43s, 24g=5.4s warm.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # NOT set: -XX:ReservedCodeCacheSize.  A mid-run step in the
+        # ratio-vs-execution-order profile (queries past ~position 50
+        # reading a flat ~1.3-1.4x of baseline) suggested code-cache
+        # exhaustion; a full run with a 1 GB cache REJECTED it — the
+        # inflation moved (a 3x window at positions 125-174 with reps
+        # recovering monotonically 76->20 s), i.e. an external
+        # interference transient, not a JVM limit (r9 continuation log).
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
