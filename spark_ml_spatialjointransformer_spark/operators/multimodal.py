@@ -952,3 +952,131 @@ def image_channel_stats(
             )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# real container layer: POSIX ustar archives — stdlib-encoder +
+# hand-rolled 512-byte-block walking decoder.  Crawl dumps and document
+# warehouses arrive as member-bearing containers (WARC/tar/zip); the
+# scale-relevant operator is MEMBER EXPLOSION: one archive row in, one
+# row per member out, binaries never shuffling.
+# ---------------------------------------------------------------------------
+
+
+def synth_tar_archives(
+    df: DataFrame, id_col: str, out_col: str = "tar"
+) -> DataFrame:
+    """Deterministic archive synthesis: row ``id`` becomes a POSIX tar
+    with ``id % 3 + 1`` members; member ``i`` (0-based) is named
+    ``m{id}_{i}.bin``, has size ``(id*7 + i*13) % 200 + 10`` and content
+    byte ``j`` = ``(id + (i+1)*j) % 256`` — integer formulas a SQL
+    oracle replays exactly (queries.py m14).  Encoding uses the stdlib
+    ``tarfile`` writer (a real, spec-conforming encoder) so the
+    hand-rolled decoder below is tested against an independent
+    implementation, not its own mirror."""
+    import io
+    import tarfile
+
+    ensure_udf_portability()
+    fields = df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    out_schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for raw in pdf[id_col]:
+                i = int(raw)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+                    for m in range(i % 3 + 1):
+                        size = (i * 7 + m * 13) % 200 + 10
+                        body = bytes(
+                            (i + (m + 1) * j) % 256 for j in range(size)
+                        )
+                        info = tarfile.TarInfo(name=f"m{i}_{m}.bin")
+                        info.size = size
+                        info.mtime = 0
+                        tf.addfile(info, io.BytesIO(body))
+                blobs.append(buf.getvalue())
+            yield pdf.assign(**{out_col: blobs})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def parse_tar_members(
+    df: DataFrame, id_col: str, tar_col: str
+) -> DataFrame:
+    """Member explosion: walk each archive's 512-byte blocks by hand
+    (name from bytes 0:100, size from the octal field 124:136, header
+    checksum 148:156 verified against the sum-with-spaced-checksum
+    rule, data padded to the next block, two zero blocks terminate),
+    yielding ONE ROW PER MEMBER with the integer facts downstream
+    dedup/routing needs: index, name hash (h60 — the cross-engine
+    form, functions/hashing.py), size, byte sum.  A corrupt header
+    (bad checksum / non-octal size) poisons only that archive (emits
+    nothing), the m-family's poison-row convention.
+
+    Scale shape: one ``mapInPandas`` pass, partition-preserving — the
+    archive binary is opened and DROPPED inside the executor; only
+    (id, idx, name-hash, two ints) leave, so member explosion never
+    shuffles payload bytes.  Output: (id, member_idx, name_h60, size,
+    byte_sum)."""
+    from spark_ml_spatialjointransformer_spark.functions.hashing import h60_py
+
+    ensure_udf_portability()
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("member_idx", T.IntegerType()),
+            T.StructField("name_h60", T.LongType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("byte_sum", T.LongType()),
+        ]
+    )
+
+    def members(blob: bytes):
+        out = []
+        pos = 0
+        idx = 0
+        n = len(blob)
+        while pos + 512 <= n:
+            hdr = blob[pos : pos + 512]
+            if hdr == b"\0" * 512:
+                break
+            # checksum: header with the chksum field replaced by spaces
+            try:
+                stored = int(hdr[148:156].split(b"\0")[0].strip() or b"0", 8)
+            except ValueError:
+                return None
+            calc = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
+            if stored != calc:
+                return None
+            try:
+                size = int(hdr[124:136].split(b"\0")[0].strip() or b"0", 8)
+            except ValueError:
+                return None
+            name = hdr[0:100].split(b"\0")[0].decode("utf-8", "replace")
+            body = blob[pos + 512 : pos + 512 + size]
+            if len(body) != size:
+                return None
+            h = h60_py(name)
+            out.append((idx, h, size, int(np.frombuffer(body, np.uint8).astype(np.int64).sum())))
+            idx += 1
+            pos += 512 + ((size + 511) // 512) * 512
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[tar_col]):
+                got = members(bytes(blob)) if blob is not None else None
+                if got is None:
+                    continue
+                for idx, h, size, bsum in got:
+                    rows.append((int(rid), idx, h, size, bsum))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "member_idx", "name_h60", "size", "byte_sum"],
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

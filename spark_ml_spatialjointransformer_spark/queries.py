@@ -14507,6 +14507,57 @@ def d30_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M14_NAME_SQL = (
+    "'m' || CAST(s.doc_id AS VARCHAR) || '_' || CAST(s.i AS VARCHAR)"
+    " || '.bin'"
+)
+
+_M14_ORACLE = f"""
+WITH d AS (SELECT doc_id FROM documents),
+m AS (SELECT doc_id, unnest(range(doc_id % 3 + 1)) AS i FROM d),
+s AS (SELECT doc_id, i, (doc_id * 7 + i * 13) % 200 + 10 AS size FROM m),
+by AS (SELECT doc_id, i, size, unnest(generate_series(0, size - 1)) AS j
+       FROM s),
+sums AS (SELECT doc_id, i,
+                CAST(sum((doc_id + (i + 1) * j) % 256) AS BIGINT) AS byte_sum
+         FROM by GROUP BY 1, 2)
+SELECT s.doc_id, CAST(s.i AS INTEGER) AS member_idx,
+       {h60_sql(_M14_NAME_SQL)} AS name_h60,
+       CAST(s.size AS BIGINT) AS size, sums.byte_sum
+FROM s JOIN sums ON sums.doc_id = s.doc_id AND sums.i = s.i
+"""
+
+
+@_register("m14_archive_members", _M14_ORACLE)
+def m14_archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container MEMBER EXPLOSION — the crawl-dump ingestion shape (WARC
+    /tar/zip dumps arrive as archives; the first distributed operator
+    any 100 TB text pipeline runs is one-archive-in, one-row-PER-MEMBER
+    out): synthesize a deterministic POSIX tar per document (stdlib
+    ``tarfile`` writer — a real, independent encoder), then parse it
+    with the hand-rolled 512-byte-block walker (octal size field,
+    spaced-checksum verification, block padding, zero-block
+    terminator) and emit each member's index, h60 name hash, size,
+    and byte sum — all replayed from first principles by the SQL
+    oracle, so a parser that mis-walks a single block boundary
+    hash-mismatches.  m12 sniffs formats and m1-m13 decode LEAF
+    media; this is the CONTAINER layer above them.  Scale shape: two
+    chained ``mapInPandas`` passes over the scan (synth, parse),
+    partition-preserving — archive binaries are opened and dropped
+    inside the executor; only (id, idx, hash, two ints) rows leave,
+    so member explosion never shuffles payload bytes.  Corrupt
+    archives poison only themselves (emit nothing), the m-family
+    convention."""
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        parse_tar_members,
+        synth_tar_archives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    tars = synth_tar_archives(docs, "doc_id", out_col="tar")
+    return parse_tar_members(tars, "doc_id", "tar")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #

@@ -404,3 +404,50 @@ class TestIntervalRelations:
         )
         got = [r.rel for r in df.select(F.expr(_D29_REL_SQL).alias("rel")).collect()]
         assert got == [w for *_, w in rows]
+
+
+class TestArchiveMembers:
+    def test_corrupt_header_poisons_only_that_archive(self, spark):
+        from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+            parse_tar_members,
+            synth_tar_archives,
+        )
+
+        docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+        tars = synth_tar_archives(docs, "doc_id", out_col="tar")
+        # corrupt doc 2's checksum field (bytes 148:156 of block 0)
+        import pandas as pd
+
+        pdf = tars.toPandas()
+        blob = bytearray(pdf.loc[pdf.doc_id == 2, "tar"].iloc[0])
+        blob[148:156] = b"00000000"
+        pdf.loc[pdf.doc_id == 2, "tar"] = bytes(blob)
+        corrupted = spark.createDataFrame(pdf)
+        out = parse_tar_members(corrupted, "doc_id", "tar").toPandas()
+        got = sorted(out.doc_id.unique())
+        assert got == [1, 3]
+        # doc 1: 1 % 3 + 1 = 2 members; doc 3: 3 % 3 + 1 = 1 member
+        assert len(out[out.doc_id == 1]) == 2
+        assert len(out[out.doc_id == 3]) == 1
+
+    def test_member_facts_match_synthesis(self, spark):
+        from spark_ml_spatialjointransformer_spark.functions.hashing import (
+            h60_py,
+        )
+        from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+            parse_tar_members,
+            synth_tar_archives,
+        )
+
+        docs = spark.createDataFrame([(7,)], "doc_id long")
+        out = parse_tar_members(
+            synth_tar_archives(docs, "doc_id"), "doc_id", "tar"
+        ).collect()
+        # doc 7: 7 % 3 + 1 = 2 members; sizes (7*7 + i*13) % 200 + 10
+        assert len(out) == 2
+        for r in out:
+            i = r.member_idx
+            size = (7 * 7 + i * 13) % 200 + 10
+            assert r.size == size
+            assert r.byte_sum == sum((7 + (i + 1) * j) % 256 for j in range(size))
+            assert r.name_h60 == h60_py(f"m7_{i}.bin")
