@@ -14558,6 +14558,100 @@ def m14_archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_tar_members(tars, "doc_id", "tar")
 
 
+_P17_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t,
+         generate_subscripts(str_split(lower(text), ' '), 1) AS i
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(round(inter * 1000000.0 / (sa.sz + sb.sz - inter)) AS BIGINT)
+        >= 600000
+),
+keep AS (SELECT id_b AS doc_id, min(id_a) AS keeper FROM pairs GROUP BY id_b),
+lab AS (
+  SELECT d.doc_id, d.source,
+         length(trim(d.text)) - length(replace(trim(d.text), ' ', '')) + 1
+           AS ntok,
+         k.doc_id IS NULL AS kept
+  FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS raw_tokens,
+       CAST(sum(ntok) FILTER (kept) AS BIGINT) AS effective_tokens,
+       CAST(sum(ntok) FILTER (kept) * 1000000 // sum(ntok) AS BIGINT)
+         AS yield_e6
+FROM lab GROUP BY source
+"""
+
+
+@_register("p17_effective_tokens", _P17_ORACLE)
+def p17_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-training-token accounting — THE number a data team
+    quotes: per source, raw tokens vs tokens surviving near-dup keeper
+    election (t9's verbatim pipeline), and the yield ratio — raw corpus
+    size flatters a scrape full of mirrors; budgets, pricing, and mix
+    quotas (p9/p11) should consume EFFECTIVE tokens, and a source whose
+    yield collapses is a duplication farm regardless of its raw volume
+    (t59 says where its content went; this says what it is worth).
+    Scale shape: token counts are scan-side codegen; the keeper table
+    arrives from t9's banded machinery (band keys shuffle, never
+    shingles) and joins back by doc_id; the rollup is ONE
+    map-combinable source-keyed exchange of int triples, |sources|
+    rows forever."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        dedup_assign_keeper,
+        neardup_pairs_lsh_verified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup_pairs_lsh_verified(docs, "doc_id", "text", threshold=0.6)
+    keep = dedup_assign_keeper(
+        pairs.select("id_a", "id_b"), docs.select("doc_id"), "doc_id"
+    ).select("doc_id", "is_dup")
+    lab = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "length(trim(text)) - length(replace(trim(text), ' ', '')) + 1"
+            ).alias("ntok"),
+        )
+        .join(keep, "doc_id", "left")
+        .withColumn("kept", ~F.coalesce("is_dup", F.lit(False)))
+    )
+    return lab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("raw_tokens"),
+        F.sum(F.when(F.col("kept"), F.col("ntok")).otherwise(0))
+        .cast("bigint")
+        .alias("effective_tokens"),
+        F.expr(
+            "sum(CASE WHEN kept THEN ntok ELSE 0 END) * 1000000"
+            " div sum(ntok)"
+        )
+        .cast("bigint")
+        .alias("yield_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
