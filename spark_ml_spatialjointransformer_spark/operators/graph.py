@@ -561,6 +561,10 @@ def hits_int(
 
     Output: (id, auth, hub) — one row per graph node.
     """
+    if iters < 1:
+        raise ValueError(
+            f"hits_int needs at least one sweep, got iters={iters}"
+        )
     e = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),

@@ -13986,9 +13986,18 @@ def v22_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     knn = knn_join_exact(emb, "vec_id", "embedding", k=_V22_K)
+    # the oracle's rn = k filter emits NO row for a vector with fewer
+    # than k eligible neighbors (corpus of <= k non-zero-norm vectors);
+    # knn_join_exact would emit min(k, n-1) rows there, so gate the min
+    # on a full group — a no-op at every sf scale, exact parity always
     return (
         knn.groupBy("vec_id")
-        .agg(F.min("cos_e6").cast("bigint").alias("kth_sim_e6"))
+        .agg(
+            F.min("cos_e6").cast("bigint").alias("kth_sim_e6"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") == _V22_K)
+        .drop("_n")
         .select(
             "vec_id",
             "kth_sim_e6",
@@ -14306,29 +14315,42 @@ def t59_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: d29: Allen's interval relations between same-cohort visit windows
 #: (f6's synthesis), collapsed to the 7 relation CLASSES (the 13-relation
-#: algebra folds symmetric inverses onto the a.key < b.key orientation).
-#: Windows have duration >= 2 days and distinct suppkeys, but starts/ends
-#: CAN coincide — all 7 classes are reachable.
+#: algebra folds each inverse onto its base by normalizing every pair to
+#: TIME order — earlier (start, end) lexicographically becomes `a` — so
+#: after→before, met-by→meets, contains→during, overlapped-by→overlaps,
+#: started-by→starts, finished-by→finishes).  Windows have duration
+#: >= 2 days and distinct suppkeys, but starts/ends CAN coincide — all 7
+#: classes are reachable.  The classifier below assumes the normalized
+#: orientation a_s <= b_s (ties broken a_e <= b_e), which makes the
+#: branches exhaustive: no ELSE bucket can swallow a reversed pair.
 _D29_REL_SQL = """
 CASE WHEN a_e < b_s THEN 'before'
      WHEN a_e = b_s THEN 'meets'
      WHEN a_s = b_s AND a_e = b_e THEN 'equals'
      WHEN a_s = b_s THEN 'starts'
      WHEN a_e = b_e THEN 'finishes'
-     WHEN a_s < b_s AND a_e > b_e THEN 'contains'
-     WHEN a_s > b_s AND a_e < b_e THEN 'during'
-     WHEN a_s < b_s AND a_e > b_s THEN 'overlaps'
-     ELSE 'overlapped_by' END
+     WHEN a_e > b_e THEN 'during'
+     ELSE 'overlaps' END
 """
+
+#: time-order normalization: put the lexicographically-earlier
+#: (start, end) window in the `a` slot
+_D29_SWAP_SQL = "(a_s < b_s OR (a_s = b_s AND a_e <= b_e))"
 
 _D29_ORACLE = f"""
 WITH v AS (SELECT s_suppkey, s_nationkey % 5 AS grp,
                   CAST({_F6_START_SQL} AS BIGINT) AS s,
                   CAST({_F6_END_SQL} AS BIGINT) AS e
            FROM supplier),
-p AS (SELECT a.grp,
-             a.s AS a_s, a.e AS a_e, b.s AS b_s, b.e AS b_e
-      FROM v a JOIN v b ON a.grp = b.grp AND a.s_suppkey < b.s_suppkey),
+p0 AS (SELECT a.grp,
+              a.s AS a_s, a.e AS a_e, b.s AS b_s, b.e AS b_e
+       FROM v a JOIN v b ON a.grp = b.grp AND a.s_suppkey < b.s_suppkey),
+p AS (SELECT grp,
+             CASE WHEN {_D29_SWAP_SQL} THEN a_s ELSE b_s END AS a_s,
+             CASE WHEN {_D29_SWAP_SQL} THEN a_e ELSE b_e END AS a_e,
+             CASE WHEN {_D29_SWAP_SQL} THEN b_s ELSE a_s END AS b_s,
+             CASE WHEN {_D29_SWAP_SQL} THEN b_e ELSE a_e END AS b_e
+      FROM p0),
 r AS (SELECT grp, {_D29_REL_SQL} AS rel FROM p)
 SELECT CAST(grp AS BIGINT) AS cohort, rel,
        CAST(count(*) AS BIGINT) AS n_pairs
@@ -14341,7 +14363,10 @@ def d29_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Allen's interval algebra (Allen 1983) over each nation's visit
     windows: classify every same-nation window pair into the seven
     relation classes (before/meets/overlaps/starts/during/finishes/
-    equals, inverses folded onto the key orientation) and count per
+    equals; each inverse folds onto its base by normalizing the pair
+    to TIME order — the lexicographically-earlier (start, end) window
+    takes the `a` slot, so after→before, met-by→meets,
+    contains→during, overlapped-by→overlaps) and count per
     (cohort, relation) — the temporal-RELATIONSHIP census d17/d18
     only aggregate through (d17 counts concurrency, d18 measures
     overlap length; neither says WHICH relation holds, which is what
@@ -14375,7 +14400,17 @@ def d29_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("b_s"),
         F.col("e").alias("b_e"),
     )
-    p = a.join(b, "grp").where(F.col("ka") < F.col("kb"))
+    p0 = a.join(b, "grp").where(F.col("ka") < F.col("kb"))
+    swap = F.expr(_D29_SWAP_SQL)
+    p = p0.select(
+        "grp",
+        F.when(swap, F.col("a_s")).otherwise(F.col("b_s")).alias("na_s"),
+        F.when(swap, F.col("a_e")).otherwise(F.col("b_e")).alias("na_e"),
+        F.when(swap, F.col("b_s")).otherwise(F.col("a_s")).alias("nb_s"),
+        F.when(swap, F.col("b_e")).otherwise(F.col("a_e")).alias("nb_e"),
+    ).withColumnsRenamed(
+        {"na_s": "a_s", "na_e": "a_e", "nb_s": "b_s", "nb_e": "b_e"}
+    )
     return (
         p.select("grp", F.expr(_D29_REL_SQL).alias("rel"))
         .groupBy(F.col("grp").cast("bigint").alias("cohort"), "rel")
@@ -14384,7 +14419,8 @@ def d29_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: d30 lags tested in both directions (a leads b / b leads a)
-_D30_LAGS = "[-2, -1, 0, 1, 2]"
+_D30_LAG_LIST = [-2, -1, 0, 1, 2]
+_D30_LAGS = "[" + ", ".join(str(x) for x in _D30_LAG_LIST) + "]"
 
 _D30_ORACLE = f"""
 WITH e AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS d
@@ -14471,7 +14507,7 @@ def d30_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     lg = spark.range(1).select(
-        F.explode(F.expr(f"array{tuple(eval(_D30_LAGS))}")).alias("lag")
+        F.explode(F.array([F.lit(x) for x in _D30_LAG_LIST])).alias("lag")
     )
     a = g.select(F.col("t").alias("type_a"), F.col("day").alias("da"), F.col("c").alias("x"))
     b = g.select(F.col("t").alias("type_b"), F.col("day").alias("db"), F.col("c").alias("y"))

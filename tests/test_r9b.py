@@ -53,6 +53,37 @@ class TestHitsInt:
         assert rows[1][0] == 0 and rows[2][1] == 0
         assert rows[1][1] > 0 and rows[2][0] > 0
 
+    def test_zero_iters_rejected(self, spark):
+        from spark_ml_spatialjointransformer_spark.operators.graph import (
+            hits_int,
+        )
+
+        pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+        with pytest.raises(ValueError, match="at least one sweep"):
+            hits_int(pairs, "a", "b", iters=0)
+
+
+class TestV22SmallCorpus:
+    def test_under_k_neighbors_emits_no_row(self, spark, tmp_path):
+        """Oracle parity at the degenerate boundary: a corpus of k
+        non-zero vectors has only k-1 eligible neighbors per vector, so
+        the oracle's rn = k filter emits NOTHING — the Spark side must
+        gate the min-aggregate on a full k-group, not score from a
+        short one."""
+        from spark_ml_spatialjointransformer_spark.queries import (
+            _V22_K,
+            v22_knn_outliers,
+        )
+
+        rows = [
+            (i, [float(i + 1), float((i * 7) % 5 + 1), 0.5])
+            for i in range(_V22_K)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).write.parquet(f"{tmp_path}/embeddings.parquet")
+        assert v22_knn_outliers(spark, str(tmp_path)).count() == 0
+
 
 class TestBitemporalAsof:
     def test_late_recording_invisible_until_known(self, spark, monkeypatch):
@@ -381,29 +412,54 @@ class TestIntervalRelations:
     def test_all_seven_classes_on_constructed_windows(self, spark):
         """Hand-built window set hitting every relation class including
         the boundary ones (meets/starts/finishes/equals) the sf data
-        may not produce."""
+        may not produce.  Each base relation is tested in BOTH
+        orientations — the reversed pair must fold onto the same class
+        via the time-order normalization (after→before, met-by→meets,
+        contains→during, overlapped-by→overlaps, started-by→starts,
+        finished-by→finishes)."""
         from spark_ml_spatialjointransformer_spark.queries import (
             _D29_REL_SQL,
+            _D29_SWAP_SQL,
         )
 
         rows = [
             # (a_s, a_e, b_s, b_e, want)
             (0, 10, 20, 30, "before"),
+            (20, 30, 0, 10, "before"),  # after → folds
             (0, 10, 10, 30, "meets"),
+            (10, 30, 0, 10, "meets"),  # met-by → folds
             (0, 10, 0, 10, "equals"),
             (0, 10, 0, 30, "starts"),
+            (0, 30, 0, 10, "starts"),  # started-by → folds
             (5, 30, 20, 30, "finishes"),
-            (0, 30, 10, 20, "contains"),
+            (20, 30, 5, 30, "finishes"),  # finished-by → folds
+            (0, 30, 10, 20, "during"),  # contains → folds
             (10, 20, 0, 30, "during"),
             (0, 15, 10, 30, "overlaps"),
-            (10, 30, 0, 15, "overlapped_by"),
+            (10, 30, 0, 15, "overlaps"),  # overlapped-by → folds
         ]
         df = spark.createDataFrame(
             [(a, b, c, d) for a, b, c, d, _ in rows],
             "a_s long, a_e long, b_s long, b_e long",
         )
-        got = [r.rel for r in df.select(F.expr(_D29_REL_SQL).alias("rel")).collect()]
+        swap = F.expr(_D29_SWAP_SQL)
+        norm = df.select(
+            F.when(swap, F.col("a_s")).otherwise(F.col("b_s")).alias("na_s"),
+            F.when(swap, F.col("a_e")).otherwise(F.col("b_e")).alias("na_e"),
+            F.when(swap, F.col("b_s")).otherwise(F.col("a_s")).alias("nb_s"),
+            F.when(swap, F.col("b_e")).otherwise(F.col("a_e")).alias("nb_e"),
+        ).withColumnsRenamed(
+            {"na_s": "a_s", "na_e": "a_e", "nb_s": "b_s", "nb_e": "b_e"}
+        )
+        got = [
+            r.rel
+            for r in norm.select(F.expr(_D29_REL_SQL).alias("rel")).collect()
+        ]
         assert got == [w for *_, w in rows]
+        assert set(got) == {
+            "before", "meets", "equals", "starts",
+            "finishes", "during", "overlaps",
+        }
 
 
 class TestArchiveMembers:
