@@ -267,6 +267,16 @@ class BroadcastSpatialJoin(
         if k < 1:
             raise ValueError(f"numNeighbors must be >= 1, got {k}")
 
+        broadcast_side = self._get(self.broadcast)
+        if broadcast_side not in ("input", "external", "dataset"):
+            # the reference treats any non-"input" string as external
+            # (BroadcastSpatialJoin.scala:91-93) — a typo like "inpt"
+            # silently flips join direction AND result cardinality, so
+            # exceed the reference safely and reject it loudly here
+            raise ValueError(
+                "broadcast must be 'input', 'external' or 'dataset' "
+                f"(synonym for external); got {broadcast_side!r}"
+            )
         return SpatialJoinPlan(
             predicate=self._get(self.predicate),
             external_side=SideConfig(
