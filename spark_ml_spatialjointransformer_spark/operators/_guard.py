@@ -22,6 +22,24 @@ from pyspark.sql import DataFrame
 _DEFAULT_MAX_SPLIT = 128 * 1024 * 1024
 
 
+def _max_partition_bytes(spark) -> int:
+    """``spark.sql.files.maxPartitionBytes`` through the PUBLIC conf API
+    (Connect-portable; the value may carry a byte-unit suffix), falling
+    back to the parquet default when unset/unparseable."""
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    ).strip().lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    try:
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        if raw and raw[-1] in units:
+            return int(float(raw[:-1]) * units[raw[-1]])
+        return int(raw)
+    except ValueError:
+        return _DEFAULT_MAX_SPLIT
+
+
 def estimated_plan_bytes(df: DataFrame) -> int | None:
     """Driver-side Catalyst size estimate of ``df`` (optimized logical plan
     stats — for a parquet relation the file footprint scaled by pruning);
@@ -42,9 +60,7 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        max_split = int(
-            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
-        )
+        max_split = _max_partition_bytes(spark)
     except Exception:
         max_split = _DEFAULT_MAX_SPLIT
         size = par * max_split  # unknown: assume big, do not add a shuffle

@@ -25,6 +25,7 @@ DuckDB correctness gate (queries.py t6/t7 carry exact oracles).
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import pandas as pd
@@ -33,6 +34,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spark_ml_spatialjointransformer_spark.functions.hashing import h60_col
+from spark_ml_spatialjointransformer_spark.operators._compat import (
+    barrier as _barrier,
+    barrier_eager as _barrier_eager,
+)
+
+_log = logging.getLogger(__name__)
 
 #: minhash modulus: smallest prime > 2^32
 MINHASH_PRIME = 4_294_967_311
@@ -193,8 +200,25 @@ def minhash_lsh_pairs(
     n: int = 3,
     with_sizes: bool = False,
     sig: Optional[DataFrame] = None,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    ``max_bucket`` (skew hardening, off by default): drop every
+    (band, key) bucket holding more than this many docs BEFORE the
+    self-join.  A hot band key — boilerplate-heavy corpora collapse
+    thousands of near-identical docs onto one key — otherwise turns one
+    task into a B²/2 pair explosion that AQE skew-splitting can only
+    partially chop (it splits the probe side, not the pair count).  Hot
+    buckets are counted with one map-combinable aggregation; only keys
+    ABOVE the cap (≤ total_docs·bands/max_bucket of them, tiny by
+    construction) are collected into a broadcast anti-join, and the
+    dropped volume is logged loudly.  Semantics caveat: the first-match
+    dedup keys a pair to its LOWEST matching band, so a pair whose
+    lowest matching band is dropped is suppressed entirely — the cap
+    trades recall ON HOT TEMPLATES ONLY for bounded task skew, the
+    standard production dedup trade (such buckets are near-total
+    duplicates better handled by exact dedup upstream).
 
     Scale path (mirrors MLlib MinHashLSH.approxSimilarityJoin): the bucket
     join shuffles (id, sig, band, key) — k longs per doc per band, never the
@@ -216,9 +240,7 @@ def minhash_lsh_pairs(
     # approxSimilarityJoin caching recommendation).  Callers that also need
     # the per-doc hash arrays pass their own (already-checkpointed) frame.
     if sig is None:
-        sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint(
-            eager=False
-        )
+        sig = minhash_signatures(df, id_col, text_col, k, n).transform(_barrier)
 
     band_structs = F.array(
         *[
@@ -234,6 +256,37 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "__id", "__sig", "__sz", F.explode(band_structs).alias("b")
     ).select("__id", "__sig", "__sz", "b.band", "b.key")
+
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(
+                f"max_bucket must allow at least one pair, got {max_bucket}"
+            )
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+            .transform(_barrier)  # counted once, anti-joined once
+        )
+        dropped = hot.agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("rows"),
+        ).collect()[0]
+        if dropped.buckets:
+            _log.warning(
+                "minhash_lsh_pairs: dropping %d hot LSH bucket(s) holding "
+                "%d banded rows (> max_bucket=%d docs per (band, key)); "
+                "pairs whose lowest matching band is hot are suppressed — "
+                "run exact dedup upstream if these are template docs",
+                dropped.buckets,
+                dropped.rows,
+                max_bucket,
+            )
+            banded = banded.join(
+                F.broadcast(hot.select("band", "key")),
+                ["band", "key"],
+                "left_anti",
+            )
 
     # threshold <= 0 means "every band collision is a candidate" (the LSH
     # candidate-generation mode): skip the per-pair agreement fold entirely
@@ -368,7 +421,7 @@ def simhash_pairs(
     n_bands = 4
     width = SIMHASH_BITS // n_bands
     # single materialization for the self-join — see minhash_lsh_pairs
-    sig = simhash_values(df, id_col, text_col).localCheckpoint(eager=False)
+    sig = simhash_values(df, id_col, text_col).transform(_barrier)
     banded = sig.select(
         "__id",
         "__sh",
@@ -436,7 +489,7 @@ def ngram_jaccard_pairs(
         .select("__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("s"))
         # both self-join sides read the one materialization (see
         # minhash_lsh_pairs for the reuse rationale)
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -466,6 +519,7 @@ def neardup_pairs_lsh_verified(
     n: int = 3,
     k: int = 64,
     bands: int = 16,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs with LSH candidate generation — the
     100 TB shape of ``ngram_jaccard_pairs``: banded MinHash proposes
@@ -494,10 +548,10 @@ def neardup_pairs_lsh_verified(
     # signatures, once per verify side)
     sig = minhash_signatures(
         df, id_col, text_col, k, n, with_hashes=True
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     cand = minhash_lsh_pairs(
         df, id_col, text_col, k=k, bands=bands, threshold=0.0, n=n,
-        with_sizes=True, sig=sig,
+        with_sizes=True, sig=sig, max_bucket=max_bucket,
     ).select("id_a", "id_b", "sz_a", "sz_b")
     # Jaccard size bound: J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so a
     # pair whose size ratio already falls below the (rounding-aware)
@@ -573,13 +627,13 @@ def dedup_connected_components(
     # as the kNN loop's cell-bucketed right side)
     p0 = pairs.select(
         F.col("id_a").alias("__a"), F.col("id_b").alias("__b")
-    ).localCheckpoint(eager=False)  # pair lineage (often LSH) computes once
+    ).transform(_barrier)  # pair lineage (often LSH) computes once
     edges = (
         p0.unionByName(
             p0.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
         )
         .repartition(par, "__a")
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     # propagation state is O(graph nodes), NOT O(corpus): isolated documents
     # (the overwhelming majority at any scale) never enter the loop — they
@@ -595,7 +649,7 @@ def dedup_connected_components(
         .distinct()
         .withColumn("__lbl", F.col("__v"))
         .repartition(sparts)
-        .localCheckpoint(eager=True)
+        .transform(_barrier_eager)
     )
     n_nodes = labels.count()  # one fast job over the checkpointed frame
     changed = n_nodes
@@ -648,9 +702,7 @@ def dedup_connected_components(
                 .select("__v", "__lbl", "__mid")
                 .repartition(sparts)
             )
-        merged = half.withColumnRenamed("__mid", "__new").localCheckpoint(
-            eager=True
-        )
+        merged = half.withColumnRenamed("__mid", "__new").transform(_barrier_eager)
         changed = merged.where(F.col("__new") != F.col("__lbl")).count()
         labels = merged.select("__v", F.col("__new").alias("__lbl"))
         if changed == 0:

@@ -18,6 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_ml_spatialjointransformer_spark.operators._compat import (
+    barrier as _barrier,
+)
+
 
 def pagerank_int(
     pairs: DataFrame,
@@ -55,7 +59,7 @@ def pagerank_int(
     # flip arm re-reads materialized (long, long) rows, not the refine
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     # checkpoint the expanded edge list ONCE — it is the subtree every
     # branch below re-reads (degree, the initial ranks, and the join in
     # every iteration), and without the barrier the potentially expensive
@@ -63,7 +67,7 @@ def pagerank_int(
     # execute in — each of those branches
     e = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
     # edges with their source degree attached; identical deg exchanges
     # across iterations collapse via ReusedExchange in the single plan
@@ -110,7 +114,7 @@ def bfs_hops(
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
-    ).localCheckpoint(eager=False)  # pair lineage computes once (see g1)
+    ).transform(_barrier)  # pair lineage computes once (see g1)
     # bucketed ONCE on the relaxation join key: each checkpointed round is
     # its own job, so an unbucketed edge list would re-shuffle per round
     # once the frontier outgrows AQE's broadcast threshold (LogicalRDD
@@ -121,7 +125,7 @@ def bfs_hops(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .repartition(par, "src")
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     d = seeds.select(
         F.col(id_col).cast("long").alias("id"),
@@ -140,7 +144,7 @@ def bfs_hops(
             # copies of round 1 in the final plan.  The lazy checkpoint
             # makes each round's table compute once (g1 skips this only
             # because its rank is read once per round).
-            .localCheckpoint(eager=False)
+            .transform(_barrier)
         )
     return d
 
@@ -177,7 +181,7 @@ def triangles_per_node(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     e0 = pairs.select(
         F.least(F.col(a_col), F.col(b_col)).cast("long").alias("a"),
         F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("b"),
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     und = e0.select(F.col("a").alias("u")).unionByName(
         e0.select(F.col("b").alias("u"))
     )
@@ -213,7 +217,7 @@ def triangles_per_node(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
             F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
             F.greatest("__ka", "__kb").alias("__dkey"),
         )
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = x.join(
@@ -265,10 +269,10 @@ def kcore(
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
-    ).localCheckpoint(eager=False)  # pair lineage computes once (see g1)
+    ).transform(_barrier)  # pair lineage computes once (see g1)
     e = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
         keep = deg.where(F.col("__d") >= k).select("src")
@@ -276,7 +280,7 @@ def kcore(
             e.join(keep, "src")
             .join(keep.select(F.col("src").alias("dst")), "dst")
             .select("src", "dst")
-            .localCheckpoint(eager=False)
+            .transform(_barrier)
         )
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("src").alias("id"), "deg"
@@ -319,7 +323,7 @@ def sssp_int(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
         F.col(weight_col).cast("long").alias("__w"),
-    ).localCheckpoint(eager=False)  # pair lineage computes once (see g1)
+    ).transform(_barrier)  # pair lineage computes once (see g1)
     # bucketed once on the relaxation join key — see bfs_hops
     par = pairs.sparkSession.sparkContext.defaultParallelism
     e = (
@@ -329,7 +333,7 @@ def sssp_int(
             )
         )
         .repartition(par, "src")
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     d = seeds.select(
         F.col(id_col).cast("long").alias("id"),
@@ -344,7 +348,7 @@ def sssp_int(
             d.unionByName(nxt)
             .groupBy("id")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=False)
+            .transform(_barrier)
         )
     return d
 
@@ -386,10 +390,10 @@ def personalized_pagerank_int(
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
-    ).localCheckpoint(eager=False)  # pair lineage computes once (see g1)
+    ).transform(_barrier)  # pair lineage computes once (see g1)
     e = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
     sd = seeds.select(
         F.col(id_col).cast("long").alias("dst"),
@@ -450,10 +454,10 @@ def edge_common_neighbors(
     pe = pairs.select(
         F.col(a_col).cast("long").alias("a"),
         F.col(b_col).cast("long").alias("b"),
-    ).localCheckpoint(eager=False)  # pair lineage computes once (see g1)
+    ).transform(_barrier)  # pair lineage computes once (see g1)
     e = pe.unionByName(
         pe.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     x = e.select(F.col("a").alias("__xa"), F.col("b").alias("__w"))
     y = e.select(F.col("a").alias("__ya"), F.col("b").alias("__yw"))
     cn = (
@@ -500,15 +504,15 @@ def label_propagation(
     pe = pairs.select(
         F.col(a_col).cast("long").alias("a"),
         F.col(b_col).cast("long").alias("b"),
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     edges = pe.unionByName(
         pe.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     labels = (
         edges.select(F.col("a").alias("v"))
         .distinct()
         .withColumn("lbl", F.col("v"))
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(rounds):
@@ -522,7 +526,7 @@ def label_propagation(
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
             .select("v", "lbl")
-            .localCheckpoint(eager=False)
+            .transform(_barrier)
         )
     return labels.select(F.col("v").alias("node"), F.col("lbl").alias("community"))
 
@@ -568,12 +572,12 @@ def hits_int(
     e = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     h = nodes.select("id", F.lit(1).cast("long").alias("h"))
     a = None

@@ -55,6 +55,11 @@ import time
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_ml_spatialjointransformer_spark.operators._compat import (
+    barrier as _barrier,
+    barrier_eager as _barrier_eager,
+)
+
 _DEBUG = bool(os.environ.get("SJT_KNN_DEBUG"))
 
 #: grid cell width (degrees) — decoupled from data scale; 4° keeps the
@@ -186,7 +191,7 @@ def partitioned_nearest(
         )
         .withColumn("__rid", F.monotonically_increasing_id())
         .repartition(par0, "__rcx", "__rcy")
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
 
     # the loop state: only id + coords + cell + best-so-far (+ condition
@@ -205,7 +210,7 @@ def partitioned_nearest(
         lx.alias("__lx"),
         ly.alias("__ly"),
     ).withColumn("__pid", F.monotonically_increasing_id())
-    payload = rem.localCheckpoint(eager=False)  # joined back at the end
+    payload = rem.transform(_barrier)  # joined back at the end
     rem = payload.select(
         "__pid",
         *l_loop,
@@ -274,7 +279,7 @@ def partitioned_nearest(
         d_best = F.when(F.size("__best") >= k, F.element_at("__best", k)["__d"])
         have_k = d_best.isNotNull()
     r_prev = -1  # first round is the full disk INCLUDING the own cell
-    for r in schedule:
+    for ri, r in enumerate(schedule):
         _t0 = time.time()
         global_cover = (2 * r + 1) >= nbx and (2 * r + 1) >= nby_r
 
@@ -421,7 +426,9 @@ def partitioned_nearest(
         # j18 5.8→9.1s and j17 4.4→5.3s: the inline global-round join
         # re-plans under AQE inside the one big final query and loses the
         # small-partition state shape; keep the checkpoint every round.)
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.transform(
+            _barrier_eager if global_cover else _barrier
+        )
 
         if global_cover:
             have_any = (
@@ -484,7 +491,12 @@ def partitioned_nearest(
                 f"[knn] round r={r}: rem_next={rem.count()} "
                 f"({time.time() - _t0:.1f}s)", flush=True,
             )
-        if rem.isEmpty():
+        # early-exit probe ONLY when rounds remain after the next one: the
+        # probe is a scheduled job, and when the next round is the forced
+        # global pass an empty `rem` flows through it for the same
+        # near-zero cost the probe itself would pay — so for the default
+        # two-round schedule the probe is pure overhead (one job per run)
+        if ri < len(schedule) - 2 and rem.isEmpty():
             break
         r_prev = r
 

@@ -23,6 +23,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_ml_spatialjointransformer_spark.operators._compat import (
+    barrier as _barrier,
+)
+
 
 def srp_planes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1) via a 64-bit LCG
@@ -346,7 +350,7 @@ def lsh_neardup_pairs(
         )
     base = (
         pre.select("*", F.posexplode("__buckets").alias("__band", "__bucket"))
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     first_match = F.lit(True)
     for bi in range(bands - 1):
@@ -1185,7 +1189,7 @@ def semdedup(
     base = _quantized_base(df, id_col, emb_col, dim, n_planes, bands=1)
     cells = base.select(
         "__id", F.col("__buckets")[0].alias("__cell"), "__q", "__qn2"
-    ).localCheckpoint(eager=False)  # feats UDF runs once; 3 readers below
+    ).transform(_barrier)  # feats UDF runs once; 3 readers below
     expl = cells.select("__cell", F.posexplode("__q").alias("__i", "__qv"))
     csum = expl.groupBy("__cell", "__i").agg(F.sum("__qv").alias("__sv"))
     aff = (
@@ -1200,7 +1204,7 @@ def semdedup(
     ranked = (
         cells.join(aff, "__id")
         .withColumn("__rk", F.row_number().over(w))
-        .localCheckpoint(eager=False)  # self-join reads it twice
+        .transform(_barrier)  # self-join reads it twice
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     qcos = _pair_qcos_udf()(

@@ -34,6 +34,9 @@ from spark_ml_spatialjointransformer_spark.operators.dedup import (
     SIMHASH_BITS,
     minhash_coefficients,
 )
+from spark_ml_spatialjointransformer_spark.operators._compat import (
+    barrier as _barrier,
+)
 from spark_ml_spatialjointransformer_spark.operators.spatial_join import spatial_join
 from spark_ml_spatialjointransformer_spark.plans.config import (
     PointColumns,
@@ -2480,7 +2483,7 @@ def t19_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the stats row and the scoring pass consume per_doc: materialize
     # it once (same reuse rationale as the LSH self-joins) so the corpus
     # scans exactly once
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -3576,7 +3579,7 @@ def j22_within_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner = (
         spatial_join(cust, nations, plan)
         .select("c_custkey", "nat_key")
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     matched = inner.select("c_custkey").distinct()
     unmatched = cust.join(F.broadcast(matched), "c_custkey", "left_anti").select(
@@ -7905,7 +7908,7 @@ def g5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_planes=6, bands=2, quantized=True,
         )
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     e = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -9552,7 +9555,7 @@ def p10_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("ntok") < 40) | (F.col("n_the") == 0), "low_quality")
         .otherwise("pool")
         .alias("st"),
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     cells = (
         lab.where(F.col("st") == "pool")
         .groupBy("source", "lang")
@@ -9890,7 +9893,7 @@ def g7_coengagement_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     deg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     tot = ut.agg(F.countDistinct("user_id").alias("nu"))
@@ -10164,7 +10167,7 @@ def j31_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.crossJoin(F.broadcast(tot))
         .where(F.col("n") * F.col("oc") > F.col("t"))
         .select("cx", "cy", "n", (F.col("cx") * 100 + F.col("cy")).alias("cid"))
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     a = dense.select(
         F.col("cx").alias("ax"), F.col("cy").alias("ay"),
@@ -11980,7 +11983,7 @@ def g10_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = raw.select(
         F.least("id_a", "id_b").cast("long").alias("id_a"),
         F.greatest("id_a", "id_b").cast("long").alias("id_b"),
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     und = pairs.select(F.col("id_a").alias("u")).unionByName(
         pairs.select(F.col("id_b").alias("u"))
     )
@@ -13737,7 +13740,7 @@ def t57_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     szs = f.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     grp = f.groupBy("fp").agg(
@@ -13823,7 +13826,7 @@ def t58_source_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         tok.groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     ns = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     ca = c.groupBy("w").agg(F.sum("c").cast("bigint").alias("c_all"))
@@ -13912,7 +13915,7 @@ def j38_colocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (
         pairs.groupBy("seg", "nat")
         .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     r = cell.groupBy("seg").agg(F.sum("obs").cast("bigint").alias("rm"))
     cm = cell.groupBy("nat").agg(F.sum("obs").cast("bigint").alias("cmm"))
@@ -14489,7 +14492,7 @@ def d30_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = ev.groupBy("t", "d").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     # the counts feed the grid twice (both join sides) plus the
     # type/day bounds: lazy-checkpoint the small frame once
-    cnt = cnt.localCheckpoint(eager=False)
+    cnt = cnt.transform(_barrier)
     bounds = cnt.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
     ty = cnt.select("t").distinct()
@@ -14504,7 +14507,7 @@ def d30_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select("t", "day", F.coalesce("c", F.lit(0)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     lg = spark.range(1).select(
         F.explode(F.array([F.lit(x) for x in _D30_LAG_LIST])).alias("lag")

