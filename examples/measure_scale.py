@@ -46,15 +46,30 @@ FACT_SHIFTS = {
     "embeddings": ["vec_id"],
     "events": ["event_id", "user_id"],
 }
+
+#: --with-dims adds the geo-bearing dimension tables (the spatial join
+#: operands): shifted keys hash to NEW lon/lat positions (customers_geo /
+#: suppliers_geo derive coordinates from the key), so the replicated
+#: tables are genuinely denser point sets, not stacked copies — the right
+#: stress for the grid-kNN queries.  Off by default: shifted custkeys
+#: break orders→customer referential joins, which the fact-only replica
+#: preserves.
+DIM_SHIFTS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+}
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
 
 
-def build_replica_dir(spark, sf_dir: str) -> str:
+def build_replica_dir(spark, sf_dir: str, with_dims: bool = False) -> str:
+    shifts = dict(FACT_SHIFTS, **(DIM_SHIFTS if with_dims else {}))
+    suffix = "_dims" if with_dims else ""
     dest = os.path.join(
-        "/tmp", f"sjt_scale{REPLICAS}x_{os.path.basename(sf_dir.rstrip('/'))}"
+        "/tmp",
+        f"sjt_scale{REPLICAS}x_{os.path.basename(sf_dir.rstrip('/'))}{suffix}",
     )
     marker = os.path.join(dest, ".complete")
     if os.path.isfile(marker):
@@ -67,14 +82,14 @@ def build_replica_dir(spark, sf_dir: str) -> str:
         if not os.path.exists(src):
             continue
         out = os.path.join(dest, f"{t}.parquet")
-        if t not in FACT_SHIFTS:
+        if t not in shifts:
             os.symlink(src, out)
             continue
         os.makedirs(out)
         base = spark.read.parquet(src)
         for c in range(REPLICAS):
             shifted = base
-            for col in FACT_SHIFTS[t]:
+            for col in shifts[t]:
                 shifted = shifted.withColumn(
                     col, F.col(col) + F.lit(c * ID_OFFSET)
                 )
@@ -107,6 +122,9 @@ def main() -> None:
         i = argv.index("--sf"); sf_dir = argv[i + 1]; del argv[i : i + 2]
     if "--replicas" in argv:
         i = argv.index("--replicas"); REPLICAS = int(argv[i + 1]); del argv[i : i + 2]
+    with_dims = "--with-dims" in argv
+    if with_dims:
+        argv.remove("--with-dims")
     args = [a for a in argv if not a.startswith("--")]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -124,7 +142,7 @@ def main() -> None:
     from __spark_entry__ import queries
 
     q = queries()
-    rep_dir = build_replica_dir(spark, sf_dir)
+    rep_dir = build_replica_dir(spark, sf_dir, with_dims=with_dims)
     import math
 
     for key in args:

@@ -465,6 +465,87 @@ def simhash_pairs(
     )
 
 
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` over ANY int64 hash
+    column — ``simhash_pairs``' pigeonhole machinery generalized so
+    perceptual hashes (image ahash, audio fingerprints) get the same
+    banded self-join text simhash has, instead of exact-equality-only
+    dedup.
+
+    Candidate generation: ``max_hamming + 1`` bands covering ``bits``
+    (pigeonhole: ≤ d differing bits cannot touch all d+1 bands, so some
+    band is EXACTLY equal); exact refine via ``bit_count(xor)``.  Scale
+    shape: the band join shuffles (id, hash, band, key) longs only — one
+    self-join keyed on small band keys, skew-safe under AQE; no text or
+    binary payload ever moves.  Output: (id_a, id_b, hamming).
+    """
+    if not 0 < bits <= 63:
+        raise ValueError(f"bits must be in 1..63, got {bits}")
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_bands} bands but the hash "
+            f"has only {bits} bits"
+        )
+    # band i covers [starts[i], starts[i+1]) — widths differ by <= 1 bit
+    starts = [round(i * bits / n_bands) for i in range(n_bands + 1)]
+
+    def _band_key(col: Column, bi: int) -> Column:
+        width = starts[bi + 1] - starts[bi]
+        return F.shiftright(col, starts[bi]) % (1 << width)
+
+    sig = df.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).cast("long").alias("__h")
+    ).transform(_barrier)  # hash lineage (often a UDF chain) computes once
+    banded = sig.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        _band_key(F.col("__h"), i).alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__h", "b.band", "b.key")
+
+    # first-match dedup (see minhash_lsh_pairs): pair emitted only in its
+    # lowest matching band — codegen filter, no pair-dedup shuffle
+    first_match = F.lit(True)
+    for bi in range(n_bands - 1):
+        first_match = first_match & (
+            (F.col("band") <= bi)
+            | (_band_key(F.col("a.__h"), bi) != _band_key(F.col("b.__h"), bi))
+        )
+
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "key"])
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .where(first_match)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (the verifier; SQL-expressible)
 # ---------------------------------------------------------------------------

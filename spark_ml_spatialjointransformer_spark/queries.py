@@ -14691,6 +14691,321 @@ def p17_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: m15 reuses m5's exact ahash replay (synth 16×12 → resize 7×5 → 35-bit
+#: average hash), then counts NEAR neighbors per image: Hamming 1..2 —
+#: d=0 is exact-equality territory m5 already owns, so m15 measures the
+#: perceptually-close-but-not-identical tail (recompressed thumbnails,
+#: single-pixel watermarks) that equality dedup misses.
+_M15_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+xo AS (SELECT unnest(range(7)) AS x1), yo AS (SELECT unnest(range(5)) AS y1),
+p AS (SELECT doc_id, y1 * 7 + x1 AS k,
+             (3 * ((x1 * 16) // 7) + 5 * ((y1 * 12) // 5) + doc_id) % 256
+             + ((x1 * 16) // 7 + 2 * ((y1 * 12) // 5)) % 256
+             + (doc_id + ((x1 * 16) // 7) * ((y1 * 12) // 5)) % 256 AS v
+      FROM d CROSS JOIN xo CROSS JOIN yo),
+t AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tot FROM p GROUP BY doc_id),
+h AS (SELECT p.doc_id,
+             CAST(sum(CASE WHEN p.v * 35 >= t.tot
+                           THEN CAST(1 AS BIGINT) << p.k
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+      FROM p JOIN t USING (doc_id) GROUP BY p.doc_id),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM h a JOIN h b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.ahash, b.ahash)) BETWEEN 1 AND 2),
+u AS (SELECT id_a AS doc_id FROM pr
+      UNION ALL SELECT id_b AS doc_id FROM pr)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neardups
+FROM u GROUP BY doc_id
+"""
+
+
+@_register("m15_image_hamming_neardup", _M15_ORACLE)
+def m15_image_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-duplicate degree by perceptual-hash Hamming distance:
+    for every image with at least one neighbor at ahash Hamming 1–2, the
+    count of such neighbors — the multimodal twin of t7's SimHash near-
+    dup, where m5 (exact ahash equality) is the twin of t2's exact
+    fingerprint dedup.  Distance 0 is deliberately EXCLUDED: those are
+    m5's exact clusters; the 1–2 band is what recompression, resize
+    jitter, and single-region watermarks produce, and is what an image
+    dedup pass at training-data scale actually hunts.  Pair generation
+    is the pigeonhole band join (``operators/dedup.py:hamming_pairs``,
+    3 bands over 35 bits ⇒ any d ≤ 2 pair collides exactly in ≥ 1 band),
+    NOT an all-pairs scan — the oracle's cross join is the sf-scale
+    replay only.  Scale shape: three chained mapInPandas passes synth/
+    resize/hash the binaries in place (nothing binary ever shuffles),
+    then the band self-join moves (id, hash, band, key) longs, the
+    refine is codegen bit_count(xor), and the degree rollup is one
+    map-combinable id-keyed count."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        hamming_pairs,
+    )
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        image_ahash,
+        resize_images,
+        synth_ppm_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = synth_ppm_images(docs, "doc_id", width=16, height=12, out_col="img")
+    thumbs = resize_images(imgs, "img", width=7, height=5, out_col="thumb")
+    hashed = image_ahash(thumbs, "thumb", out_col="ahash")
+    pairs = hamming_pairs(
+        hashed, "doc_id", "ahash", bits=35, max_hamming=2
+    ).where(F.col("hamming") >= 1)
+    return (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neardups"))
+    )
+
+
+#: g15 correlation arithmetic: same floor(x + 0.5) scaled-int form as d30
+#: — num/den are exact int64 sums, only the final ratio touches doubles.
+_G15_ORACLE = f"""
+WITH pairs AS ({_v2_oracle()}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+und AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+de AS (SELECT da.d AS x, db.d AS y
+       FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b),
+sym AS (SELECT x, y FROM de UNION ALL SELECT y AS x, x AS y FROM de),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM sym)
+SELECT n // 2 AS n_edges,
+       CAST(floor((n * sxy - sx * sy) * 1000000e0
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) + 0.5e0)
+            AS BIGINT) AS assortativity_e6
+FROM m
+WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+"""
+
+
+@_register("g15_degree_assortativity", _G15_ORACLE)
+def g15_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the v2 near-duplicate graph:
+    the Pearson correlation of endpoint degrees over the symmetrized
+    edge list — ONE number that separates the two dedup-graph shapes
+    every other g-query measures locally: clone FAMILIES (high-degree
+    nodes linking to high-degree nodes → positive) vs template STARS
+    (boilerplate hubs linking to degree-1 leaves → negative).  Negative
+    assortativity tells the curation pipeline its pair volume is
+    template-driven, so keeper election (t9/t55) will under-dedup unless
+    the template is stripped first; the per-node g10 coefficient cannot
+    see this — it is blind to WHO the neighbors are.  Arithmetic is
+    d30's scaled-int correlation: int64 sums, one final double ratio,
+    floor(x·1e6 + 0.5).  Scale shape: the pair list computes once
+    (lineage barrier), degrees are one map-combinable count, attaching
+    them is two id-keyed hash joins of (int64, int64) rows, and the
+    moment rollup is a single-row global aggregate — nothing downstream
+    of the LSH join carries more than two longs per edge."""
+    from spark_ml_spatialjointransformer_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.3,
+        n_planes=6, bands=2, quantized=True,
+    )
+    pairs = raw.select(
+        F.col("id_a").cast("long").alias("a"),
+        F.col("id_b").cast("long").alias("b"),
+    ).transform(_barrier)
+    und = pairs.select(F.col("a").alias("u")).unionByName(
+        pairs.select(F.col("b").alias("u"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    de = (
+        pairs.join(deg.withColumnsRenamed({"u": "a", "d": "x"}), "a")
+        .join(deg.withColumnsRenamed({"u": "b", "d": "y"}), "b")
+        .select("x", "y")
+    )
+    sym = de.unionByName(de.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    m = sym.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        m.where((varx > 0) & (vary > 0))
+        .select(
+            F.expr("n div 2").alias("n_edges"),
+            F.floor(
+                num * 1000000.0 / (F.sqrt(varx) * F.sqrt(vary)) + 0.5
+            )
+            .cast("bigint")
+            .alias("assortativity_e6"),
+        )
+    )
+
+
+#: t60 thresholds (Gopher-style top-n-gram coverage gates, Rae et al.
+#: 2021 §A1.1 adapted to token fractions): the single most frequent
+#: unigram covering > 12% of tokens, or the most frequent bigram
+#: covering > 18%
+_T60_TOP_UNIGRAM_E6 = 120_000
+_T60_TOP_BIGRAM_E6 = 180_000
+
+_T60_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS ts
+             FROM documents),
+base AS (SELECT doc_id, ts, len(ts) AS ntok FROM tok WHERE len(ts) >= 2),
+ug AS (SELECT doc_id, ntok, ts[i] AS g
+       FROM base, unnest(range(1, len(ts) + 1)) t(i)),
+ugc AS (SELECT doc_id, ntok, g, count(*) AS c FROM ug GROUP BY 1, 2, 3),
+topu AS (SELECT doc_id, ntok, max(c) AS topc1 FROM ugc GROUP BY 1, 2),
+bg AS (SELECT doc_id, ntok, array_to_string(ts[i : i + 1], ' ') AS g
+       FROM base, unnest(range(1, len(ts))) t(i)),
+bgc AS (SELECT doc_id, ntok, g, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+topb AS (SELECT doc_id, ntok, max(c) AS topc2 FROM bgc GROUP BY 1, 2)
+SELECT topu.doc_id,
+       CAST(topu.ntok AS BIGINT) AS ntok,
+       topu.topc1 * 1000000 // topu.ntok AS top_unigram_frac_e6,
+       topb.topc2 * 2 * 1000000 // topu.ntok AS top_bigram_frac_e6,
+       (topu.topc1 * 1000000 // topu.ntok > {_T60_TOP_UNIGRAM_E6}
+        OR topb.topc2 * 2 * 1000000 // topu.ntok > {_T60_TOP_BIGRAM_E6})
+         AS is_repetitive
+FROM topu JOIN topb USING (doc_id)
+"""
+
+
+@_register("t60_repetition_signals", _T60_ORACLE)
+def t60_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-n-gram coverage gates (the other half of the Gopher/
+    MassiveText repetition filters, Rae et al. 2021 §A1.1): per doc, the
+    token fraction covered by the single most frequent unigram and by
+    the single most frequent bigram, flagged past either threshold.
+    t16 measures how much of the doc repeats AT ALL (duplicate-gram
+    fraction); t60 measures whether ONE dominant gram does the
+    repeating — the 'lyrics chorus / SEO keyword stuffing' signature
+    (one gram, huge coverage) that t16's diffuse-repeat fraction
+    dilutes, and vice versa: both gates ship together in every
+    production quality stack because neither subsumes the other.  Docs
+    under 2 tokens are excluded (no bigram).  All ratios integer-exact:
+    count·1e6 floor-div ntok on the non-negative domain.  Scale shape:
+    two explode→(doc, gram) count passes with map-side combine — the
+    shuffle carries one row per DISTINCT per-doc gram, Zipf-bounded;
+    the max-rollups and final join are doc-id-keyed; no windows, no
+    driver state."""
+    ts = F.split(F.trim(F.col("text")), " ")
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", ts.alias("ts"))
+        .where(F.size("ts") >= 2)
+        .select("doc_id", "ts", F.size("ts").alias("ntok"))
+    )
+    ug = base.select("doc_id", "ntok", F.explode("ts").alias("g"))
+    topu = (
+        ug.groupBy("doc_id", "ntok", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "ntok")
+        .agg(F.max("c").alias("topc1"))
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 2),"
+                " i -> concat_ws(' ', ts[i], ts[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    topb = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topc2"))
+    )
+    uni_frac = F.expr("topc1 * 1000000 div ntok")
+    bi_frac = F.expr("topc2 * 2 * 1000000 div ntok")
+    return (
+        topu.join(topb, "doc_id")
+        .select(
+            "doc_id",
+            F.col("ntok").cast("bigint").alias("ntok"),
+            uni_frac.alias("top_unigram_frac_e6"),
+            bi_frac.alias("top_bigram_frac_e6"),
+            (
+                (uni_frac > _T60_TOP_UNIGRAM_E6)
+                | (bi_frac > _T60_TOP_BIGRAM_E6)
+            ).alias("is_repetitive"),
+        )
+    )
+
+
+#: d31 weekday index: epoch-day (UTC) shifted so 0=Sunday — 1970-01-01
+#: was a Thursday (index 4).  Pure integer arithmetic in both engines; no
+#: engine dayofweek() convention (Spark 1=Sunday, DuckDB 0=Sunday) leaks.
+_D31_ORACLE = """
+WITH e AS (SELECT event_type AS t,
+                  (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+           FROM events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00'),
+c AS (SELECT t, dow, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+tot AS (SELECT t, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY t)
+SELECT c.t AS event_type, CAST(c.dow AS BIGINT) AS dow, c.n AS n_events,
+       c.n * 1000000 // tot.tn AS share_e6,
+       c.n = max(c.n) OVER (PARTITION BY c.t) AS is_peak_day
+FROM c JOIN tot ON tot.t = c.t
+"""
+
+
+@_register("d31_weekday_profile", _D31_ORACLE)
+def d31_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: volume, share of
+    the type's total, and peak-day flag per weekday — the calendar-
+    periodicity census d30's lag correlation presumes but never shows
+    (d30 asks "does type A lead type B"; d31 asks "is the series itself
+    weekly-periodic", the first thing an anomaly baseline or a
+    training-data freshness report needs).  The weekday index is derived
+    from the raw epoch day ((day + 4) % 7, 0=Sunday) so no engine
+    dayofweek() convention is involved — integer-exact parity by
+    construction.  Scale shape: ONE map-combinable (type, dow) count —
+    at most 7·|types| rows ever shuffle; the share and peak are computed
+    over that tiny rollup (the window partitions are ≤ 7 rows)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp")
+    )
+    c = (
+        ev.select(
+            F.col("event_type").alias("event_type"),
+            (
+                ((F.unix_timestamp("ts") / F.lit(86400)).cast("long") + 4) % 7
+            ).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        "n_events",
+        F.expr(
+            "n_events * 1000000 div sum(n_events)"
+            " OVER (PARTITION BY event_type)"
+        ).alias("share_e6"),
+        (F.col("n_events") == F.max("n_events").over(wt)).alias(
+            "is_peak_day"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
