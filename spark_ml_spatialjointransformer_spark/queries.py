@@ -15006,6 +15006,178 @@ def d31_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: t61 fits over the top-N ranks only: the Zipf law holds in the head,
+#: and a fixed N makes the fit size-independent across sources
+_T61_TOP_N = 100
+
+_T61_ORACLE = f"""
+WITH tok AS (SELECT source, unnest(string_split(trim(text), ' ')) AS w
+             FROM documents),
+c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS f
+      FROM tok GROUP BY source, w),
+r AS (SELECT source, f,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY f DESC, w) AS rk
+      FROM c),
+h AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+      FROM r WHERE rk <= {_T61_TOP_N}),
+m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM h GROUP BY source)
+SELECT source, n AS n_ranks,
+       CAST(floor((sx * sy - n * sxy) * 1000000e0
+                  / (n * sxx - sx * sx) + 0.5e0) AS BIGINT) AS zipf_s_e6
+FROM m WHERE (n * sxx - sx * sx) > 0
+"""
+
+
+@_register("t61_zipf_exponent", _T61_ORACLE)
+def t61_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent per source: least-squares slope of ln(freq) against
+    ln(rank) over each source's top-{_T61_TOP_N} tokens, reported as the
+    POSITIVE exponent s (freq ∝ rank^-s) scaled e6 — the corpus-health
+    fingerprint curation teams track per feed: natural prose sits near
+    s ≈ 1, template/boilerplate-heavy feeds flatten the head (s < 0.7),
+    OCR noise and ID-dense dumps steepen it.  t18/t19 score documents
+    against the corpus distribution; t61 scores the DISTRIBUTION itself,
+    which is what a per-source ingestion gate consumes.  Output floats
+    never leave the engines raw: both sides compute the identical
+    closed-form slope and round once to e6 (d30's convention — the only
+    libm calls are ln/sum on identical int counts).  Scale shape: one
+    map-combinable (source, token) count (distinct-token bounded), a
+    per-source top-N window over counts (rank truncation keeps the fit
+    head-only), and a |sources|-row moment rollup."""
+    from pyspark.sql.window import Window
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"),
+    )
+    c = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    r = c.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("f"), "w")
+        ),
+    ).where(F.col("rk") <= _T61_TOP_N)
+    h = r.select(
+        "source",
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    m = h.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("sx") * F.col("sy") - F.col("n") * F.col("sxy")
+    return (
+        m.where(den > 0)
+        .select(
+            "source",
+            F.col("n").alias("n_ranks"),
+            F.floor(num * 1000000.0 / den + 0.5)
+            .cast("bigint")
+            .alias("zipf_s_e6"),
+        )
+    )
+
+
+#: d32's integer CUSUM: deviation of day d = c_d·D − T (count scaled by
+#: the series length minus the series total) — zero-mean by construction,
+#: every term int64, so the running sum and its argmax are engine-exact.
+_D32_ORACLE = """
+WITH e AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS d
+           FROM events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00'),
+cnt AS (SELECT t, d, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+b AS (SELECT t, min(d) AS d0, max(d) AS d1 FROM cnt GROUP BY t),
+days AS (SELECT b.t, unnest(generate_series(b.d0, b.d1)) AS d FROM b),
+g AS (SELECT days.t, days.d, coalesce(cnt.c, 0) AS c
+      FROM days LEFT JOIN cnt ON cnt.t = days.t AND cnt.d = days.d),
+tot AS (SELECT t, CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(c) AS BIGINT) AS tc
+        FROM g GROUP BY t),
+cu AS (SELECT g.t, g.d,
+              CAST(sum(g.c * tot.nd - tot.tc)
+                   OVER (PARTITION BY g.t ORDER BY g.d) AS BIGINT) AS s
+       FROM g JOIN tot ON tot.t = g.t),
+mx AS (SELECT t, d, s, abs(s) AS a,
+              row_number() OVER (PARTITION BY t
+                                 ORDER BY abs(s) DESC, d) AS rn
+       FROM cu)
+SELECT t AS event_type, CAST(d AS BIGINT) AS change_day,
+       s AS cusum_at_peak, a AS max_abs_cusum
+FROM mx WHERE rn = 1
+"""
+
+
+@_register("d32_cusum_changepoint", _D32_ORACLE)
+def d32_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type (Page 1954, the
+    offline single-change form): over the zero-filled daily count
+    series, the running sum of integer deviations from the series mean
+    peaks — in absolute value — at the most likely level-shift day.
+    e23's streaming z-score flags single anomalous DAYS; d32 localizes a
+    persistent LEVEL CHANGE (feed turned on/off, bot campaign started),
+    which spiky z-scores smear.  Deviations are computed as c·D − T
+    (count times series length minus series total) so the mean is never
+    a float: every term, the running sum, and the argmax are int64 —
+    bit-identical across engines.  Scale shape: one map-combinable
+    (type, day) count, a calendar-bounded zero-fill (generate_series /
+    sequence join — rows scale with days, not events), one running-sum
+    window and one argmax window per type, both partitioned by the
+    |types|-sized key."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp")
+    )
+    from pyspark.sql.window import Window
+
+    cnt = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            (F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("d"),
+        )
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    b = cnt.groupBy("t").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    days = b.select(
+        "t", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    g = days.join(cnt, ["t", "d"], "left").select(
+        "t", "d", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    tot = g.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("c").cast("long").alias("tc"),
+    )
+    w_run = Window.partitionBy("t").orderBy("d")
+    cu = g.join(tot, "t").select(
+        "t",
+        "d",
+        F.sum(F.col("c") * F.col("nd") - F.col("tc"))
+        .over(w_run)
+        .cast("long")
+        .alias("s"),
+    )
+    w_max = Window.partitionBy("t").orderBy(F.desc(F.abs("s")), "d")
+    return (
+        cu.withColumn("rn", F.row_number().over(w_max))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("d").cast("bigint").alias("change_day"),
+            F.col("s").alias("cusum_at_peak"),
+            F.abs("s").alias("max_abs_cusum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #

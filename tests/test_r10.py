@@ -90,3 +90,77 @@ class TestD31WeekdayProfile:
         assert got[("view", 0)] == (1, 333_333, False)
         assert got[("buy", 4)] == (1, 1_000_000, True)
         assert len(got) == 3
+
+
+class TestD32Cusum:
+    def test_level_shift_localized(self, spark, tmp_path):
+        """10 quiet days (1 event/day) then 10 loud days (5/day): the
+        integer CUSUM peaks in magnitude exactly at the last quiet day."""
+        from spark_ml_spatialjointransformer_spark.queries import (
+            d32_cusum_changepoint,
+        )
+
+        rows = []
+        eid = 0
+        for day in range(20):
+            n = 1 if day < 10 else 5
+            for k in range(n):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        7,
+                        "view",
+                        datetime.datetime(1970, 1, 1)
+                        + datetime.timedelta(days=day, minutes=k),
+                        1.0,
+                    )
+                )
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double",
+        ).write.parquet(f"{tmp_path}/events.parquet")
+        got = d32_cusum_changepoint(spark, str(tmp_path)).collect()
+        assert len(got) == 1
+        r = got[0]
+        # deviations: quiet day = 1*20-60 = -40, loud day = 5*20-60 = +40
+        # cusum bottoms at day 9 (last quiet day): -400
+        assert r.change_day == 9
+        assert r.cusum_at_peak == -400
+        assert r.max_abs_cusum == 400
+
+
+class TestT61Zipf:
+    def test_perfect_zipf_slope(self, spark, tmp_path):
+        """A constructed corpus with freq(rank r) = 2^(7-r) for ranks
+        1..7 has slope -ln2 per unit ln-rank... but ranks are not
+        log-spaced, so pin instead the exact closed form computed in
+        python over the same (rank, freq) head."""
+        import math
+
+        from spark_ml_spatialjointransformer_spark.queries import (
+            t61_zipf_exponent,
+        )
+
+        freqs = {f"w{r}": 2 ** (8 - r) for r in range(1, 8)}
+        text = " ".join(
+            " ".join([w] * f) for w, f in sorted(freqs.items())
+        )
+        spark.createDataFrame(
+            [(1, text, "s1")], "doc_id long, text string, source string"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        row = t61_zipf_exponent(spark, str(tmp_path)).collect()[0]
+        ranked = sorted(freqs.values(), reverse=True)
+        xs = [math.log(i + 1) for i in range(len(ranked))]
+        ys = [math.log(f) for f in ranked]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        want = math.floor(
+            (sx * sy - n * sxy) * 1e6 / (n * sxx - sx * sx) + 0.5
+        )
+        assert row.n_ranks == 7
+        assert row.zipf_s_e6 == want
+        assert row.zipf_s_e6 > 0  # positive exponent convention
