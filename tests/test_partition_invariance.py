@@ -50,6 +50,11 @@ SENSITIVE = [
     "a16_balance_deciles",     # ntile banding over per-nation sort
     "m8_crossformat_dedup",    # dual-codec Arrow chain
     "v11_lsh_recall",          # two ranked tiers + overlap join
+    "m15_image_hamming_neardup",  # mapInPandas hash chain + band self-join
+    "g15_degree_assortativity",   # LSH pairs + degree joins + moment agg
+    "t60_repetition_signals",  # two per-doc gram-count max rollups
+    "t61_zipf_exponent",       # per-source rank window over counts
+    "d32_cusum_changepoint",   # running-sum + argmax windows per type
 ]
 
 
