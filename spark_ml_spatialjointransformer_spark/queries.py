@@ -15178,6 +15178,94 @@ def d32_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: t62 bucket cap — small enough that the synthetic corpus's big exact-dup
+#: clusters actually trip it at every SF
+_T62_CAP = 2
+
+
+def _t62_oracle(k: int = 64, bands: int = 16, threshold_e6: int = 200_000) -> str:
+    """t6's exact signature replay plus the skew-cap semantics: per band,
+    a doc's bucket is the window count over that band's signature rows;
+    a pair is emitted iff its LOWEST signature-matching band is not hot
+    (the Spark side's first-match dedup keys each pair to that band, and
+    the cap anti-joins hot buckets away BEFORE the join — so a pair
+    whose lowest matching band is hot is suppressed even when a later
+    cool band also matches; both engines below implement exactly that)."""
+    rows = k // bands
+    coefs = minhash_coefficients(k)
+    mins = ",\n       ".join(
+        f"min((hm * {a} + {b}) % {MINHASH_PRIME}) AS m{j}"
+        for j, (a, b) in enumerate(coefs)
+    )
+    hots = ",\n       ".join(
+        "count(*) OVER (PARTITION BY "
+        + ", ".join(f"m{b * rows + r}" for r in range(rows))
+        + f") > {_T62_CAP} AS hot{b}"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(k)
+    )
+
+    def eq(b: int) -> str:
+        return " AND ".join(
+            f"a.m{b * rows + r} = b.m{b * rows + r}" for r in range(rows)
+        )
+
+    any_band = "\n     OR ".join(f"({eq(b)})" for b in range(bands))
+    # first signature-matching band must be cool: CASE walks bands in
+    # order, so the WHEN that fires IS the lowest matching band
+    first_cool = (
+        "CASE "
+        + " ".join(
+            f"WHEN {eq(b)} THEN NOT a.hot{b}" for b in range(bands)
+        )
+        + " ELSE FALSE END"
+    )
+    scale = 1_000_000 // k
+    return f"""
+WITH {_TOK_SH_CTE},
+h AS (SELECT doc_id, {h60_sql('s')} % {MINHASH_PRIME} AS hm FROM sh),
+sig0 AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+sig AS (SELECT *, {hots} FROM sig0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {agree} AS agree
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE ({any_band})
+    AND ({first_cool})
+)
+SELECT id_a, id_b, CAST(agree AS BIGINT) * {scale} AS est_jaccard_e6
+FROM pairs WHERE agree * {scale} >= {threshold_e6}
+"""
+
+
+@_register("t62_capped_lsh_pairs", _t62_oracle())
+def t62_capped_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t6's banded MinHash pair emission under the SKEW CAP
+    (``max_bucket={_T62_CAP}``): hot (band, key) buckets — the
+    boilerplate-template signature — are dropped before the self-join,
+    bounding any single task's pair fanout at cap²/2 per bucket.  The
+    pair-emission semantics under the cap (a pair survives iff its
+    LOWEST signature-matching band is cool) are pinned engine-vs-engine
+    here: the oracle replays the exact signatures, computes each band's
+    bucket size as a window count, and walks the bands in order — so the
+    production skew defense is oracle-checked, not just unit-tested.
+    The cap is set at the pair minimum (2) so the synthetic corpus's
+    3-4-doc dup clusters genuinely trip it — the capped output differs
+    from t6's at every SF.  Scale shape:
+    t6's plan plus ONE map-combinable (band, key) count and a small
+    broadcast anti-join (hot keys are ≤ |banded rows|/cap by
+    construction)."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.2, max_bucket=_T62_CAP
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation — SELF-MAINTAINING (derived, never hand-edited).
 #
