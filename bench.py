@@ -154,11 +154,56 @@ def clear_session_state(spark) -> None:
         pass
 
 
+def wait_for_idle_box(max_load: float, wait_s: float) -> float:
+    """LOAD GATE (refuse-to-record): two rounds running, the committed
+    final record was taken on a box carrying unrelated multi-core load
+    (r9 load 5.9, r10 load 5.7), and every ">1.5x baseline" entry in
+    those records turned out to be an artifact of it.  A record that can
+    lie is worse than no record, so: wait up to ``wait_s`` for the 1-min
+    load to drop below ``max_load``; if it never does, print a refusal
+    JSON line and exit non-zero WITHOUT writing a BENCH_LOCAL record.
+    ``SPARK_GRAFT_MAX_LOAD=0`` disables the gate (emergency override);
+    ``SPARK_GRAFT_LOAD_WAIT`` tunes the wait (seconds, default 900)."""
+    load = os.getloadavg()[0]
+    if max_load <= 0:
+        return round(load, 1)
+    deadline = time.monotonic() + wait_s
+    while load >= max_load and time.monotonic() < deadline:
+        print(
+            f"bench: load gate — 1-min load {load:.1f} >= {max_load:.1f}, "
+            "waiting for the box to go idle...",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(30)
+        load = os.getloadavg()[0]
+    if load >= max_load:
+        print(
+            json.dumps(
+                {
+                    "error": "load_gate_refused",
+                    "detail": (
+                        f"1-min load {round(load, 1)} >= {max_load} after "
+                        f"waiting {int(wait_s)}s; refusing to record a "
+                        "load-tainted bench (set SPARK_GRAFT_MAX_LOAD=0 "
+                        "to override)"
+                    ),
+                    "load_avg": [round(load, 1)],
+                }
+            )
+        )
+        sys.exit(3)
+    return round(load, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
-    load_start = round(os.getloadavg()[0], 1)  # external-load evidence
+    load_start = wait_for_idle_box(
+        float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0")),
+        float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "900")),
+    )
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -238,10 +283,17 @@ def main() -> None:
     # retried, every reading appended to the record's rep list — no
     # cherry-picking, the full history stays visible).
     retried: list[str] = []
+    # pre-retry mins preserved so the BENCH_BASELINE merge can use the
+    # PRIMARY pass only: replacing timings with retry-inclusive mins and
+    # then min-merging into the baseline is one-sided resampling (slow
+    # readings get extra draws, lucky-fast ones never do) that biases the
+    # recorded baseline downward compounding across rounds
+    primary_min: dict[str, float] = {}
     for name, qd in QUERIES.items():
         b = baseline.get(name)
         if name in timings and b and timings[name] > 2.0 * b:
             retried.append(name)
+            primary_min[name] = timings[name]
             rr = list(reps[name])
             for _ in range(3):
                 clear_session_state(spark)
@@ -255,6 +307,24 @@ def main() -> None:
                     break
             reps[name] = [round(r, 3) for r in rr]
             timings[name] = round(min(rr), 3)
+
+    # CONTROL RESAMPLE: one extra late-run reading for a deterministic
+    # sample of NON-outlier queries (every 40th by sorted name).  If the
+    # primary pass ran in a different interference regime than the retry
+    # pass, the controls drift too — making a retry-pass improvement
+    # distinguishable from "the box just got quieter", which the one-sided
+    # retry alone cannot show.  Control readings are recorded separately
+    # and never replace timings.
+    control_reps: dict[str, list[float]] = {}
+    control_names = sorted(n for n in timings if n not in retried)[::40]
+    for name in control_names:
+        clear_session_state(spark)
+        t0 = time.perf_counter()
+        try:
+            run(QUERIES[name].fn(spark, sf_dir))
+        except Exception:
+            continue
+        control_reps[name] = [timings[name], round(time.perf_counter() - t0, 3)]
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -272,6 +342,10 @@ def main() -> None:
         "reps": reps,
         "failed": failed,
         "retried": retried,
+        # primary-pass mins for the retried queries — the BENCH_BASELINE
+        # merge must use THESE (see the retry-pass comment above)
+        "retried_primary_min": primary_min,
+        "control_reps": control_reps,
         "load_avg": load_avg,
         "sf": sf_val,
     }

@@ -76,6 +76,7 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     n_pass = 0
+    n_ran_only = 0
     t_start = time.time()
     for i, (name, qd) in enumerate(sorted(QUERIES.items()), 1):
         row: dict = {
@@ -103,16 +104,26 @@ def main() -> int:
                 ok = bool(
                     row["rows_match"] and row["schema_match"] and row["hash_match"]
                 )
-            else:  # rows-only check for non-SQL-expressible ops
-                row["rows_match"] = row["spark_rows"] >= 0
-                ok = bool(row["rows_match"])
+            else:
+                # no oracle: the only thing a sweep can assert is "the
+                # query ran" — record that under a DISTINCT status and do
+                # NOT count it as a pass, so n_pass never overstates
+                # verified coverage (all current registry entries carry an
+                # oracle, so this branch is normally dead)
+                row["ran"] = True
+                ok = None
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
             row["err"] = f"{type(e).__name__}: {e}"[:500]
             ok = False
-        n_pass += ok
+        if ok is None:
+            n_ran_only += 1
+            status = "RAN (no oracle)"
+        else:
+            n_pass += ok
+            status = "PASS" if ok else "FAIL"
         results[name] = row
         print(
-            f"[{i}/{len(QUERIES)}] {name}: {'PASS' if ok else 'FAIL'}"
+            f"[{i}/{len(QUERIES)}] {name}: {status}"
             f" ({time.time() - t_start:.0f}s elapsed)",
             flush=True,
         )
@@ -121,12 +132,18 @@ def main() -> int:
         "sf_dir": args.sf_dir,
         "n_queries": len(QUERIES),
         "n_pass": n_pass,
+        "n_ran_only": n_ran_only,
         "queries": results,
     }
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
-    print(f"{n_pass}/{len(QUERIES)} pass → {args.out}", flush=True)
-    return 0 if n_pass == len(QUERIES) else 1
+    print(
+        f"{n_pass}/{len(QUERIES)} oracle-pass"
+        + (f" + {n_ran_only} ran-only" if n_ran_only else "")
+        + f" → {args.out}",
+        flush=True,
+    )
+    return 0 if n_pass + n_ran_only == len(QUERIES) else 1
 
 
 if __name__ == "__main__":

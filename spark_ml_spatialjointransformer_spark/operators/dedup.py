@@ -37,6 +37,7 @@ from spark_ml_spatialjointransformer_spark.functions.hashing import h60_col
 from spark_ml_spatialjointransformer_spark.operators._compat import (
     barrier as _barrier,
     barrier_eager as _barrier_eager,
+    unbarrier as _unbarrier,
 )
 
 _log = logging.getLogger(__name__)
@@ -211,9 +212,11 @@ def minhash_lsh_pairs(
     task into a B²/2 pair explosion that AQE skew-splitting can only
     partially chop (it splits the probe side, not the pair count).  Hot
     buckets are counted with one map-combinable aggregation; only keys
-    ABOVE the cap (≤ total_docs·bands/max_bucket of them, tiny by
-    construction) are collected into a broadcast anti-join, and the
-    dropped volume is logged loudly.  Semantics caveat: the first-match
+    ABOVE the cap (≤ total_docs·bands/(max_bucket+1) of them) feed the
+    anti-join — broadcast-hinted while the counted key total stays under
+    1M, plain shuffle above that (small caps on duplicate-heavy corpora
+    can make the hot set O(N·bands), which must not be force-broadcast) —
+    and the dropped volume is logged loudly.  Semantics caveat: the first-match
     dedup keys a pair to its LOWEST matching band, so a pair whose
     lowest matching band is dropped is suppressed entirely — the cap
     trades recall ON HOT TEMPLATES ONLY for bounded task skew, the
@@ -282,11 +285,16 @@ def minhash_lsh_pairs(
                 dropped.rows,
                 max_bucket,
             )
-            banded = banded.join(
-                F.broadcast(hot.select("band", "key")),
-                ["band", "key"],
-                "left_anti",
-            )
+            # broadcast only while the hot-key set is provably small: the
+            # bound banded_rows/(max_bucket+1) is NOT tiny for small caps
+            # on duplicate-heavy corpora (cap=2 ⇒ up to N·bands/3 keys),
+            # and F.broadcast bypasses Spark's autoBroadcast size guard —
+            # above the gate the anti-join shuffles instead, which AQE may
+            # still turn into a broadcast if the built side is small
+            hot_keys = hot.select("band", "key")
+            if dropped.buckets <= 1_000_000:
+                hot_keys = F.broadcast(hot_keys)
+            banded = banded.join(hot_keys, ["band", "key"], "left_anti")
 
     # threshold <= 0 means "every band collision is a candidate" (the LSH
     # candidate-generation mode): skip the per-pair agreement fold entirely
@@ -430,9 +438,13 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        # shiftright, NOT division: double division loses
-                        # exactness above 2^53 and would corrupt band keys
-                        (F.shiftright("__sh", i * width) % (1 << width)).alias("key"),
+                        # shiftright+mask, NOT division/modulo: double
+                        # division loses exactness above 2^53, and signed
+                        # remainder would corrupt keys for sign-bit hashes
+                        # (moot here — __sh < 2^60 — but see hamming_pairs)
+                        F.shiftright("__sh", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
                     )
                     for i in range(n_bands)
                 ]
@@ -443,7 +455,9 @@ def simhash_pairs(
     # first-match dedup (see minhash_lsh_pairs): pair emitted only in its
     # lowest matching band — codegen filter, no pair-dedup shuffle
     def _band_key(side: str, bi: int) -> Column:
-        return F.shiftright(F.col(f"{side}.__sh"), bi * width) % (1 << width)
+        return F.shiftright(F.col(f"{side}.__sh"), bi * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
 
     first_match = F.lit(True)
     for bi in range(n_bands - 1):
@@ -500,7 +514,14 @@ def hamming_pairs(
 
     def _band_key(col: Column, bi: int) -> Column:
         width = starts[bi + 1] - starts[bi]
-        return F.shiftright(col, starts[bi]) % (1 << width)
+        # bitmask, NOT `% (1 << width)`: (a) max_hamming=0 makes one
+        # 63-bit band, and the modulo literal 2**63 overflows LongType at
+        # plan time while the mask 2**63-1 fits; (b) shiftright is an
+        # ARITHMETIC shift, so a sign-bit-carrying hash yields a negative
+        # shifted value whose signed remainder differs from a congruent
+        # positive one — two hashes with IDENTICAL band bits could get
+        # different keys and the pigeonhole guarantee would silently break
+        return F.shiftright(col, starts[bi]).bitwiseAND(F.lit((1 << width) - 1))
 
     sig = df.select(
         F.col(id_col).alias("__id"), F.col(hash_col).cast("long").alias("__h")
@@ -734,6 +755,7 @@ def dedup_connected_components(
     )
     n_nodes = labels.count()  # one fast job over the checkpointed frame
     changed = n_nodes
+    prev_state = labels  # superseded-round handle for the persist() fallback
     for i in range(max_iters):
         # State merge in ONE exchange (the kNN-loop trick): instead of
         # aggregating neighbor labels per node and joining the aggregate
@@ -785,6 +807,10 @@ def dedup_connected_components(
             )
         merged = half.withColumnRenamed("__mid", "__new").transform(_barrier_eager)
         changed = merged.where(F.col("__new") != F.col("__lbl")).count()
+        # the new round is materialized — release the superseded state so
+        # the persist() fallback (Connect) holds O(1) rounds, not O(iters)
+        _unbarrier(prev_state)
+        prev_state = merged
         labels = merged.select("__v", F.col("__new").alias("__lbl"))
         if changed == 0:
             break

@@ -236,6 +236,12 @@ class BroadcastSpatialJoin(
     def getTieBreak(self):
         return self.getOrDefault(self.tieBreak)
 
+    def setNumNeighbors(self, value):
+        return self._set(numNeighbors=value)
+
+    def getNumNeighbors(self):
+        return self.getOrDefault(self.numNeighbors)
+
     # -- plan construction ---------------------------------------------------
 
     def _get(self, param: Param) -> str:

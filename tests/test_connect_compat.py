@@ -19,6 +19,18 @@ from pyspark.sql import functions as F
 from tests.conftest import collect_sorted
 
 
+@pytest.fixture(autouse=True)
+def _reset_capability_cache():
+    """_compat caches "this session cannot localCheckpoint" after the
+    first unsupported error; the monkeypatched block below must not leak
+    that verdict into the rest of the suite (the shared classic session
+    CAN localCheckpoint once the patch is undone)."""
+    from spark_ml_spatialjointransformer_spark.operators import _compat
+
+    yield
+    _compat._NO_LOCAL_CHECKPOINT.clear()
+
+
 def _block_local_checkpoint(monkeypatch):
     from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
 
@@ -70,6 +82,60 @@ class TestBarrierFallback:
             df.localCheckpoint(eager=False)
         assert barrier(df).count() == 10
         assert barrier_eager(df).count() == 10
+
+    def test_capability_verdict_cached_per_session(self, spark, monkeypatch):
+        """After ONE unsupported error the session is remembered as
+        no-localCheckpoint: iterative loops must not pay a raise/except
+        per round."""
+        from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+        from spark_ml_spatialjointransformer_spark.operators._compat import (
+            barrier,
+        )
+
+        calls = {"n": 0}
+
+        def boom(self, *a, **k):
+            calls["n"] += 1
+            raise NotImplementedError("unsupported")
+
+        monkeypatch.setattr(ClassicDF, "localCheckpoint", boom)
+        df = spark.range(5)
+        assert barrier(df).count() == 5
+        assert barrier(df).count() == 5
+        assert calls["n"] == 1  # second call skipped the probe entirely
+
+    def test_transient_failure_propagates(self, spark, monkeypatch):
+        """A job/executor failure during checkpoint is NOT a capability
+        signal — degrading to persist() would silently re-run the whole
+        subtree and mask the real error."""
+        from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+        from spark_ml_spatialjointransformer_spark.operators import _compat
+
+        def boom(self, *a, **k):
+            raise RuntimeError("Job aborted due to stage failure")
+
+        monkeypatch.setattr(ClassicDF, "localCheckpoint", boom)
+        df = spark.range(5)
+        with pytest.raises(RuntimeError, match="stage failure"):
+            _compat.barrier(df)
+        # and the session is NOT marked incapable by a transient error
+        assert _compat._session_key(df) not in _compat._NO_LOCAL_CHECKPOINT
+
+    def test_unbarrier_never_raises(self, spark, monkeypatch):
+        from spark_ml_spatialjointransformer_spark.operators._compat import (
+            unbarrier,
+        )
+
+        df = spark.range(3).persist()
+        assert unbarrier(df) is df
+        # and on a frame whose unpersist explodes, cleanup stays silent
+        class Bad:
+            def unpersist(self):
+                raise RuntimeError("boom")
+
+        unbarrier(Bad())
 
     def test_lsh_neardup_same_result_without_checkpoint(
         self, spark, monkeypatch

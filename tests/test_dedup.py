@@ -443,3 +443,39 @@ class TestHammingPairs:
             dedup.hamming_pairs(df, "id", "h", bits=0)
         with _pytest.raises(ValueError, match="bands"):
             dedup.hamming_pairs(df, "id", "h", bits=2, max_hamming=5)
+
+    def test_single_63_bit_band(self, spark):
+        """max_hamming=0 with bits=63 makes ONE 63-bit band — the r10 band
+        key used `% (1 << width)` whose literal 2**63 overflows LongType
+        at plan time; the bitmask form (2**63-1 fits) must plan AND find
+        exactly the equal pairs."""
+        big = (1 << 62) | 123_456_789
+        rows = [(1, big), (2, big), (3, big ^ 1), (4, 7)]
+        df = spark.createDataFrame(rows, "id long, h long")
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in dedup.hamming_pairs(
+                df, "id", "h", bits=63, max_hamming=0
+            ).collect()
+        }
+        assert got == {(1, 2): 0}
+
+    def test_sign_bit_hash_still_pairs(self, spark):
+        """A caller passing full 64-bit hashes (sign bit set) with
+        bits=63 must still get every low-63-bit match: arithmetic
+        shiftright yields NEGATIVE intermediates whose signed remainder
+        (the r10 key) differs between congruent values — the bitmask key
+        is sign-agnostic."""
+        x = (1 << 40) | 12_345  # positive, low 63 bits = P
+        y = x - (1 << 63)  # negative: SAME low 63 bits, sign bit set
+        rows = [(1, x), (2, y)]
+        df = spark.createDataFrame(rows, "id long, h long")
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in dedup.hamming_pairs(
+                df, "id", "h", bits=63, max_hamming=1
+            ).collect()
+        }
+        # full-64-bit xor differs only at the sign bit -> hamming 1; the
+        # signed-remainder key would have missed the candidate entirely
+        assert got == {(1, 2): 1}

@@ -831,6 +831,10 @@ def test_transformer_num_neighbors_k3(spark):
         t.save(d + "/m")
         loaded = BroadcastSpatialJoin.load(d + "/m")
         assert loaded.getOrDefault(loaded.numNeighbors) == "3"
+        # dedicated accessor pair (r10 verdict: the ONE param without one)
+        assert loaded.getNumNeighbors() == "3"
+    t2 = BroadcastSpatialJoin().setNumNeighbors("5")
+    assert t2.getNumNeighbors() == "5"
 
 
 def test_tie_break_column_survives_pruning(spark):
