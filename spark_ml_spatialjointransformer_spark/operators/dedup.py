@@ -191,6 +191,61 @@ def minhash_signatures(
     return exploded.groupBy("__id").agg(*aggs).select(*cols)
 
 
+def _drop_hot_buckets(banded: DataFrame, max_bucket: int, op: str) -> DataFrame:
+    """Skew cap shared by the banded self-join family (MinHash LSH,
+    SimHash, generic Hamming): drop every (band, key) bucket holding more
+    than ``max_bucket`` rows BEFORE the self-join.  A hot band key —
+    boilerplate-heavy corpora collapse thousands of near-identical docs
+    onto one key — otherwise turns one task into a B²/2 pair explosion
+    that AQE skew-splitting can only partially chop (it splits the probe
+    side, not the pair count).  Hot buckets are counted with one
+    map-combinable aggregation; only keys ABOVE the cap (≤
+    banded_rows/(max_bucket+1) of them) feed the anti-join, and the
+    dropped volume is logged loudly.
+
+    Pair semantics under the cap: every caller's first-match dedup keys a
+    pair to its LOWEST matching band, so a pair whose lowest matching
+    band is dropped is suppressed entirely even when a later cool band
+    also matches — the cap trades recall ON HOT TEMPLATES ONLY for
+    bounded task skew, the standard production dedup trade (such buckets
+    are near-total duplicates better handled by exact dedup upstream).
+    """
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket must allow at least one pair, got {max_bucket}")
+    hot = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket)
+        .transform(_barrier)  # counted once, anti-joined once
+    )
+    dropped = hot.agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("rows"),
+    ).collect()[0]
+    if not dropped.buckets:
+        return banded
+    _log.warning(
+        "%s: dropping %d hot bucket(s) holding %d banded rows "
+        "(> max_bucket=%d docs per (band, key)); pairs whose lowest "
+        "matching band is hot are suppressed — run exact dedup upstream "
+        "if these are template docs",
+        op,
+        dropped.buckets,
+        dropped.rows,
+        max_bucket,
+    )
+    # broadcast only while the hot-key set is provably small: the bound
+    # banded_rows/(max_bucket+1) is NOT tiny for small caps on
+    # duplicate-heavy corpora (cap=2 ⇒ up to N·bands/3 keys), and
+    # F.broadcast bypasses Spark's autoBroadcast size guard — above the
+    # gate the anti-join shuffles instead, which AQE may still turn into
+    # a broadcast if the built side is small
+    hot_keys = hot.select("band", "key")
+    if dropped.buckets <= 1_000_000:
+        hot_keys = F.broadcast(hot_keys)
+    return banded.join(hot_keys, ["band", "key"], "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -261,40 +316,7 @@ def minhash_lsh_pairs(
     ).select("__id", "__sig", "__sz", "b.band", "b.key")
 
     if max_bucket is not None:
-        if max_bucket < 2:
-            raise ValueError(
-                f"max_bucket must allow at least one pair, got {max_bucket}"
-            )
-        hot = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > max_bucket)
-            .transform(_barrier)  # counted once, anti-joined once
-        )
-        dropped = hot.agg(
-            F.count(F.lit(1)).alias("buckets"),
-            F.coalesce(F.sum("__n"), F.lit(0)).alias("rows"),
-        ).collect()[0]
-        if dropped.buckets:
-            _log.warning(
-                "minhash_lsh_pairs: dropping %d hot LSH bucket(s) holding "
-                "%d banded rows (> max_bucket=%d docs per (band, key)); "
-                "pairs whose lowest matching band is hot are suppressed — "
-                "run exact dedup upstream if these are template docs",
-                dropped.buckets,
-                dropped.rows,
-                max_bucket,
-            )
-            # broadcast only while the hot-key set is provably small: the
-            # bound banded_rows/(max_bucket+1) is NOT tiny for small caps
-            # on duplicate-heavy corpora (cap=2 ⇒ up to N·bands/3 keys),
-            # and F.broadcast bypasses Spark's autoBroadcast size guard —
-            # above the gate the anti-join shuffles instead, which AQE may
-            # still turn into a broadcast if the built side is small
-            hot_keys = hot.select("band", "key")
-            if dropped.buckets <= 1_000_000:
-                hot_keys = F.broadcast(hot_keys)
-            banded = banded.join(hot_keys, ["band", "key"], "left_anti")
+        banded = _drop_hot_buckets(banded, max_bucket, "minhash_lsh_pairs")
 
     # threshold <= 0 means "every band collision is a candidate" (the LSH
     # candidate-generation mode): skip the per-pair agreement fold entirely
@@ -419,12 +441,18 @@ def simhash_values(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance ≤ max_hamming.
 
     Candidate generation via 4 15-bit bands (pigeonhole: distance ≤ 3 ⇒ at
     least one of 4 bands is equal), exact refine via bit_count(xor).
+    ``max_bucket`` drops hot (band, key) buckets before the self-join —
+    see ``_drop_hot_buckets`` for the skew/recall trade.
     Output: (id_a, id_b, hamming)."""
     n_bands = 4
     width = SIMHASH_BITS // n_bands
@@ -451,6 +479,9 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("__id", "__sh", "b.band", "b.key")
+
+    if max_bucket is not None:
+        banded = _drop_hot_buckets(banded, max_bucket, "simhash_pairs")
 
     # first-match dedup (see minhash_lsh_pairs): pair emitted only in its
     # lowest matching band — codegen filter, no pair-dedup shuffle
@@ -485,6 +516,7 @@ def hamming_pairs(
     hash_col: str,
     bits: int,
     max_hamming: int = 2,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` over ANY int64 hash
     column — ``simhash_pairs``' pigeonhole machinery generalized so
@@ -497,7 +529,11 @@ def hamming_pairs(
     band is EXACTLY equal); exact refine via ``bit_count(xor)``.  Scale
     shape: the band join shuffles (id, hash, band, key) longs only — one
     self-join keyed on small band keys, skew-safe under AQE; no text or
-    binary payload ever moves.  Output: (id_a, id_b, hamming).
+    binary payload ever moves.  ``max_bucket`` drops hot (band, key)
+    buckets before the self-join — perceptual hashes have the same
+    template-corpus exposure as text LSH (re-exported thumbnails of one
+    image collapse onto one key); see ``_drop_hot_buckets``.
+    Output: (id_a, id_b, hamming).
     """
     if not 0 < bits <= 63:
         raise ValueError(f"bits must be in 1..63, got {bits}")
@@ -541,6 +577,9 @@ def hamming_pairs(
             )
         ).alias("b"),
     ).select("__id", "__h", "b.band", "b.key")
+
+    if max_bucket is not None:
+        banded = _drop_hot_buckets(banded, max_bucket, "hamming_pairs")
 
     # first-match dedup (see minhash_lsh_pairs): pair emitted only in its
     # lowest matching band — codegen filter, no pair-dedup shuffle

@@ -14762,6 +14762,94 @@ def m15_image_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: m16 bucket cap — the pair minimum, so the synthetic corpus's period-256
+#: ahash clusters (every doc_id ≡ k mod 256 shares a hash) genuinely trip
+#: it at every SF and the capped output differs from m15's.
+_M16_CAP = 2
+
+#: m16 replays m15's ahash pipeline PLUS hamming_pairs' skew cap: band
+#: keys are the exact integer shift+mask the engine computes (3 bands
+#: over 35 bits: [0,12) [12,23) [23,35)), each band's bucket size is a
+#: window count over that band's key, and a pair survives iff its LOWEST
+#: key-matching band is cool — the first-match semantics the Spark side
+#: enforces with its codegen filter after the anti-join.
+_M16_ORACLE = f"""
+WITH d AS (SELECT doc_id FROM documents),
+xo AS (SELECT unnest(range(7)) AS x1), yo AS (SELECT unnest(range(5)) AS y1),
+p AS (SELECT doc_id, y1 * 7 + x1 AS k,
+             (3 * ((x1 * 16) // 7) + 5 * ((y1 * 12) // 5) + doc_id) % 256
+             + ((x1 * 16) // 7 + 2 * ((y1 * 12) // 5)) % 256
+             + (doc_id + ((x1 * 16) // 7) * ((y1 * 12) // 5)) % 256 AS v
+      FROM d CROSS JOIN xo CROSS JOIN yo),
+t AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tot FROM p GROUP BY doc_id),
+h AS (SELECT p.doc_id,
+             CAST(sum(CASE WHEN p.v * 35 >= t.tot
+                           THEN CAST(1 AS BIGINT) << p.k
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+      FROM p JOIN t USING (doc_id) GROUP BY p.doc_id),
+bk AS (SELECT doc_id, ahash,
+              (ahash >> 0) & 4095 AS k0,
+              (ahash >> 12) & 2047 AS k1,
+              (ahash >> 23) & 4095 AS k2 FROM h),
+hb AS (SELECT *,
+              count(*) OVER (PARTITION BY k0) > {_M16_CAP} AS hot0,
+              count(*) OVER (PARTITION BY k1) > {_M16_CAP} AS hot1,
+              count(*) OVER (PARTITION BY k2) > {_M16_CAP} AS hot2 FROM bk),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+       WHERE (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2)
+         AND (CASE WHEN a.k0 = b.k0 THEN NOT a.hot0
+                   WHEN a.k1 = b.k1 THEN NOT a.hot1
+                   WHEN a.k2 = b.k2 THEN NOT a.hot2
+                   ELSE FALSE END)
+         AND bit_count(xor(a.ahash, b.ahash)) BETWEEN 1 AND 2),
+u AS (SELECT id_a AS doc_id FROM pr
+      UNION ALL SELECT id_b AS doc_id FROM pr)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neardups
+FROM u GROUP BY doc_id
+"""
+
+
+@_register("m16_capped_hamming_neardup", _M16_ORACLE)
+def m16_capped_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m15's image near-dup degree under the SKEW CAP
+    (``max_bucket={_M16_CAP}``): hot (band, key) buckets — the synthetic
+    corpus's period-256 ahash clusters stand in for the re-exported-
+    thumbnail template hashes a real 100 TB image corpus carries — are
+    dropped before the self-join, bounding any single task's pair fanout
+    at cap²/2 per bucket.  This is t62's engine-vs-engine pin ported to
+    the GENERIC ``hamming_pairs`` (the r10 verdict's ask): the oracle
+    replays the exact 35-bit ahash, derives each band key with the same
+    shift+mask integers the engine plans, sizes every bucket with a
+    window count, and walks the bands in order so the lowest-matching-
+    band survival rule is checked value-for-value, not just unit-tested.
+    Scale shape: m15's plan plus ONE map-combinable (band, key) count
+    and a size-gated anti-join (broadcast under 1M hot keys, shuffle
+    above)."""
+    from spark_ml_spatialjointransformer_spark.operators.dedup import (
+        hamming_pairs,
+    )
+    from spark_ml_spatialjointransformer_spark.operators.multimodal import (
+        image_ahash,
+        resize_images,
+        synth_ppm_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = synth_ppm_images(docs, "doc_id", width=16, height=12, out_col="img")
+    thumbs = resize_images(imgs, "img", width=7, height=5, out_col="thumb")
+    hashed = image_ahash(thumbs, "thumb", out_col="ahash")
+    pairs = hamming_pairs(
+        hashed, "doc_id", "ahash", bits=35, max_hamming=2, max_bucket=_M16_CAP
+    ).where(F.col("hamming") >= 1)
+    return (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neardups"))
+    )
+
+
 #: g15 correlation arithmetic: same floor(x + 0.5) scaled-int form as d30
 #: — num/den are exact int64 sums, only the final ratio touches doubles.
 _G15_ORACLE = f"""

@@ -444,6 +444,62 @@ class TestHammingPairs:
         with _pytest.raises(ValueError, match="bands"):
             dedup.hamming_pairs(df, "id", "h", bits=2, max_hamming=5)
 
+    def test_max_bucket_drops_lowest_band_hot_pairs(self, spark):
+        """Skew cap on the generic Hamming join: a pair whose LOWEST
+        matching band bucket is hot is suppressed even when a later cool
+        band also matches; pairs keyed to cool bands survive."""
+        # bits=8, max_hamming=1 -> 2 bands: [0,4) and [4,8)
+        # ids 1-4: identical hash -> band-0 bucket (and band-1) size 4 > 2
+        # ids 10,11: differ in bit 6 only -> lowest matching band = 0,
+        #   their band-0 bucket has 2 rows (cool) -> pair survives
+        rows = [(i, 0b10100101) for i in (1, 2, 3, 4)]
+        rows += [(10, 0b00011010), (11, 0b01011010)]
+        df = spark.createDataFrame(rows, "id long, h long")
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.hamming_pairs(
+                df, "id", "h", bits=8, max_hamming=1, max_bucket=2
+            ).collect()
+        }
+        assert got == {(10, 11)}
+        # uncapped: the 4-clique is back
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in dedup.hamming_pairs(
+                df, "id", "h", bits=8, max_hamming=1
+            ).collect()
+        }
+        assert {(1, 2), (1, 3), (3, 4), (10, 11)} <= uncapped
+        with pytest.raises(ValueError, match="max_bucket"):
+            dedup.hamming_pairs(df, "id", "h", bits=8, max_bucket=1)
+
+    def test_simhash_max_bucket(self, spark):
+        """simhash_pairs exposes the same cap: template texts collapsing
+        onto one signature are dropped; a cool near-dup pair survives."""
+        template = "spark catalyst tungsten adaptive execution shuffle "
+        rows = [(i, template) for i in range(1, 6)]  # 5 identical docs
+        rows += [
+            (20, "completely different content about geodesic joins here"),
+            (21, "completely different content about geodesic joins there"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_pairs(
+                df, "doc_id", "text", max_hamming=5, max_bucket=3
+            ).collect()
+        }
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_pairs(
+                df, "doc_id", "text", max_hamming=5
+            ).collect()
+        }
+        assert (1, 2) in uncapped and (1, 2) not in capped
+        assert capped == uncapped - {
+            (a, b) for a in range(1, 6) for b in range(1, 6) if a < b
+        }
+
     def test_single_63_bit_band(self, spark):
         """max_hamming=0 with bits=63 makes ONE 63-bit band — the r10 band
         key used `% (1 << width)` whose literal 2**63 overflows LongType
