@@ -206,6 +206,41 @@ class TestGuardDegradation:
         # unknown size: assume big, identity — and never raise
         assert ensure_min_parallelism(proxy).count() == 100
 
+    def test_condition_validator_degrades_without_jsparksession(self, spark):
+        """The config-time condition pre-parse reaches for
+        ``_jsparkSession`` (classic-only); on Connect the reach raises and
+        the validator must RETURN (the bad string still fails at analysis
+        time) — exercised here down the actual fallback branch."""
+        from spark_ml_spatialjointransformer_spark.operators.spatial_join import (
+            _validate_condition_syntax,
+        )
+
+        class _NoJvmSession:
+            def __getattr__(self, name):
+                if name == "_jsparkSession":
+                    raise AttributeError(
+                        "_jsparkSession is unavailable on Spark Connect"
+                    )
+                raise AttributeError(name)
+
+        class _SessionProxy:
+            def __init__(self, df):
+                self._df = df
+                self.sparkSession = _NoJvmSession()
+
+            def __getattr__(self, name):
+                return getattr(self._df, name)
+
+        proxy = _SessionProxy(spark.range(1))
+        # silently defers — even for garbage that the classic parser
+        # would reject at config time
+        _validate_condition_syntax(proxy, ")))not sql(((", ")))not sql(((")
+        # and on classic, the same garbage IS rejected at config time
+        with pytest.raises(ValueError, match="not parseable"):
+            _validate_condition_syntax(
+                spark.range(1), ")))not sql(((", ")))not sql((("
+            )
+
     def test_max_partition_bytes_parses_units(self):
         from spark_ml_spatialjointransformer_spark.operators._guard import (
             _max_partition_bytes,
