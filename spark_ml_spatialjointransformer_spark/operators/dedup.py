@@ -785,17 +785,47 @@ def dedup_connected_components(
     # fixed per-task cost per partition, and the explicit repartition is
     # immune to AQE coalescing
     sparts = max(8, par // 4)
-    labels = (
+    # ROUND 0 fused into the init: with identity labels the neighbor
+    # contribution for __b is just __a itself, so the first propagation
+    # needs NO join — contributions are the edge rows verbatim and the
+    # sentinels are the distinct nodes.  This absorbs what used to be a
+    # separate labels-init barrier + n_nodes count job + a joined round:
+    # each localCheckpoint call plans its physical query eagerly on the
+    # JVM (~0.2-0.3 s for these plans, measured r11 — even with
+    # eager=False), so every barrier/count the loop does not schedule is
+    # real local wall time.  n_nodes is only needed by the pointer-
+    # doubling engagement test, computed lazily if round 3 is reached.
+    contrib = edges.select(
+        F.col("__b").alias("__v"),
+        F.col("__a").alias("__cand"),
+        F.lit(None).cast("long").alias("__old"),
+    )
+    sentinel = (
         edges.select(F.col("__a").alias("__v"))
         .distinct()
-        .withColumn("__lbl", F.col("__v"))
-        .repartition(sparts)
-        .transform(_barrier_eager)
+        .select(
+            "__v",
+            F.col("__v").alias("__cand"),
+            F.col("__v").alias("__old"),
+        )
     )
-    n_nodes = labels.count()  # one fast job over the checkpointed frame
-    changed = n_nodes
-    prev_state = labels  # superseded-round handle for the persist() fallback
-    for i in range(max_iters):
+    half = (
+        contrib.unionByName(sentinel)
+        .repartition(sparts, "__v")
+        .groupBy("__v")
+        .agg(F.max("__old").alias("__lbl"), F.min("__cand").alias("__mid"))
+    )
+    # lazy barrier + immediate count: the changed-count is the
+    # checkpoint's first job, so materialization and the round's
+    # convergence test fuse into ONE scheduled job
+    merged = half.withColumnRenamed("__mid", "__new").transform(_barrier)
+    changed = merged.where(F.col("__new") != F.col("__lbl")).count()
+    labels = merged.select("__v", F.col("__new").alias("__lbl"))
+    n_nodes: "int | None" = None
+    prev_state = merged  # superseded-round handle for the persist() fallback
+    for i in range(1, max_iters):
+        if changed == 0:  # round 0 already hit the fixpoint
+            break
         # State merge in ONE exchange (the kNN-loop trick): instead of
         # aggregating neighbor labels per node and joining the aggregate
         # back to the label state (an agg exchange PLUS a join exchange),
@@ -830,6 +860,9 @@ def dedup_connected_components(
         # hop it saves).  The skip never risks the convergence guarantee:
         # within 5 rounds of max_iters doubling re-engages regardless,
         # restoring the O(log diameter) bound before the loud failure.
+        if i >= 3:
+            if n_nodes is None:  # cheap count over the checkpointed state
+                n_nodes = labels.count()
         if i >= 3 and (changed * 100 >= n_nodes or i >= max_iters - 5):
             # not converged in the shallow-graph budget: engage pointer
             # doubling — also take the label OF my label (labels are node
@@ -844,7 +877,10 @@ def dedup_connected_components(
                 .select("__v", "__lbl", "__mid")
                 .repartition(sparts)
             )
-        merged = half.withColumnRenamed("__mid", "__new").transform(_barrier_eager)
+        # lazy barrier: the changed-count below is the checkpoint's first
+        # job — materialization and the round's convergence test fuse into
+        # ONE scheduled job (see the labels init above)
+        merged = half.withColumnRenamed("__mid", "__new").transform(_barrier)
         changed = merged.where(F.col("__new") != F.col("__lbl")).count()
         # the new round is materialized — release the superseded state so
         # the persist() fallback (Connect) holds O(1) rounds, not O(iters)

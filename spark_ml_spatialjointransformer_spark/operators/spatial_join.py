@@ -1129,29 +1129,58 @@ def _broadcast_knn(
     # collect the broadcast side (object arrays: exact nulls/ints/timestamps,
     # unlike toPandas' float64 coercion of nullable ints)
     rt_tag = "i" if lt == "e" else "e"
-    rows = r_df.select(
-        *[F.col(c) for c in pay_src],
+    npay = len(pay_src)
+    sel = r_df.select(
+        *[F.col(c).alias(f"__pay{i}") for i, c in enumerate(pay_src)],
         F.col(f"__sjt_{rt_tag}_gx").alias("__gx"),
         F.col(f"__sjt_{rt_tag}_gy").alias("__gy"),
         *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tb)],
         *([F.col(bc_cond_col).alias("__cnd")] if bc_cond_col else []),
-    ).collect()
-    npay = len(pay_src)
+    )
+    # Arrow transfer when every column is timezone-free: ~2-3x cheaper than
+    # the pickled-Row path for a 10k+-row broadcast side (measured r11:
+    # 0.48 s -> ~0.2 s of f7's per-run plan-build).  to_pylist() yields the
+    # same exact python values as Row access for numeric/string/binary/
+    # date/decimal; TIMESTAMP columns fall back to collect() because Arrow
+    # hands back tz-AWARE datetimes where Row gives session-naive ones —
+    # a silent value shift under non-UTC sessions.
+    _TS = (T.TimestampType, T.TimestampNTZType)
+    cols: dict[str, list] | None = None
+    if not any(isinstance(f.dataType, _TS) for f in sel.schema.fields):
+        try:
+            tbl = sel.toArrow()
+            cols = {
+                name: tbl.column(i).to_pylist()
+                for i, name in enumerate(tbl.column_names)
+            }
+            n_rows = tbl.num_rows
+        except Exception:
+            cols = None
+    if cols is None:
+        collected = sel.collect()
+        names = sel.columns
+        cols = {
+            name: [r[j] for r in collected] for j, name in enumerate(names)
+        }
+        n_rows = len(collected)
+    order = list(range(n_rows))
     if tb:
         # None-safe sort key, nulls FIRST — matching the SQL null ordering
         # of the min-struct aggregate path (a bare tuple key would raise
         # TypeError on None vs non-None comparisons)
-        rows = sorted(
-            rows,
-            key=lambda r: tuple(
-                (r[npay + 2 + i] is not None, r[npay + 2 + i])
+        tbvals = [cols[f"__tb{i}"] for i in range(len(tb))]
+        order.sort(
+            key=lambda j: tuple(
+                (tbvals[i][j] is not None, tbvals[i][j])
                 for i in range(len(tb))
-            ),
+            )
         )
-    r_lon = np.array([r[npay] for r in rows], dtype=np.float64)
-    r_lat = np.array([r[npay + 1] for r in rows], dtype=np.float64)
+    r_lon = np.array([cols["__gx"][j] for j in order], dtype=np.float64)
+    r_lat = np.array([cols["__gy"][j] for j in order], dtype=np.float64)
     r_payload = {
-        out_right[i]: np.array([r[i] for r in rows], dtype=object)
+        out_right[i]: np.array(
+            [cols[f"__pay{i}"][j] for j in order], dtype=object
+        )
         for i in range(npay)
     }
     def _cond_f64_local(values):
@@ -1170,7 +1199,7 @@ def _broadcast_knn(
         return out
 
     r_cond = (
-        _cond_f64_local([r["__cnd"] for r in rows])
+        _cond_f64_local([cols["__cnd"][j] for j in order])
         if cond_spec is not None
         else None
     )
