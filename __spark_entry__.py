@@ -4,7 +4,7 @@
   filtered nearest-neighbor spatial join).
 - ``queries()`` — every implemented operator from SURVEY.md §2 plus the
   training-data-pipeline operators (see
-  spark_ml_spatialjointransformer_spark/queries.py).
+  spark_ml_spatialjointransformer_spark/queries/).
 - ``oracle_sql()`` — the DuckDB-equivalent SQL for each query (queries
   without an entry here are rows-only checked).
 """

@@ -167,8 +167,13 @@ class TestJ34GuardCrossing:
         assert bc == pt
 
     def test_strategy_probe_crosses_bound(self, spark, monkeypatch):
+        # patch the DEFINING module: since the registry split (r11) the
+        # package namespace re-exports values by copy, so patching Q
+        # would not reach _j34_strategy's module global
+        from spark_ml_spatialjointransformer_spark.queries import spatial as QS
+
         assert Q._j34_strategy(spark, SF_DIR) == "broadcast"
-        monkeypatch.setattr(Q, "_J34_BROADCAST_BOUND_BYTES", 0)
+        monkeypatch.setattr(QS, "_J34_BROADCAST_BOUND_BYTES", 0)
         assert Q._j34_strategy(spark, SF_DIR) == "partitioned"
 
     def test_no_estimate_means_partitioned(self, spark, monkeypatch):
