@@ -147,6 +147,93 @@ def _parallelize(df: DataFrame) -> DataFrame:
     return ensure_min_parallelism(df)
 
 
+def minhash_features_udf(k: int = 64, n: int = 3):
+    """Fused per-document MinHash featurization: text → (sig, sz, hs) in
+    ONE Arrow pass — tokenization, distinct n-gram shingling, the 60-bit
+    md5 hash (``h60_py``, bit-identical to ``h60_col``/DuckDB), and all k
+    permutation minima run vectorized (hashlib + one numpy
+    multiply-mod-reduceat over the batch's concatenated shingle hashes)
+    inside the Python worker.
+
+    This replaces the explode → groupBy(__id) → 64-min-aggregate
+    formulation: same values bit-for-bit (tests pin it), but ZERO
+    exchanges — nothing shuffles at any scale, where the old shape paid
+    one id-keyed exchange (k longs per doc after partial agg) plus the
+    65-aggregate codegen.  Guide §4.2: Spark distributes the scan, numpy
+    does the math per batch.
+
+    Marked nondeterministic (the function is pure) so Catalyst cannot
+    re-substitute the struct-field extractions into separate evaluations
+    — the SPARK-17728 double-eval defense every struct-returning Arrow
+    kernel in this repo uses."""
+    import numpy as np
+
+    coefs = minhash_coefficients(k)
+    A = np.array([a for a, _ in coefs], dtype=np.int64)
+    B = np.array([b for _, b in coefs], dtype=np.int64)
+
+    @F.pandas_udf("sig array<bigint>, sz bigint, hs array<bigint>")
+    def _feats(text: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        all_hashes: list[np.ndarray] = []
+        sizes: list[int] = []
+        hs_out: list[list[int]] = []
+        for t in text:
+            if not isinstance(t, str):
+                sizes.append(0)
+                hs_out.append([])
+                continue
+            toks = t.lower().split(" ")
+            if len(toks) < n:
+                sizes.append(0)
+                hs_out.append([])
+                continue
+            # distinct applies to the SHINGLE STRING set (h60 collisions
+            # keep their duplicate hash values — matches the explode of
+            # array_distinct strings + collect_list the old agg did)
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    % MINHASH_PRIME
+                    for s in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            sizes.append(len(sh))
+            hs_out.append(sorted(hs.tolist()))
+            all_hashes.append(hs)
+        if all_hashes:
+            cat = np.concatenate(all_hashes)  # (M,)
+            offsets = np.cumsum([0] + [len(h) for h in all_hashes])[:-1]
+            # permutation chunks of 16 bound the (M, chunk) intermediate to
+            # ~tens of MB per 10k-row Arrow batch (a full (M, k) matrix is
+            # hundreds of MB at production batch sizes); h*a + b < 2^62
+            # (h < 2^33, a,b < 2^30) keeps everything inside int64
+            parts = []
+            for c0 in range(0, k, 16):
+                perm = (
+                    cat[:, None] * A[None, c0 : c0 + 16] + B[None, c0 : c0 + 16]
+                ) % MINHASH_PRIME
+                parts.append(np.minimum.reduceat(perm, offsets, axis=0))
+            mins = np.concatenate(parts, axis=1)  # (docs, k)
+        sig_out: list["list[int] | None"] = []
+        j = 0
+        for sz in sizes:
+            if sz == 0:
+                sig_out.append(None)
+            else:
+                sig_out.append(mins[j].tolist())
+                j += 1
+        return pd.DataFrame({"sig": sig_out, "sz": sizes, "hs": hs_out})
+
+    return _feats.asNondeterministic()
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -156,39 +243,30 @@ def minhash_signatures(
     with_hashes: bool = False,
 ) -> DataFrame:
     """(__id, __sig) per document — same values as ``minhash_signature_col``
-    but computed as explode → 64 codegen'd min-aggregates, so the shingle
-    pipeline runs ONCE per document instead of once per permutation (the
-    per-column HOF formulation evaluates interpreted and ~60× slower).
-    Partial (map-side) aggregation reduces each doc to k longs before the
-    shuffle; docs with no shingles disappear (they can never join).
+    but via the fused Arrow kernel (``minhash_features_udf``): one scan
+    pass, no exchange (docs with no shingles are dropped — they can never
+    join).  The per-column HOF formulation evaluates interpreted and ~60×
+    slower; the previous explode → 64-min-aggregate shape paid an id-keyed
+    shuffle plus the 65-aggregate codegen for the same numbers.
 
     ``with_hashes`` additionally carries the per-doc sorted shingle-hash
-    array (``__hs``) through the SAME aggregation — the exact-verify stage
+    array (``__hs``) from the SAME kernel pass — the exact-verify stage
     (``neardup_pairs_lsh_verified``) then reuses this frame instead of
     running the shingle pipeline a second and third time."""
-    exploded = _parallelize(df).select(
+    feats = _parallelize(df).select(
         F.col(id_col).alias("__id"),
-        F.explode(shingles_udf(n)(F.col(text_col))).alias("__s"),
-    ).select("__id", (h60_col(F.col("__s")) % MINHASH_PRIME).alias("__h"))
-    aggs = [
-        F.min((F.col("__h") * a + b) % MINHASH_PRIME).alias(f"__m{j}")
-        for j, (a, b) in enumerate(minhash_coefficients(k))
-    ] + [F.count(F.lit(1)).alias("__sz")]
-    if with_hashes:
-        # collect_list over the distinct-shingle rows + sort == the
-        # array_sort(transform(shingles, h60%P)) formulation the verify
-        # stage used to recompute from text
-        aggs.append(F.array_sort(F.collect_list("__h")).alias("__hs"))
+        minhash_features_udf(k, n)(F.col(text_col)).alias("__f"),
+    )
     cols = [
         "__id",
-        F.array(*[f"__m{j}" for j in range(k)]).alias("__sig"),
-        # distinct-shingle count rides the same agg for free: the LSH
+        F.col("__f.sig").alias("__sig"),
+        # distinct-shingle count rides the same kernel for free: the LSH
         # band join carries it so candidate pairs emerge with both
         # sizes in hand (enables the Jaccard size-bound prefilter
         # BEFORE any shingle-hash array ships)
-        "__sz",
-    ] + (["__hs"] if with_hashes else [])
-    return exploded.groupBy("__id").agg(*aggs).select(*cols)
+        F.col("__f.sz").alias("__sz"),
+    ] + ([F.col("__f.hs").alias("__hs")] if with_hashes else [])
+    return feats.where(F.col("__f.sz") > 0).select(*cols)
 
 
 def _drop_hot_buckets(banded: DataFrame, max_bucket: int, op: str) -> DataFrame:
@@ -409,35 +487,86 @@ def simhash_col(text: Column) -> Column:
     return out
 
 
+def simhash_features_udf():
+    """Fused per-document SimHash: text → 60-bit simhash in ONE Arrow pass
+    (tokenize, distinct-token md5 h60 via hashlib, majority vote of each
+    bit vectorized as one numpy unpack + reduceat over the batch) — same
+    values bit-for-bit as ``simhash_col`` (tests pin it), zero exchanges
+    where the explode → 61-sum-aggregate shape paid an id-keyed shuffle.
+    Docs with no tokens yield NULL (callers drop them — they never join).
+    Nondeterministic marker = the usual SPARK-17728 re-substitution
+    defense (the function is pure)."""
+    import numpy as np
+
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = (np.int64(1) << bit_idx).astype(np.int64)
+
+    @F.pandas_udf("bigint")
+    def _sh(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        all_hashes: list[np.ndarray] = []
+        counts: list[int] = []
+        empty: list[bool] = []
+        for t in text:
+            if not isinstance(t, str):
+                empty.append(True)
+                continue
+            # NOTE "".split(" ") == [""] — the empty-string doc hashes one
+            # empty token, exactly like shingles_udf(1)/simhash_col
+            toks = t.lower().split(" ")
+            # distinct applies to the HASH set (h60 collisions merge),
+            # matching simhash_col and the python oracle
+            hs = {
+                int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                for tok in set(toks)
+            }
+            if not hs:
+                empty.append(True)
+                continue
+            empty.append(False)
+            arr = np.fromiter(hs, dtype=np.int64, count=len(hs))
+            all_hashes.append(arr)
+            counts.append(len(hs))
+        out_vals: list["int | None"] = []
+        if all_hashes:
+            cat = np.concatenate(all_hashes)  # (M,)
+            offsets = np.cumsum([0] + counts)[:-1]
+            n = np.array(counts, dtype=np.int64)[:, None]
+            # bit-index chunks of 15 bound the (M, chunk) intermediate —
+            # same memory rationale as the minhash permutation chunks
+            sh = np.zeros(len(counts), dtype=np.int64)
+            for c0 in range(0, SIMHASH_BITS, 15):
+                bits = (cat[:, None] >> bit_idx[None, c0 : c0 + 15]) & 1
+                sums = np.add.reduceat(bits, offsets, axis=0)
+                sh += ((sums * 2 >= n) * weights[None, c0 : c0 + 15]).sum(axis=1)
+        j = 0
+        for e in empty:
+            if e:
+                out_vals.append(None)
+            else:
+                out_vals.append(int(sh[j]))
+                j += 1
+        return pd.Series(out_vals, dtype=object)
+
+    return _sh.asNondeterministic()
+
+
 def simhash_values(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(__id, __sh) per document — same values as ``simhash_col`` but via
-    explode → 32 codegen'd sum-aggregates (one pass over token hashes
-    instead of one interpreted array scan per bit)."""
-    # distinct applies to the HASH set (h60 collisions merge), matching
-    # simhash_col and the python oracle; the transform runs over the small
-    # already-distinct token array, not the raw text pipeline
-    exploded = _parallelize(df).select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(shingles_udf(1)(F.col(text_col)), _token_hash60)
-            )
-        ).alias("__h"),
-    )
-    aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    bits = [
-        F.when(F.col(f"__b{i}") * 2 >= F.col("__n"), F.lit(1 << i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+    the fused Arrow kernel (``simhash_features_udf``): one scan pass, no
+    exchange (the previous explode → 61-sum-aggregate shape paid an
+    id-keyed shuffle for the same numbers)."""
+    return (
+        _parallelize(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            simhash_features_udf()(F.col(text_col)).alias("__sh"),
         )
-        for i in range(SIMHASH_BITS)
-    ]
-    out = bits[0]
-    for x in bits[1:]:
-        out = out + x
-    return exploded.groupBy("__id").agg(*aggs).select("__id", out.alias("__sh"))
+        .where(F.col("__sh").isNotNull())
+    )
 
 
 def simhash_pairs(
