@@ -311,6 +311,81 @@ def lsh_topk(
     )
 
 
+def _bucket_pairs_kernel(bands: int, threshold_int: int):
+    """Grouped-map kernel for the quantized LSH refine: ONE (band, bucket)
+    group per call — emit every pair (id_a < id_b) in the group whose
+    first shared band is this one, with the exact quantized cosine.
+
+    Replaces the self-join + per-pair refine UDF: the join shipped the two
+    64-long quantized vectors once per CANDIDATE PAIR through Arrow
+    (O(pairs·dim) bytes, quadratic in bucket size); this ships each vector
+    once per band (O(rows·dim)) and does the all-pairs dot as one blocked
+    matmul per group (guide §8: move the lightweight proxy, decide in bulk).
+
+    Exactness: |q| ≤ dim·max|q|² < 2⁵³ in every sane embedding range, so
+    the float64 BLAS matmul is integer-exact (every partial sum is an
+    exactly-representable integer — addition order cannot matter); the
+    int64 path is kept as a guard for out-of-range inputs.  The cosine is
+    then dot / (sqrt(na2)·sqrt(nb2)) — the SAME expression, op for op, as
+    ``_pair_qcos_udf``, so the double is bit-identical.  The kernel only
+    PRE-filters with a 1-ulp-safe margin (cos·1e6 ≥ threshold_int − 1);
+    the authoritative HALF_UP round + ≥ threshold filter stays JVM-side,
+    unchanged from the join formulation."""
+    import numpy as np
+
+    def _k(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "__cos": pd.Series(dtype="float64")}
+        )
+        g = len(pdf)
+        if g < 2:
+            return empty
+        pdf = pdf.sort_values("__id", kind="mergesort")
+        ids = pdf["__id"].to_numpy(dtype="int64")
+        Q = np.array([np.asarray(v, dtype=np.int64) for v in pdf["__q"]])
+        n2 = pdf["__qn2"].to_numpy(dtype="float64")
+        band = int(pdf["__band"].iloc[0])
+        sq = np.sqrt(n2)
+        amax = float(np.abs(Q).max()) if Q.size else 0.0
+        exact_f64 = Q.shape[1] * amax * amax < 2.0**53
+        Qf = Q.astype(np.float64) if exact_f64 else None
+        if band > 0:
+            B = np.array(
+                [np.asarray(v, dtype=np.int64)[:band] for v in pdf["__buckets"]]
+            )
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        blk = 2048
+        for i0 in range(0, g - 1, blk):
+            i1 = min(i0 + blk, g - 1)
+            if exact_f64:
+                dots = Qf[i0:i1] @ Qf.T  # integer-exact in float64
+            else:
+                dots = (Q[i0:i1] @ Q.T).astype(np.float64)
+            cos = dots / (sq[i0:i1, None] * sq[None, :])
+            # strict upper triangle: j > global row index
+            cols = np.arange(g)[None, :]
+            mask = cols > np.arange(i0, i1)[:, None]
+            # first-match: suppress pairs that already shared an earlier band
+            if band > 0:
+                mask &= (B[i0:i1, :, None] != B.T[None, :, :]).all(axis=1)
+            mask &= cos * 1_000_000.0 >= threshold_int - 1.0
+            ii, jj = np.nonzero(mask)
+            out_a.append(ids[ii + i0])
+            out_b.append(ids[jj])
+            out_c.append(cos[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+             "__cos": np.concatenate(out_c)}
+        )
+
+    return _k
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -342,12 +417,32 @@ def lsh_neardup_pairs(
     cross-engine guarantee, which is why the unquantized tier cannot be
     oracled this tightly).  The checkpointed base also shrinks: only the
     quantized vector + its integer norm² ride into the self-join."""
+    thr = int(threshold * 1_000_000)
     if quantized:
-        pre = _quantized_base(df, id_col, emb_col, dim, n_planes, bands)
-    else:
-        pre = _normed(df, id_col, emb_col).withColumn(
-            "__buckets", _srp_bucket_udf(n_planes, dim, bands)(F.col("__emb"))
+        # grouped per-bucket refine: one exchange keyed (band, bucket)
+        # shipping each quantized vector once per band; the pair frame
+        # never materializes in the JVM and no checkpoint is needed (the
+        # base is read ONCE).  The old self-join + per-pair UDF shape paid
+        # two shuffle reads of the checkpointed base plus O(pairs·dim)
+        # Arrow bytes for the refine.
+        base = _quantized_base(df, id_col, emb_col, dim, n_planes, bands).select(
+            "*", F.posexplode("__buckets").alias("__band", "__bucket")
         )
+        pairs = base.groupBy("__band", "__bucket").applyInPandas(
+            _bucket_pairs_kernel(bands, thr),
+            "id_a long, id_b long, __cos double",
+        )
+        return (
+            pairs.select(
+                "id_a",
+                "id_b",
+                F.round(F.col("__cos") * 1_000_000).cast("bigint").alias("cos_e6"),
+            )
+            .where(F.col("cos_e6") >= thr)
+        )
+    pre = _normed(df, id_col, emb_col).withColumn(
+        "__buckets", _srp_bucket_udf(n_planes, dim, bands)(F.col("__emb"))
+    )
     base = (
         pre.select("*", F.posexplode("__buckets").alias("__band", "__bucket"))
         .transform(_barrier)
@@ -359,14 +454,9 @@ def lsh_neardup_pairs(
             | (F.col("a.__buckets")[bi] != F.col("b.__buckets")[bi])
         )
     a, b = base.alias("a"), base.alias("b")
-    if quantized:
-        cos = _pair_qcos_udf()(
-            F.col("a.__q"), F.col("a.__qn2"), F.col("b.__q"), F.col("b.__qn2")
-        )
-    else:
-        cos = _pair_cosine_udf()(
-            F.col("a.__emb"), F.col("a.__norm"), F.col("b.__emb"), F.col("b.__norm")
-        )
+    cos = _pair_cosine_udf()(
+        F.col("a.__emb"), F.col("a.__norm"), F.col("b.__emb"), F.col("b.__norm")
+    )
     return (
         a.join(b, ["__band", "__bucket"])
         .where(F.col("a.__id") < F.col("b.__id"))
@@ -376,7 +466,7 @@ def lsh_neardup_pairs(
             F.col("b.__id").alias("id_b"),
             F.round(cos * 1_000_000).cast("bigint").alias("cos_e6"),
         )
-        .where(F.col("cos_e6") >= int(threshold * 1_000_000))
+        .where(F.col("cos_e6") >= thr)
     )
 
 
