@@ -391,7 +391,16 @@ def p6_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("CAST(floor(value * 10000e0 + 0.5e0) AS BIGINT)").alias("v_e4"),
     )
-    ev.write.partitionBy("event_type", "day").mode("overwrite").parquet(out_dir)
+    # cluster by the partition keys before the write: without it the scan's
+    # task count dictates the writer layout — at local scale ONE scan task
+    # writes all ~150 (type, day) directories serially, and at 100 TB every
+    # scan task holds rows of every directory, multiplying the file count
+    # by the task count (the §6 small-files trap).  The hash shuffle sends
+    # each (type, day) group to exactly one task: writes parallelize across
+    # directories and each directory gets one well-sized file.
+    ev.repartition("event_type", "day").write.partitionBy(
+        "event_type", "day"
+    ).mode("overwrite").parquet(out_dir)
     # explicit schema: keeps the day partition key a STRING (inference
     # would promote the directory names to DATE) and skips the extra
     # footer-sampling pass schema inference costs on a huge table

@@ -1478,31 +1478,55 @@ FROM h
 """
 
 
-def _d28_holt(pdf):
+def _d28_holt_partitions(it):
+    """Partition-wise Holt kernel: rows arrive hash-clustered by user and
+    sorted (user_id, ts, event_id) within the partition, so each user's
+    stream is a contiguous run and the recurrence restarts at every user
+    boundary.  One Python call per ARROW BATCH instead of one per GROUP
+    (the former grouped `applyInPandas` paid ~1-2 ms of per-call pandas
+    overhead × one call per user — group count, not row count, priced the
+    query; guide §4.2).  A user whose run spans a batch boundary continues
+    from carried (l, b) state — batches of one partition arrive in order.
+    The arithmetic is the SAME python-int `//` chain per row in the same
+    order, so results are bit-identical."""
     import pandas as pd
 
-    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-    v = pdf["v_e4"].to_list()
-    ls, bs = [], []
-    l = b = 0
-    for i, x in enumerate(v):
-        if i == 0:
-            l, b = x, 0
-        else:
-            nl = (x + l + b) // 2  # python // floors — matches floor()
-            b = (b + (nl - l)) // 2
-            l = nl
-        ls.append(l)
-        bs.append(b)
-    return pd.DataFrame(
-        {
-            "user_id": pdf["user_id"],
-            "event_id": pdf["event_id"],
-            "level_e4": ls,
-            "trend_e4": bs,
-            "forecast_e4": [x + y for x, y in zip(ls, bs)],
-        }
-    )
+    carry_u = None
+    carry = None  # (l, b) of the partition's last-seen user
+    for pdf in it:
+        n = len(pdf)
+        if n == 0:
+            continue
+        users = pdf["user_id"].to_list()
+        v = pdf["v_e4"].to_list()  # python ints: floor-div never overflows
+        ls = [0] * n
+        bs = [0] * n
+        prev_u = carry_u
+        l, b = carry if carry is not None else (0, 0)
+        for i in range(n):
+            u = users[i]
+            x = v[i]
+            if u != prev_u:
+                prev_u = u
+                l, b = x, 0
+            else:
+                nl = (x + l + b) // 2  # python // floors — matches floor()
+                b = (b + (nl - l)) // 2
+                l = nl
+            ls[i] = l
+            bs[i] = b
+        carry_u, carry = prev_u, (l, b)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(users, dtype="int64"),
+                "event_id": pdf["event_id"].to_numpy(),
+                "level_e4": pd.Series(ls, dtype="int64"),
+                "trend_e4": pd.Series(bs, dtype="int64"),
+                "forecast_e4": pd.Series(
+                    [x + y for x, y in zip(ls, bs)], dtype="int64"
+                ),
+            }
+        )
 
 
 @_register("d28_holt_trend", _D28_ORACLE)
@@ -1513,9 +1537,12 @@ def d28_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     trend-aware counterpart of d16's EWMA, which is a FIR truncation
     (8 lag taps) precisely because an infinite-memory recurrence has
     no window form.  This query keeps the TRUE infinite-memory
-    recurrence: Spark runs it sequentially inside each group
-    (grouped ``applyInPandas`` — the group is the unit of order, so
-    the kernel is exact, not windowed), and the oracle replays it as
+    recurrence: rows are hash-clustered by user and sorted
+    (user, ts, event_id) within the partition, and a ``mapInPandas``
+    kernel replays each contiguous user run sequentially (restarting
+    at user boundaries, carrying state across batch splits) — the
+    group is still the unit of order, but Python is entered once per
+    Arrow batch, not once per user.  The oracle replays it as
     a recursive CTE row-chain.  α = β = ½ via ``floor(x/2)`` on BOTH
     engines: the trend axis goes negative on declining streams, where
     Spark's integer ``div`` (truncate-toward-zero) would diverge from
@@ -1537,7 +1564,12 @@ def d28_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, event_id long, level_e4 long, trend_e4 long,"
         " forecast_e4 long"
     )
-    return ev.groupBy("user_id").applyInPandas(_d28_holt, out_schema)
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select("user_id", "event_id", "v_e4")
+        .mapInPandas(_d28_holt_partitions, out_schema)
+    )
 
 
 #: d29: Allen's interval relations between same-cohort visit windows

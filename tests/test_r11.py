@@ -194,3 +194,81 @@ class TestHammingPigeonholeProperty:
             if d <= max_h:
                 want[(a, b)] = d
         assert got == want
+
+
+class TestHoltPartitionKernel:
+    """_d28_holt_partitions: the mapInPandas Holt kernel must equal the
+    per-group recurrence REGARDLESS of how Arrow slices the sorted
+    partition into batches — including a batch boundary mid-user, where
+    the carried (l, b) state is the only thing keeping the recurrence
+    exact."""
+
+    @staticmethod
+    def _reference(groups):
+        out = {}
+        for u, vals in groups.items():
+            l = b = 0
+            acc = []
+            for i, x in enumerate(vals):
+                if i == 0:
+                    l, b = x, 0
+                else:
+                    nl = (x + l + b) // 2
+                    b = (b + (nl - l)) // 2
+                    l = nl
+                acc.append((l, b, l + b))
+            out[u] = acc
+        return out
+
+    def _run_kernel(self, rows, batch_sizes):
+        import pandas as pd
+
+        from spark_ml_spatialjointransformer_spark.queries.temporal import (
+            _d28_holt_partitions,
+        )
+
+        batches = []
+        i = 0
+        for s in batch_sizes:
+            chunk = rows[i : i + s]
+            i += s
+            batches.append(
+                pd.DataFrame(
+                    {
+                        "user_id": [r[0] for r in chunk],
+                        "event_id": [r[1] for r in chunk],
+                        "v_e4": [r[2] for r in chunk],
+                    }
+                )
+            )
+        assert i == len(rows)
+        got = {}
+        for pdf in _d28_holt_partitions(iter(batches)):
+            for r in pdf.itertuples(index=False):
+                got.setdefault(r.user_id, []).append(
+                    (r.level_e4, r.trend_e4, r.forecast_e4)
+                )
+        return got
+
+    def test_batch_split_mid_user_matches_unsplit(self):
+        groups = {
+            1: [100, -250, 30, 7, -1],
+            2: [5],
+            3: [-9, -9, 40],
+            4: [12345678901, -98765, 0, 3],
+        }
+        rows = [
+            (u, 1000 * u + i, x)
+            for u in sorted(groups)
+            for i, x in enumerate(groups[u])
+        ]
+        want = self._reference(groups)
+        n = len(rows)
+        # every split point, including mid-user and a degenerate leading
+        # empty batch
+        for cut in range(n + 1):
+            got = self._run_kernel(rows, [cut, n - cut])
+            assert got == want, f"split at {cut}"
+        # three-way splits across the user-2/3 boundary region
+        got = self._run_kernel(rows, [4, 3, n - 7])
+        assert got == want

@@ -343,19 +343,21 @@ class TestHoltTrend:
             "event_id long, ts timestamp, user_id long, value double,"
             " props string",
         ).createOrReplaceTempView("__d28_events")
-        from spark_ml_spatialjointransformer_spark.queries import _d28_holt
+        from spark_ml_spatialjointransformer_spark.queries import (
+            _d28_holt_partitions,
+        )
 
         import pandas as pd
 
+        # the r11 kernel takes pre-sorted (user, ts, event_id) batches
         pdf = pd.DataFrame(
             {
                 "user_id": [1] * 4,
                 "event_id": [0, 1, 2, 3],
-                "ts": [base + dtm.timedelta(minutes=i) for i in range(4)],
                 "v_e4": [1000000, 800000, 600000, 400000],
             }
         )
-        out = _d28_holt(pdf)
+        out = pd.concat(list(_d28_holt_partitions(iter([pdf]))))
         # hand-unrolled: l1=1000000,b1=0; l2=(800000+1000000)//2=900000,
         # b2=(0+(900000-1000000))//2=-50000; l3=(600000+900000-50000)//2
         # =725000, b3=(-50000+(725000-900000))//2=-112500;
