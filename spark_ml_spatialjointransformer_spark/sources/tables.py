@@ -14,12 +14,45 @@ strict over-approximation (1° lon ≥ 55 km at 60°).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: Session-scoped RELATION cache: building `spark.read.parquet(path)`
+#: costs ~75-120 ms of driver work (file listing + footer schema
+#: inference) EVERY call, and a full registry pass makes ~1000 such
+#: calls over the same ten static files — pure repeated metadata work,
+#: ~1.5 min of driver time per bench sweep (guide §5: the driver should
+#: do almost no data work; §6: listing is cached per session — schema
+#: inference was not).  A DataFrame handle is an immutable logical plan:
+#: reusing it holds NO rows, every action still scans the parquet, so
+#: this is plan reuse (exactly what a registered temp view would give),
+#: not result caching.  Keyed weakly per session so test suites that
+#: churn sessions don't pin them; safe because the driver testdata is
+#: static for a session's lifetime (anything that rewrites its own
+#: parquet output reads it back through a fresh `spark.read`, never
+#: through this loader).
+_RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _cached(spark: SparkSession, key: str, build) -> DataFrame:
+    try:
+        per = _RELATION_CACHE.setdefault(spark, {})
+    except TypeError:  # session impl without weakref support (stubs)
+        return build()
+    df = per.get(key)
+    if df is None:
+        df = build()
+        per[key] = df
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    return _cached(spark, path, lambda: spark.read.parquet(path))
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,10 +64,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``timestamp_micros(ts div 1000)``) — DuckDB keeps nanos, but every
     query aggregates at ≥second granularity so results agree."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = load_table(spark, sf_dir, "events")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+
+    def build() -> DataFrame:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+
+    return _cached(spark, f"{sf_dir}/events.parquet#events", build)
 
 
 # --- point synthesis ------------------------------------------------------
