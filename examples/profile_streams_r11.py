@@ -35,8 +35,12 @@ _orig_run_to_memory = windowed.run_to_memory
 def run_to_memory_profiled(sdf, name, output_mode="complete"):
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndm = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     state_parts = max(4, spark.sparkContext.defaultParallelism // 8)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     t_start = time.perf_counter()
     try:
         q = (
@@ -47,6 +51,9 @@ def run_to_memory_profiled(sdf, name, output_mode="complete"):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndm
+        )
     t_started = time.perf_counter()
     try:
         q.processAllAvailable()

@@ -370,11 +370,32 @@ def run_to_memory(
     5.2 → 4.2 s best-of-3 with the stream-stream join unchanged — each
     state partition costs per-micro-batch store maintenance whether or
     not it holds data); cluster deployments set their own
-    ``spark.sql.shuffle.partitions`` before the first start."""
+    ``spark.sql.shuffle.partitions`` before the first start.
+
+    No-data micro-batches are disabled for the query's duration: their
+    only purpose is to apply a watermark advanced by the LAST data batch
+    (emit closed windows / evict join state) when no further data will
+    do it — but every append-mode query here routes watermark
+    advancement through real data batches by construction
+    (`_flushed_events_dir`'s far-future sentinels; see its docstring:
+    "null emission does not depend on the engine scheduling a trailing
+    no-data micro-batch"), and update/complete-mode queries emit on data
+    batches regardless.  The trailing no-data batch still paid the full
+    per-batch price — incremental planning plus a state-store commit per
+    (operator, partition): the r11 profile measured it at 1.08 s of
+    e6's 4.4 s and 0.6-0.8 s of e15/e17 (`plans/r11/` notes).  On an
+    endless production stream the same flag is a latency choice, not a
+    correctness one; for a run-to-completion replay the batch is pure
+    fixed cost.  Oracle-gated: the full e-family passes its DuckDB
+    oracles at sf0.001 and sf0.01 with the flag off."""
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndm = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     state_parts = max(4, spark.sparkContext.defaultParallelism // 8)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             sdf.writeStream.outputMode(output_mode)
@@ -384,8 +405,11 @@ def run_to_memory(
         )
     finally:
         # the started query captured the conf; the batch session gets its
-        # setting back immediately
+        # settings back immediately
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndm
+        )
     try:
         q.processAllAvailable()
     finally:
@@ -740,12 +764,13 @@ def _flush_dir_intact(d: str, n_data: int) -> bool:
             if not os.path.exists(full):  # dangling symlink
                 return False
             data += 1
-    return flush == 2 and data == n_data
+    return flush == n_data + 1 and data == n_data
 
 
 def _flushed_events_dir(spark: SparkSession, path: str) -> "tuple[str, int]":
     """Build (idempotently) a stream directory holding the events parquet
-    plus two tiny WATERMARK-FLUSH files; return (dir, number of data files).
+    plus ``n_data + 1`` tiny WATERMARK-FLUSH files; return (dir, number of
+    data files).
 
     An outer stream-stream join only emits its NULL rows when the
     watermark passes a buffered row's last-possible-match time — on an
@@ -756,10 +781,15 @@ def _flushed_events_dir(spark: SparkSession, path: str) -> "tuple[str, int]":
     filters push down into the parquet scan, so a sentinel of a type
     neither side reads would be pruned before it ever reached the
     watermark node — measured, not theoretical) with ``user_id = -1``
-    (matches nothing) at max(ts)+1d and +2d.  Two files, mtime-ordered
-    after every data file, so the second DATA batch carries the advanced
-    watermark — null emission does not depend on the engine scheduling a
-    trailing no-data micro-batch.
+    (matches nothing) at max(ts)+1d, +2d, ...  All flush files are
+    mtime-ordered after every data file, and there are ``n_data + 1`` of
+    them so that with ``maxFilesPerTrigger = n_data`` they always span at
+    least TWO post-data triggers: the first flush batch advances the
+    watermark past everything, the second applies it (evicts state,
+    emits the NULL rows) — null emission never depends on the engine
+    scheduling a trailing no-data micro-batch (the run-to-completion
+    harness disables those; r11).  For the single-data-file case this is
+    the same two sentinels as before.
 
     A multi-file source (a Spark-written dataset directory) symlinks each
     part file individually: the caller must ingest ALL data files in the
@@ -823,7 +853,19 @@ def _flushed_events_dir(spark: SparkSession, path: str) -> "tuple[str, int]":
         os.stat(os.path.join(src_dir, f)).st_mtime for f in srcs
     )
     day_ns = 86_400 * 10**9
-    for i in (1, 2):
+    n_flush = len(srcs) + 1
+    # drop surplus same-tag sentinels from a build with more data files
+    # (they would only add harmless extra triggers, but keep the dir in
+    # the exact shape _flush_dir_intact revalidates)
+    for f in os.listdir(d):
+        if f.startswith("flush") and f"_{tag}.parquet" in f:
+            try:
+                idx = int(f[len("flush"):].split("_", 1)[0])
+            except ValueError:
+                continue
+            if idx > n_flush:
+                os.remove(os.path.join(d, f))
+    for i in range(1, n_flush + 1):
         dest = os.path.join(d, f"flush{i}_{tag}.parquet")
         if os.path.exists(dest):
             # data may have been rewritten (newer mtimes) since this
