@@ -630,55 +630,60 @@ def asof_enrich_stream(
     broadcast falls back to the batch union-merge as-of
     (operators/temporal.py) over micro-batch snapshots.
 
-    The size guard is ENFORCED here, and when a DataFrame is passed it is
-    a distributed ``count()`` BEFORE anything is collected — at the scale
-    where the guard matters, collecting first would take down the driver
-    before any row-count check could run."""
+    The size guard is ENFORCED here, and stays driver-safe by
+    construction when a DataFrame is passed: the transfer runs through
+    ``limit(max_dim_rows + 1)`` — the limit executes distributed, so the
+    driver never receives more than the bound plus one row no matter how
+    big the dimension is, and one surplus row is proof of violation.
+    (The previous shape — persist → count → collect — was equally safe
+    but paid a second job plus the persist; r11 measured the count job
+    alone at 1.4 s warm at sf0.1, more than the entire stream.)"""
     import numpy as np
 
     if isinstance(dim_rows, DataFrame):
-        # cache across the count→collect pair so the dim plan computes
-        # once; executor storage (spills to disk) is the safe place for an
-        # over-bound dimension to land — the driver never sees it
-        dim_df = dim_rows.persist()
-        try:
-            n_dim = dim_df.count()
-            if n_dim > max_dim_rows:
-                raise ValueError(
-                    f"asof_enrich_stream: dimension has {n_dim} rows, above "
-                    f"the broadcast bound of {max_dim_rows}. A dimension "
-                    "this large should not broadcast — run the batch "
-                    "union-merge as-of (operators/temporal.py:asof_join) "
-                    "over micro-batch snapshots instead."
-                )
-            dim_rows = [tuple(r) for r in dim_df.collect()]
-        finally:
-            dim_df.unpersist()
-    elif len(dim_rows) > max_dim_rows:
-        raise ValueError(
-            f"asof_enrich_stream: dimension has {len(dim_rows)} rows, above "
-            f"the broadcast bound of {max_dim_rows}. A dimension this large "
-            "should not broadcast — run the batch union-merge as-of "
-            "(operators/temporal.py:asof_join) over micro-batch snapshots "
-            "instead."
-        )
+        # Arrow transfer + columnar pack (r11): the old
+        # `[tuple(r) for r in collect()]` built one Row object per
+        # dimension row and the packing loop re-sorted a Python list per
+        # key (guide §5: the driver should do almost no data work; §6:
+        # Arrow for driver transfers).
+        pdf = dim_rows.limit(max_dim_rows + 1).toPandas()
+        if len(pdf) > max_dim_rows:
+            raise ValueError(
+                f"asof_enrich_stream: dimension exceeds the broadcast "
+                f"bound of {max_dim_rows} rows. A dimension this large "
+                "should not broadcast — run the batch union-merge as-of "
+                "(operators/temporal.py:asof_join) over micro-batch "
+                "snapshots instead."
+            )
+        arr = pdf.to_numpy(dtype=np.int64)
+    else:
+        if len(dim_rows) > max_dim_rows:
+            raise ValueError(
+                f"asof_enrich_stream: dimension has {len(dim_rows)} rows, "
+                f"above the broadcast bound of {max_dim_rows}. A dimension "
+                "this large should not broadcast — run the batch "
+                "union-merge as-of (operators/temporal.py:asof_join) over "
+                "micro-batch snapshots instead."
+            )
+        arr = np.array(list(dim_rows), dtype=np.int64).reshape(-1, 4)
     spark = events.sparkSession
-    by_user: dict = {}
-    for uid, ts_us, okey, tot in dim_rows:
-        by_user.setdefault(uid, []).append((ts_us, okey, tot))
-    packed = {}
-    for uid, rows in by_user.items():
-        rows.sort()
-        a = np.array(rows, dtype=np.int64)
-        packed[uid] = (
-            a[:, 0].copy(), a[:, 1].copy(), a[:, 2].copy()
-        )  # ts sorted, order keys, totals
-    bc = spark.sparkContext.broadcast(packed)
+    # sort by (uid, ts, okey, tot) — identical tie order to the former
+    # per-user list sort — then broadcast FLAT contiguous columns plus a
+    # sorted uid index (a dict of ~3 tiny arrays per key pickled in
+    # O(keys) numpy-array overheads: 0.39 s vs 0.03 s flat at sf0.1)
+    if len(arr):
+        arr = arr[np.lexsort((arr[:, 3], arr[:, 2], arr[:, 1], arr[:, 0]))]
+    uids, starts = np.unique(arr[:, 0], return_index=True)
+    bounds = np.append(starts, len(arr))
+    ts_c = np.ascontiguousarray(arr[:, 1])
+    key_c = np.ascontiguousarray(arr[:, 2])
+    tot_c = np.ascontiguousarray(arr[:, 3])
+    bc = spark.sparkContext.broadcast((uids, bounds, ts_c, key_c, tot_c))
 
     def gen(batches):
         import numpy as np  # executor-side body
 
-        dim = bc.value
+        d_uids, d_bounds, d_ts, d_key, d_tot = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -690,17 +695,30 @@ def asof_enrich_stream(
             found = np.zeros(len(pdf), dtype=bool)
             ts = pdf["ts_us"].to_numpy(dtype=np.int64)
             uid = pdf["user_id"].to_numpy(dtype=np.int64)
-            for u in np.unique(uid):
-                d = dim.get(int(u))
-                if d is None:
-                    continue
-                dts, dk, dt = d
-                mask = uid == u
-                idx = np.searchsorted(dts, ts[mask], side="right") - 1
+            # sort-based grouping: the former `uid == u` mask per unique
+            # user made each batch O(rows · users); sorting once makes it
+            # O(rows log rows) with a cheap slice per present user (r11)
+            order = np.lexsort((ts, uid))
+            uid_s, ts_s = uid[order], ts[order]
+            uq, ustart = np.unique(uid_s, return_index=True)
+            uend = np.append(ustart[1:], len(uid_s))
+            pos = np.searchsorted(d_uids, uq)
+            pos_c = np.minimum(pos, max(len(d_uids) - 1, 0))
+            present = (
+                np.zeros(len(uq), dtype=bool)
+                if len(d_uids) == 0
+                else d_uids[pos_c] == uq
+            )
+            for j in np.nonzero(present)[0]:
+                s, e = d_bounds[pos[j]], d_bounds[pos[j] + 1]
+                idx = (
+                    np.searchsorted(d_ts[s:e], ts_s[ustart[j]:uend[j]],
+                                    side="right") - 1
+                )
                 hit = idx >= 0
-                rows = np.nonzero(mask)[0][hit]
-                okey[rows] = dk[idx[hit]]
-                tot[rows] = dt[idx[hit]]
+                rows = order[ustart[j]:uend[j]][hit]
+                okey[rows] = d_key[s:e][idx[hit]]
+                tot[rows] = d_tot[s:e][idx[hit]]
                 found[rows] = True
             miss = ~found
             out["order_key"] = pd.arrays.IntegerArray(okey, mask=miss.copy())
