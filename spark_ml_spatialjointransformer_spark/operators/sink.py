@@ -36,12 +36,21 @@ def sharded(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     Note ``repartition(n, col)`` re-hashes the shard value, so a physical
     partition may carry several shards (and some carry none) — which is
     why the write below partitions the FILES by the shard column rather
-    than trusting partition==shard."""
+    than trusting partition==shard.
+
+    The hash is MATERIALIZED as a column before the sort instead of
+    passed as a sort-key expression: sorting by the raw md5 expression
+    made the write 4x slower at sf0.1 (3.2 s vs 0.8 s measured r11 —
+    the non-codegen md5 chain is evaluated interpreted inside the sort),
+    with identical ordering.  The helper column is dropped before the
+    rows reach the caller/writer."""
     hh = h60_col(F.col(id_col).cast("string"))
     return (
-        df.withColumn("__shard", (hh % n_shards).cast("int"))
+        df.withColumn("__h", hh)
+        .withColumn("__shard", (F.col("__h") % n_shards).cast("int"))
         .repartition(n_shards, "__shard")
-        .sortWithinPartitions("__shard", hh, F.col(id_col))
+        .sortWithinPartitions("__shard", "__h", id_col)
+        .drop("__h")
     )
 
 

@@ -37,10 +37,14 @@ def stream_to_sharded(
     re-ingested (tests/test_sink.py pins this resume contract)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # hash materialized before the sort, not a sort-key expression:
+        # same ordering, 4x faster write (see operators/sink.py:sharded)
         hh = h60_col(F.col(id_col).cast("string"))
         (
-            batch_df.withColumn("__shard", (hh % n_shards).cast("int"))
-            .sortWithinPartitions("__shard", hh, F.col(id_col))
+            batch_df.withColumn("__h", hh)
+            .withColumn("__shard", (F.col("__h") % n_shards).cast("int"))
+            .sortWithinPartitions("__shard", "__h", id_col)
+            .drop("__h")
             .write.mode("append")
             .partitionBy("__shard")
             .parquet(path)
