@@ -397,10 +397,16 @@ def p6_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan task holds rows of every directory, multiplying the file count
     # by the task count (the §6 small-files trap).  The hash shuffle sends
     # each (type, day) group to exactly one task: writes parallelize across
-    # directories and each directory gets one well-sized file.
-    ev.repartition("event_type", "day").write.partitionBy(
-        "event_type", "day"
-    ).mode("overwrite").parquet(out_dir)
+    # directories and each directory gets one well-sized file.  The count
+    # is EXPLICIT — a keyed repartition without one is AQE-coalesced to a
+    # single partition at this volume, which re-serializes the write
+    # behind one task (r11 measured: keyed 2.46 s vs explicit 0.89 s for
+    # the same 150 files); defaultParallelism scales it on a cluster.
+    ev.repartition(
+        spark.sparkContext.defaultParallelism, "event_type", "day"
+    ).write.partitionBy("event_type", "day").mode("overwrite").parquet(
+        out_dir
+    )
     # explicit schema: keeps the day partition key a STRING (inference
     # would promote the directory names to DATE) and skips the extra
     # footer-sampling pass schema inference costs on a huge table
