@@ -294,15 +294,15 @@ def _drop_hot_buckets(banded: DataFrame, max_bucket: int, op: str) -> DataFrame:
         banded.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > max_bucket)
+        # LAZY barrier, materialized by the stats collect below — one
+        # scheduled job computes the hot-key set AND pins it, so the
+        # anti-join's build side is a tiny LogicalRDD instead of an
+        # inline re-aggregation of `banded` duplicated into BOTH sides
+        # of the downstream self-join (an r11 attempt to drop this
+        # barrier put 4 extra exchanges in the m16 plan — at scale that
+        # recompute is the full banded stream, twice)
+        .transform(_barrier)  # counted once, anti-joined once
     )
-    # ONE scheduled job for the loud-drop stats; the anti-join below
-    # recomputes `hot` inline as the broadcast build side of the final
-    # query instead of reading a checkpoint — `banded` derives from the
-    # caller's barriered signature frame (or deterministic raw columns),
-    # so the recompute is a cheap agg over checkpointed rows and the
-    # former localCheckpoint barrier here was a whole extra eager job
-    # (plus pinned executor blocks) for no wall-clock win: A/B at sf0.1
-    # shows parity, so the leaner job graph wins
     dropped = hot.agg(
         F.count(F.lit(1)).alias("buckets"),
         F.coalesce(F.sum("__n"), F.lit(0)).alias("rows"),
