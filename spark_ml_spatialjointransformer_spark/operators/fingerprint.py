@@ -52,6 +52,76 @@ def kgrams_udf(k: int = 3):
     return _kgrams.asNondeterministic()
 
 
+#: CDC rolling-hash window: 8 chars, weights 31^0 (oldest) .. 31^7 (newest)
+_CDC_W = 8
+#: boundary wherever the window hash ≡ 0 (mod 64) — expected chunk ~64 chars
+_CDC_MOD = 64
+
+
+def cdc_chunk_hashes_udf():
+    """Fused content-defined chunking: text → DISTINCT 60-bit chunk hashes
+    in ONE Arrow pass — codepoint extraction, the 8-char rolling hash
+    (Σ code[i-7+k]·31^k, boundary where ≡ 0 mod 64), chunk slicing, and
+    ``h60_py`` (bit-identical to ``h60_col``/DuckDB) all inside the Python
+    worker; the rolling hash is one int64 ``np.convolve`` over the
+    codepoint array.
+
+    Replaces the higher-order-function formulation (transform/filter/
+    sequence over a per-char codes array): same values bit-for-bit
+    (tests pin it against the HOF expression), but the per-position
+    8-term ``element_at`` chain evaluated INTERPRETED — O(8·len) expr-tree
+    walks per document — where the convolution is one vectorized pass
+    (guide §4.2).  Only (doc_id, hash longs) ever leave the worker; the
+    text never fans out one-row-per-chunk, so downstream shuffles carry
+    8 bytes per distinct chunk exactly as before.
+
+    Marked nondeterministic (the function is pure) — the SPARK-17728
+    double-eval defense every Arrow kernel in this repo uses."""
+    import hashlib
+
+    import numpy as np
+
+    weights = np.power(np.int64(31), np.arange(_CDC_W, dtype=np.int64))
+    # np.convolve correlates against the REVERSED kernel: passing the
+    # reversed weights makes output[j] = Σ codes[j+k]·31^k — the window
+    # STARTING at j, newest char weighted 31^7, matching the SQL form
+    kern = weights[::-1].copy()
+
+    @F.pandas_udf("array<bigint>")
+    def _chunks(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if not isinstance(t, str):
+                out.append([])
+                continue
+            n = len(t)
+            if n >= _CDC_W:
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                conv = np.convolve(codes, kern, mode="valid")
+                # window starting at 0-based j ends at 1-based i = j + 8
+                bnd = np.flatnonzero(conv % _CDC_MOD == 0) + _CDC_W
+                ends = bnd.tolist()
+                if not ends or ends[-1] != n:
+                    ends.append(n)
+            else:
+                ends = [n]
+            hs: set[int] = set()
+            prev = 0
+            for p in ends:
+                hs.add(
+                    int(
+                        hashlib.md5(t[prev:p].encode()).hexdigest()[:15], 16
+                    )
+                )
+                prev = p
+            out.append(sorted(hs))
+        return pd.Series(out)
+
+    return _chunks.asNondeterministic()
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
 ) -> DataFrame:

@@ -2250,45 +2250,22 @@ def t44_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct chunks appear elsewhere in the corpus — storage-dedup-
     grade substring sharing, the CDC complement to t43's n-gram spans.
     Scale shape: the whole text→chunks step happens IN PLACE per row
-    with higher-order functions — the char codes extract once per doc
-    (a naive per-position ``substr`` re-scans the UTF-8 string from the
-    start each call: O(len²) per doc, measured 10× slower), boundary
-    detection is an O(len) array filter, and only then do rows fan out
-    one-per-chunk; chunk dedup shuffles 60-bit ints — the text column
-    never moves past its own partition."""
+    inside one fused Arrow kernel (``cdc_chunk_hashes_udf`` — the rolling
+    hash is a single int64 convolution; the former higher-order-function
+    chain evaluated the 8-term window hash INTERPRETED per position,
+    measured ~2× the whole query's runtime at sf0.1), and only 60-bit
+    chunk-hash ints ever fan out one-per-chunk; chunk dedup shuffles
+    those ints — the text column never moves past its own partition."""
     from pyspark.sql.window import Window
 
-    arr_hash = " + ".join(
-        f"CAST(element_at(codes, i - {7 - k}) AS BIGINT) * {31 ** k}"
-        for k in range(8)
+    from spark_ml_spatialjointransformer_spark.operators.fingerprint import (
+        cdc_chunk_hashes_udf,
     )
+
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "text",
-        F.length("text").alias("n"),
-        F.expr("transform(split(text, ''), c -> ascii(c))").alias("codes"),
+        "doc_id", cdc_chunk_hashes_udf()(F.col("text")).alias("__chs")
     )
-    ends = d.select(
-        "doc_id", "text",
-        F.expr(
-            "array_distinct(concat(CASE WHEN n >= 8 THEN"
-            f" filter(sequence(8, n), i -> ({arr_hash}) % 64 = 0)"
-            " ELSE CAST(array() AS ARRAY<INT>) END, array(n)))"
-        ).alias("ends"),
-    )
-    ch = ends.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(ends, (p, k) -> substring(text,"
-                " CASE WHEN k = 0 THEN 1"
-                " ELSE element_at(ends, k) + 1 END,"
-                " p - CASE WHEN k = 0 THEN 0"
-                " ELSE element_at(ends, k) END))"
-            )
-        ).alias("chunk"),
-    )
-    u = ch.select("doc_id", h60_col(F.col("chunk")).alias("ch")).distinct()
+    u = d.select("doc_id", F.explode("__chs").alias("ch"))
     c = u.select(
         "doc_id",
         F.count(F.lit(1)).over(Window.partitionBy("ch")).alias("nd"),

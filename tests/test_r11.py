@@ -348,3 +348,93 @@ class TestFlushSentinelCount:
             for f in data
         )
         assert fm > dm
+
+
+class TestCdcChunkKernel:
+    """r11: the fused CDC chunk kernel must reproduce the former
+    higher-order-function formulation bit-for-bit — same boundaries,
+    same chunks, same distinct h60 set per document."""
+
+    def _hof_reference(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        from spark_ml_spatialjointransformer_spark.functions.hashing import (
+            h60_col,
+        )
+
+        arr_hash = " + ".join(
+            f"CAST(element_at(codes, i - {7 - k}) AS BIGINT) * {31 ** k}"
+            for k in range(8)
+        )
+        d = spark.createDataFrame(rows, "doc_id long, text string").select(
+            "doc_id",
+            "text",
+            F.length("text").alias("n"),
+            F.expr("transform(split(text, ''), c -> ascii(c))").alias(
+                "codes"
+            ),
+        )
+        ends = d.select(
+            "doc_id",
+            "text",
+            F.expr(
+                "array_distinct(concat(CASE WHEN n >= 8 THEN"
+                f" filter(sequence(8, n), i -> ({arr_hash}) % 64 = 0)"
+                " ELSE CAST(array() AS ARRAY<INT>) END, array(n)))"
+            ).alias("ends"),
+        )
+        ch = ends.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(ends, (p, k) -> substring(text,"
+                    " CASE WHEN k = 0 THEN 1"
+                    " ELSE element_at(ends, k) + 1 END,"
+                    " p - CASE WHEN k = 0 THEN 0"
+                    " ELSE element_at(ends, k) END))"
+                )
+            ).alias("chunk"),
+        )
+        u = ch.select("doc_id", h60_col(F.col("chunk")).alias("ch")).distinct()
+        return {
+            (r["doc_id"], r["ch"]) for r in u.collect()
+        }
+
+    def _kernel(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        from spark_ml_spatialjointransformer_spark.operators.fingerprint import (
+            cdc_chunk_hashes_udf,
+        )
+
+        d = spark.createDataFrame(rows, "doc_id long, text string").select(
+            "doc_id", F.explode(cdc_chunk_hashes_udf()(F.col("text"))).alias("ch")
+        )
+        return {(r["doc_id"], r["ch"]) for r in d.collect()}
+
+    def test_matches_hof_on_edge_cases(self, spark):
+        import random
+
+        rng = random.Random(44)
+        alpha = "abcdefgh XYZ01234."
+        rows = [
+            (1, ""),
+            (2, "short"),
+            (3, "exactly8"),
+            (4, "a" * 64),
+            (5, "the same chunk " * 10),
+        ]
+        rows += [
+            (100 + i, "".join(rng.choice(alpha) for _ in range(rng.randint(0, 300))))
+            for i in range(40)
+        ]
+        assert self._kernel(spark, rows) == self._hof_reference(spark, rows)
+
+    def test_matches_hof_on_testdata(self, spark):
+        from spark_ml_spatialjointransformer_spark.sources.tables import (
+            load_table,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        assert self._kernel(spark, rows) == self._hof_reference(spark, rows)
