@@ -294,41 +294,64 @@ def _drop_hot_buckets(banded: DataFrame, max_bucket: int, op: str) -> DataFrame:
         banded.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > max_bucket)
-        # LAZY barrier, materialized by the stats collect below — one
-        # scheduled job computes the hot-key set AND pins it, so the
-        # anti-join's build side is a tiny LogicalRDD instead of an
-        # inline re-aggregation of `banded` duplicated into BOTH sides
-        # of the downstream self-join (an r11 attempt to drop this
-        # barrier put 4 extra exchanges in the m16 plan — at scale that
-        # recompute is the full banded stream, twice)
+        # LAZY barrier: whichever job touches `hot` first (the async stats
+        # job below or the caller's main query) materializes it once; the
+        # anti-join's build side then reads a tiny LogicalRDD instead of an
+        # inline re-aggregation of `banded` duplicated into BOTH sides of
+        # the downstream self-join (an r11 attempt to drop this barrier put
+        # 4 extra exchanges in the m16 plan — at scale that recompute is
+        # the full banded stream, twice).  Concurrent first-touch is safe:
+        # the block manager locks per partition, one job computes and the
+        # other waits.
         .transform(_barrier)  # counted once, anti-joined once
     )
-    dropped = hot.agg(
-        F.count(F.lit(1)).alias("buckets"),
-        F.coalesce(F.sum("__n"), F.lit(0)).alias("rows"),
-    ).collect()[0]
-    if not dropped.buckets:
-        return banded
-    _log.warning(
-        "%s: dropping %d hot bucket(s) holding %d banded rows "
-        "(> max_bucket=%d docs per (band, key)); pairs whose lowest "
-        "matching band is hot are suppressed — run exact dedup upstream "
-        "if these are template docs",
-        op,
-        dropped.buckets,
-        dropped.rows,
-        max_bucket,
-    )
-    # broadcast only while the hot-key set is provably small: the bound
-    # banded_rows/(max_bucket+1) is NOT tiny for small caps on
-    # duplicate-heavy corpora (cap=2 ⇒ up to N·bands/3 keys), and
-    # F.broadcast bypasses Spark's autoBroadcast size guard — above the
-    # gate the anti-join shuffles instead, which AQE may still turn into
-    # a broadcast if the built side is small
-    hot_keys = hot.select("band", "key")
-    if dropped.buckets <= 1_000_000:
-        hot_keys = F.broadcast(hot_keys)
-    return banded.join(hot_keys, ["band", "key"], "left_anti")
+    _warn_hot_drops_async(hot, max_bucket, op)
+    # No broadcast hint: the former gate needed the bucket count collected
+    # SYNCHRONOUSLY before returning, serializing a whole scheduled job in
+    # front of every capped operator.  AQE makes the same decision from the
+    # hot set's RUNTIME size (broadcasts it when small, shuffles when a
+    # small cap on a duplicate-heavy corpus makes it O(N·bands) — the
+    # ADVICE-#1 hazard the gate existed for), so the hint bought nothing
+    # the planner does not already do with exact sizes in hand.
+    return banded.join(hot.select("band", "key"), ["band", "key"], "left_anti")
+
+
+def _warn_hot_drops_async(hot: DataFrame, max_bucket: int, op: str) -> None:
+    """Loud-drop accounting OFF the caller's critical path: the stats job
+    (bucket/row totals of the capped-away keys) is submitted from a daemon
+    thread and OVERLAPS the caller's main query (guide §2.6 — concurrent
+    jobs back-fill idle executors), instead of serializing ~a full
+    scheduled job before the operator even returns its DataFrame.  The
+    warning text and totals are unchanged; only WHEN it prints moves (as
+    soon as the stats job lands, typically while the main query runs)."""
+    try:  # driver-thread wrapper that inherits/cleans JVM thread-locals
+        from pyspark import InheritableThread as _Thread
+    except ImportError:  # pragma: no cover
+        from threading import Thread as _Thread
+
+    def _stats() -> None:
+        try:
+            dropped = hot.agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("rows"),
+            ).collect()[0]
+        except Exception:  # session torn down before the stats job ran
+            return
+        if dropped.buckets:
+            _log.warning(
+                "%s: dropping %d hot bucket(s) holding %d banded rows "
+                "(> max_bucket=%d docs per (band, key)); pairs whose lowest "
+                "matching band is hot are suppressed — run exact dedup "
+                "upstream if these are template docs",
+                op,
+                dropped.buckets,
+                dropped.rows,
+                max_bucket,
+            )
+
+    t = _Thread(target=_stats, name=f"sjt-hot-drop-{op}")
+    t.daemon = True
+    t.start()
 
 
 def minhash_lsh_pairs(
