@@ -122,6 +122,84 @@ def cdc_chunk_hashes_udf():
     return _chunks.asNondeterministic()
 
 
+def span_anchor_hashes_udf(k: int, w: int, span_l: int):
+    """Fused winnowing-anchor extraction (the t53/t54 primitive): text →
+    array of (i, sp) anchor structs in ONE Arrow pass — tokenization,
+    per-position k-gram h60, the W-window rolling-min anchor test, and
+    the verified span-L h60, all inside the Python worker (``h60_py`` is
+    bit-identical to ``h60_col``/DuckDB).
+
+    Position ``i`` is 1-based like the SQL formulation: an anchor iff
+    ``i >= w`` and its k-gram hash equals the minimum of the W-window
+    ENDING at it and a full L-token span starts there.  Documents with
+    fewer than ``w + k - 1`` tokens yield no rows (the caller's length
+    gate, applied in-kernel).
+
+    Replaces the per-position JVM expression chain (two md5+conv+
+    array_join slices per position via explode) AND the per-doc window
+    exchange+sort: anchors are decided locally per document, so only
+    (doc_id, i, 60-bit span hash) rows — ~1/W of positions — ever leave
+    the worker.  Marked nondeterministic (the function is pure) — the
+    SPARK-17728 double-eval defense every Arrow kernel in this repo
+    uses."""
+    import hashlib
+
+    import numpy as np
+
+    min_toks = w + k - 1
+
+    @F.pandas_udf("array<struct<i: int, sp: bigint>>")
+    def _anchors(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if not isinstance(t, str):
+                out.append([])
+                continue
+            toks = t.lower().split(" ")
+            n = len(toks)
+            if n < min_toks:
+                out.append([])
+                continue
+            # positions 1..n-k+2 like the SQL sequence — the LAST position's
+            # k-gram is the (k-1)-token tail slice, truncated exactly the
+            # way SQL's slice(w, i, k) truncates past the array end
+            gh = np.fromiter(
+                (
+                    int(
+                        hashlib.md5(
+                            " ".join(toks[i : i + k]).encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(n - k + 2)
+                ),
+                dtype=np.int64,
+                count=n - k + 2,
+            )
+            # rolling min of the W-window ENDING at each position >= w
+            # (0-based window start j = i - w with i the 1-based position)
+            wins = np.lib.stride_tricks.sliding_window_view(gh, w)
+            mins = wins.min(axis=1)
+            # 1-based anchor positions: i = j + w for window index j, and
+            # the anchor needs a full span: i <= n - span_l + 1
+            idx = np.flatnonzero(gh[w - 1 :] == mins) + w
+            rows = []
+            for i in idx.tolist():
+                if i > n - span_l + 1:
+                    continue
+                sp = int(
+                    hashlib.md5(
+                        " ".join(toks[i - 1 : i - 1 + span_l]).encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                rows.append({"i": i, "sp": sp})
+            out.append(rows)
+        return pd.Series(out)
+
+    return _anchors.asNondeterministic()
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
 ) -> DataFrame:

@@ -2652,54 +2652,36 @@ def t53_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )^(S-{_T53_L}+1) under uniform hashing (>91% at S=2L), the same
     content-defined-sampling trade the CDC chunker (t44) makes; the
     ORACLE applies the identical rule, so the correctness gate is exact.
-    Scale shape vs t43's brute n-gram coverage: only ~1/{_T53_W} of
-    positions survive to the join, and everything past the one
-    project-stage (tokens -> two int hashes) moves (doc_id, int) rows —
-    the anchor window shuffles ints keyed by doc_id, the pair join
-    shuffles ints keyed by the 60-bit span hash (uniform, no salting),
-    and the text NEVER shuffles.  At 100 TB: per-doc state is O(tokens)
-    ints in one window pass; join volume is anchors (~tokens/{_T53_W}),
-    each 16 bytes."""
-    from pyspark.sql.window import Window
+    Scale shape vs t43's brute n-gram coverage: anchors are decided
+    LOCALLY per document inside one fused Arrow kernel
+    (``span_anchor_hashes_udf`` — per-position k-gram h60, W-window
+    rolling min, and the verified span h60 in a single pass; the former
+    per-position JVM hash chain plus doc_id-keyed window exchange is
+    gone), so only ~1/{_T53_W} of positions ever leave the worker; the
+    pair join shuffles ints keyed by the 60-bit span hash (uniform, no
+    salting), and the text NEVER shuffles.  At 100 TB: per-doc state is
+    O(tokens) ints inside the kernel; join volume is anchors
+    (~tokens/{_T53_W}), each 16 bytes."""
+    from spark_ml_spatialjointransformer_spark.operators._compat import (
+        barrier as _barrier,
+    )
+    from spark_ml_spatialjointransformer_spark.operators.fingerprint import (
+        span_anchor_hashes_udf,
+    )
 
-    tok = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
-        .select("doc_id", "w", F.size("w").alias("n"))
-        .where(F.col("n") >= _T53_W + _T53_K - 1)
-    )
-    pos = tok.select(
-        "doc_id",
-        "n",
-        "w",
-        F.explode(F.expr(f"sequence(1, n - {_T53_K - 2})")).alias("i"),
-    )
-    hashed = pos.select(
-        "doc_id",
-        "n",
-        "i",
-        h60_col(
-            F.expr(f"array_join(slice(w, i, {_T53_K}), ' ')")
-        ).alias("gh"),
-        F.when(
-            F.col("i") <= F.col("n") - (_T53_L - 1),
-            h60_col(F.expr(f"array_join(slice(w, i, {_T53_L}), ' ')")),
-        ).alias("sp"),
-    )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(-(_T53_W - 1), Window.currentRow)
-    )
     anchors = (
-        hashed.withColumn("m", F.min("gh").over(win))
-        .where(
-            (F.col("i") >= _T53_W)
-            & (F.col("gh") == F.col("m"))
-            & F.col("sp").isNotNull()
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                span_anchor_hashes_udf(_T53_K, _T53_W, _T53_L)(F.col("text"))
+            ).alias("a"),
         )
-        .select("doc_id", "sp")
+        .select("doc_id", F.col("a.sp").alias("sp"))
         .distinct()
+        # the self-join references the anchor plan twice; the barrier makes
+        # the kernel + distinct compute ONCE (the minhash sig pattern)
+        .transform(_barrier)
     )
     a, b = anchors.alias("a"), anchors.alias("b")
     return (
@@ -2774,42 +2756,28 @@ def t54_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 16 bytes each; text never shuffles."""
     from pyspark.sql.window import Window
 
+    from spark_ml_spatialjointransformer_spark.operators._compat import (
+        barrier as _barrier,
+    )
+    from spark_ml_spatialjointransformer_spark.operators.fingerprint import (
+        span_anchor_hashes_udf,
+    )
+
     tok = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
-        .select("doc_id", "w", F.size("w").alias("n"))
+        .select("doc_id", "text", F.size(F.split(F.lower("text"), " ")).alias("n"))
         .where(F.col("n") >= _T53_W + _T53_K - 1)
     )
-    pos = tok.select(
+    # both the span-count side (spc) and the matched-anchor side (ma)
+    # read this frame — the barrier makes the kernel compute ONCE
+    ap = tok.select(
         "doc_id",
-        "n",
-        "w",
-        F.explode(F.expr(f"sequence(1, n - {_T53_K - 2})")).alias("i"),
-    )
-    hashed = pos.select(
-        "doc_id",
-        "n",
-        "i",
-        h60_col(F.expr(f"array_join(slice(w, i, {_T53_K}), ' ')")).alias("gh"),
-        F.when(
-            F.col("i") <= F.col("n") - (_T53_L - 1),
-            h60_col(F.expr(f"array_join(slice(w, i, {_T53_L}), ' ')")),
-        ).alias("sp"),
-    )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(-(_T53_W - 1), Window.currentRow)
-    )
-    ap = (
-        hashed.withColumn("m", F.min("gh").over(win))
-        .where(
-            (F.col("i") >= _T53_W)
-            & (F.col("gh") == F.col("m"))
-            & F.col("sp").isNotNull()
-        )
-        .select("doc_id", "i", "sp")
-    )
+        F.explode(
+            span_anchor_hashes_udf(_T53_K, _T53_W, _T53_L)(F.col("text"))
+        ).alias("a"),
+    ).select(
+        "doc_id", F.col("a.i").alias("i"), F.col("a.sp").alias("sp")
+    ).transform(_barrier)
     spc = (
         ap.select("doc_id", "sp")
         .distinct()

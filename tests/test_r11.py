@@ -438,3 +438,99 @@ class TestCdcChunkKernel:
         docs = load_table(spark, "/root/testdata/sf0.001", "documents")
         rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
         assert self._kernel(spark, rows) == self._hof_reference(spark, rows)
+
+
+class TestSpanAnchorKernel:
+    """r11: the fused winnowing-anchor kernel must reproduce the former
+    per-position SQL formulation exactly — same positions, same verified
+    span hashes, including the truncated final k-gram the SQL slice
+    produces past the array end."""
+
+    K, W, L = 4, 5, 12
+
+    def _sql_reference(self, spark, rows):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from spark_ml_spatialjointransformer_spark.functions.hashing import (
+            h60_col,
+        )
+
+        K, W, L = self.K, self.W, self.L
+        tok = (
+            spark.createDataFrame(rows, "doc_id long, text string")
+            .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+            .select("doc_id", "w", F.size("w").alias("n"))
+            .where(F.col("n") >= W + K - 1)
+        )
+        pos = tok.select(
+            "doc_id", "n", "w",
+            F.explode(F.expr(f"sequence(1, n - {K - 2})")).alias("i"),
+        )
+        hashed = pos.select(
+            "doc_id", "n", "i",
+            h60_col(F.expr(f"array_join(slice(w, i, {K}), ' ')")).alias("gh"),
+            F.when(
+                F.col("i") <= F.col("n") - (L - 1),
+                h60_col(F.expr(f"array_join(slice(w, i, {L}), ' ')")),
+            ).alias("sp"),
+        )
+        win = (
+            Window.partitionBy("doc_id")
+            .orderBy("i")
+            .rowsBetween(-(W - 1), Window.currentRow)
+        )
+        ap = (
+            hashed.withColumn("m", F.min("gh").over(win))
+            .where(
+                (F.col("i") >= W)
+                & (F.col("gh") == F.col("m"))
+                & F.col("sp").isNotNull()
+            )
+            .select("doc_id", "i", "sp")
+        )
+        return {(r["doc_id"], r["i"], r["sp"]) for r in ap.collect()}
+
+    def _kernel(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        from spark_ml_spatialjointransformer_spark.operators.fingerprint import (
+            span_anchor_hashes_udf,
+        )
+
+        d = spark.createDataFrame(rows, "doc_id long, text string").select(
+            "doc_id",
+            F.explode(
+                span_anchor_hashes_udf(self.K, self.W, self.L)(F.col("text"))
+            ).alias("a"),
+        )
+        return {
+            (r["doc_id"], r["a"]["i"], r["a"]["sp"]) for r in d.collect()
+        }
+
+    def test_matches_sql_on_edge_cases(self, spark):
+        import random
+
+        rng = random.Random(53)
+        words = ["alpha", "beta", "gamma", "delta", "x", "yy", "zzz"]
+        rows = [
+            (1, ""),
+            (2, "one two three"),                       # below the length gate
+            (3, " ".join(["w"] * (self.W + self.K - 1))),  # exactly at the gate
+            (4, " ".join(["dup"] * 40)),                 # constant k-grams
+            (5, ("shared span " * 12).strip()),
+        ]
+        rows += [
+            (100 + i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 80))))
+            for i in range(40)
+        ]
+        assert self._kernel(spark, rows) == self._sql_reference(spark, rows)
+
+    def test_matches_sql_on_testdata(self, spark):
+        from spark_ml_spatialjointransformer_spark.sources.tables import (
+            load_table,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        assert self._kernel(spark, rows) == self._sql_reference(spark, rows)
