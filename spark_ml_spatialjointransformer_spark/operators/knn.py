@@ -57,7 +57,6 @@ from pyspark.sql import functions as F
 
 from spark_ml_spatialjointransformer_spark.operators._compat import (
     barrier as _barrier,
-    barrier_eager as _barrier_eager,
 )
 
 _DEBUG = bool(os.environ.get("SJT_KNN_DEBUG"))
@@ -236,7 +235,13 @@ def partitioned_nearest(
     # per-round ring test broadcasts it without ever re-scanning R, and
     # per-row candidate work is O(occupied ∩ ring), not O(r²) — empty
     # ocean/desert cells cost nothing.
+    _t_setup = time.time()
     cell_counts = R.groupBy("__rcx", "__rcy").count().collect()
+    if _DEBUG:
+        print(
+            f"[knn] setup: R bucket+checkpoint+cell-count "
+            f"{time.time() - _t_setup:.2f}s", flush=True,
+        )
     n_right = sum(row["count"] for row in cell_counts)
     occ = left.sparkSession.createDataFrame(
         [(int(row["__rcx"]), int(row["__rcy"])) for row in cell_counts],
@@ -425,10 +430,13 @@ def partitioned_nearest(
         # consumed once, the checkpoint is a pure extra pass" — made
         # j18 5.8→9.1s and j17 4.4→5.3s: the inline global-round join
         # re-plans under AQE inside the one big final query and loses the
-        # small-partition state shape; keep the checkpoint every round.)
-        merged = merged.transform(
-            _barrier_eager if global_cover else _barrier
-        )
+        # small-partition state shape; keep the checkpoint every round.
+        # r11 measured the final round's EAGER variant against the lazy
+        # one: the plan truncation is what matters, not the up-front
+        # count — lazy folds the state materialization into the output
+        # job and saves a scheduled pass, j18 10.2→7.2s / f2 6.2→4.8s /
+        # j17 5.9→5.0s / j12 5.8→4.9s interleaved mins.)
+        merged = merged.transform(_barrier)
 
         if global_cover:
             have_any = (
