@@ -419,12 +419,75 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
+
+    if max_bucket is None:
+        # LEAN uncapped shape (guide §8 — decide with small rows): the band
+        # self-join carries ONLY (id, band, key); each matching pair is
+        # deduped with a distinct over the id pair (uncapped, "emitted in
+        # the lowest matching band" and "emitted once" are the same output
+        # set, so no per-pair band bookkeeping is needed); sizes and — when
+        # an agreement estimate is wanted — the k-long signatures attach to
+        # the SURVIVING pairs by id-join against the checkpointed signature
+        # frame.  vs the carried-signature shape this cuts the banded
+        # shuffle from (id, sz, k longs, key) to (id, key) per banded row —
+        # at bands=16/k=64 about 5x fewer bytes through the operator's
+        # dominant exchange — and evaluates the agreement fold once per
+        # DISTINCT pair instead of once per band collision.  The id-keyed
+        # signature joins touch sig once per side over a pair set that is
+        # orders of magnitude smaller than the banded stream (candidates
+        # are rare by construction; capped callers bound them explicitly).
+        banded = sig.select("__id", F.explode(band_structs).alias("b")).select(
+            "__id", "b.band", "b.key"
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(b, on=["band", "key"])
+            .where(F.col("a.__id") < F.col("b.__id"))
+            .select(
+                F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+            )
+            .distinct()
+        )
+        need_est = threshold > 0
+        if need_est or with_sizes:
+            side_cols = ["__id"] + (["__sig"] if need_est else []) + ["__sz"]
+            sa = sig.select(*side_cols).toDF(
+                *[c + "_a" for c in side_cols]
+            )
+            sb = sig.select(*side_cols).toDF(
+                *[c + "_b" for c in side_cols]
+            )
+            pairs = pairs.join(
+                sa, F.col("id_a") == F.col("__id_a")
+            ).join(sb, F.col("id_b") == F.col("__id_b"))
+        if need_est:
+            agree = F.aggregate(
+                F.zip_with(
+                    F.col("__sig_a"),
+                    F.col("__sig_b"),
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            est = F.round((agree / F.lit(float(k))) * 1_000_000).cast("bigint")
+        else:
+            est = F.lit(0).cast("bigint")
+        out = [F.col("id_a"), F.col("id_b"), est.alias("est_jaccard_e6")]
+        if with_sizes:
+            out += [
+                F.col("__sz_a").alias("sz_a"),
+                F.col("__sz_b").alias("sz_b"),
+            ]
+        return pairs.select(*out).where(
+            F.col("est_jaccard_e6") >= int(threshold * 1_000_000)
+        )
+
     banded = sig.select(
         "__id", "__sig", "__sz", F.explode(band_structs).alias("b")
     ).select("__id", "__sig", "__sz", "b.band", "b.key")
 
-    if max_bucket is not None:
-        banded = _drop_hot_buckets(banded, max_bucket, "minhash_lsh_pairs")
+    banded = _drop_hot_buckets(banded, max_bucket, "minhash_lsh_pairs")
 
     # threshold <= 0 means "every band collision is a candidate" (the LSH
     # candidate-generation mode): skip the per-pair agreement fold entirely

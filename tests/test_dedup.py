@@ -91,6 +91,31 @@ def test_minhash_lsh_pairs_subset_of_similar(spark, docs_pd):
         assert ja & jb, "estimated-similar pair shares no shingle"
 
 
+def test_minhash_lsh_pairs_lean_matches_carried_shape(spark):
+    """The r12 lean uncapped band join (ids-only banded rows, pair
+    distinct, sizes/signatures attached by id-join) must emit exactly the
+    set the carried-signature first-match shape emits — pin it against
+    the capped path with a cap far above every bucket size, which still
+    runs the carried-signature implementation, on each supported output
+    flavor (estimate-filtered and candidate-generation with sizes)."""
+    docs = load_table(spark, SF, "documents")
+    for kwargs in (
+        {"threshold": 0.2},
+        {"threshold": 0.0, "with_sizes": True},
+    ):
+        lean = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=32, bands=16, **kwargs
+        ).collect()
+        carried = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=32, bands=16, max_bucket=10**9, **kwargs
+        ).collect()
+        lean_rows = sorted(map(tuple, lean))
+        assert lean_rows == sorted(map(tuple, carried)), kwargs
+        assert len({(r[0], r[1]) for r in lean}) == len(lean), (
+            "a candidate pair was emitted more than once"
+        )
+
+
 def test_simhash_pairs_hamming_correct(spark, docs_pd):
     pairs = dedup.simhash_pairs(
         load_table(spark, SF, "documents"), "doc_id", "text", max_hamming=8
