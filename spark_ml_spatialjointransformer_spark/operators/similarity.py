@@ -1152,9 +1152,13 @@ def kmeans_int(
     no Python), one min-struct aggregation per vector; the m-step is a
     posexplode keyed (cluster, dim) — corpus rows shuffle as (id, 8-byte
     components), never as raw text, and only k·dim longs ever sit on
-    the driver side of a broadcast.  Rounds are fixed and small so the
-    lazy lineage stays bounded (each round's frames are read once — no
-    per-round checkpoint needed, the g1 trade)."""
+    the driver side of a broadcast.  The quantized corpus is barriered
+    ONCE (every round's e-step and both seeding readers reference it —
+    the r12 runtime audit showed the scan+quantize subtree replayed ~5×
+    with zero exchange reuse), and each round's k×dim centroid table is
+    barriered lazily so a later round's broadcast does not re-execute
+    every earlier round's assignment chain (interleaved A/B at sf0.1:
+    1.75 → 1.21 s, assignments bit-identical)."""
     def _quant(x):
         # the range guard rides inside the quantize expression (coalesce
         # of an always-NULL assert) so Catalyst cannot prune it and it
@@ -1176,7 +1180,7 @@ def kmeans_int(
     q = df.select(
         F.col(id_col).cast("long").alias("__vid"),
         F.transform(F.col(emb_col).cast("array<double>"), _quant).alias("__q"),
-    )
+    ).transform(_barrier)
     # seed from the k lowest OBSERVED ids (TakeOrderedAndProject + tiny
     # broadcast semi-join), not ids < k: corpora whose ids don't start at
     # 0 (monotonically_increasing_id, sharded id spaces) still get k seeds
@@ -1217,6 +1221,7 @@ def kmeans_int(
                     lambda s: s["__cv"],
                 ).alias("__c")
             )
+            .transform(_barrier)
         )
     final = assign(cents)
     return final.select(

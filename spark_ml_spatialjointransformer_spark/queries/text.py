@@ -26,6 +26,18 @@ from spark_ml_spatialjointransformer_spark.queries._core import (
 )
 
 
+def _compat_barrier():
+    """Late-bound lineage barrier (see operators/_compat.py): imported at
+    call time so a query body picks up the live ``barrier`` — the shared
+    multi-reader frames below use it where the r12 runtime audit showed
+    Spark's exchange reuse NOT covering a duplicated featurization
+    subtree (one materialization instead of re-deriving per reader)."""
+    from spark_ml_spatialjointransformer_spark.operators._compat import (
+        barrier,
+    )
+
+    return barrier
+
 
 _T1_SQL = """
 SELECT doc_id,
@@ -1535,6 +1547,9 @@ def t34_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("__ts", F.col("i") + 1).alias("w2"),
         )
     )
+    # NO barrier on ug/bgc (r12 measured 0.61 -> 0.70 s WITH them): at
+    # this query's size the extra materializations cost more than the
+    # duplicated subtrees they would save
     bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
     nb = bgc.agg(F.sum("n_ab").cast("bigint").alias("n_bi"))
     sc = (
@@ -1620,15 +1635,22 @@ def t35_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
     # per-doc post-prune size rides the shingle rows via a window instead
-    # of a separate aggregate+join arm, so the two self-join sides below
-    # are STRUCTURALLY IDENTICAL subtrees — at runtime one materializes
-    # and the other reads it as a ReusedExchange (no recompute of the
-    # shingle derivation), and the pair aggregation carries the sizes for
-    # free in its grouping key
+    # of a separate aggregate+join arm; the barrier materializes the
+    # pruned-shingle frame ONCE for the two self-join sides below — the
+    # r12 runtime audit showed Spark's exchange reuse recovering only ONE
+    # of the duplicated subtree's exchanges (the window shuffle), so
+    # without it the full shingle derivation (text scan + explode + hash
+    # + distinct) executed twice (A/B: 1.65 -> 1.51 s at sf0.1, rows
+    # identical; at scale the second featurization pass is the real cost)
+    from spark_ml_spatialjointransformer_spark.operators._compat import (
+        barrier as _barrier,
+    )
+
     keep = (
         sh.join(df_.where(F.col("n_docs") <= 50), "g")
         .select("doc_id", "g")
         .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .transform(_barrier)
     )
     a = keep.select(F.col("doc_id").alias("doc_a"), "g",
                     F.col("n_sh").alias("n_a"))
@@ -2048,7 +2070,11 @@ def t42_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"),
     )
-    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # two readers (DF rollup, score join) of the post-combine (doc, term,
+    # tf) frame — barrier so the token explode + TF aggregation run once
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")).transform(
+        _compat_barrier()
+    )
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -2332,6 +2358,9 @@ def t45_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wd = Window.partitionBy("doc_id").orderBy("i")
+    # NO barrier on tok/bg (r12 measured 1.14 -> 1.22 s WITH them): the
+    # lag-window exchange doubles as the reuse point here, so the extra
+    # materialization only added plan/driver time
     bg = (
         tok.select("doc_id", F.col("w").alias("w2"), "i")
         .withColumn("w1", F.lag("w2").over(wd))
@@ -3003,6 +3032,11 @@ def t56_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             (h60_col(F.col("s")) % _T56_BUCKETS).alias("b"),
         )
+        # barrier: the bigram featurization (explode + md5 h60 per bigram,
+        # the query's dominant CPU) feeds BOTH the weight table and the doc
+        # rollup; the r12 runtime audit showed zero exchange reuse between
+        # the two arms, so without it the whole pass executed twice
+        .transform(_compat_barrier())
     )
     wts = (
         bg.groupBy("b")
