@@ -510,6 +510,10 @@ def _doc_grams4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tk.alias("__tk"))
         .where(F.size("__tk") >= 4)
         .select("doc_id", F.explode(grams4).alias("__gh"))
+        # every caller (t15/t23's flag+probe, t31's collect+prune) reads
+        # this frame from two arms — barrier so the tokenize + per-gram
+        # md5 h60 (the dominant CPU) runs once (r12 audit: no reuse)
+        .transform(_compat_barrier())
     )
 
 
@@ -1011,6 +1015,9 @@ def t26_source_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
     )
+    # NO barrier on sw (r12 interleaved A/B: 0.54 vs 0.53 s — a wash):
+    # the (source, word) exchange already serves as the reuse point for
+    # 2 of the 4 reader arms, and the rest are post-combine small
     sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
     s = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
     cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
