@@ -844,9 +844,44 @@ def ngram_jaccard_pairs(
     Shuffles on shingle strings — the candidate-generator LSH variants
     exist precisely to avoid this at 100TB, but as the exact verifier it is
     the ground truth (and the DuckDB oracle)."""
+    # r12: the self-join keys on the shingle's 60-bit md5 hash (h60, the
+    # same reduction t35 and the LSH verify tier key on) instead of the
+    # raw n-gram string — 8-byte longs through the exchange and a long
+    # equi-join in place of ~25-byte string keys and string comparisons.
+    # Two distinct shingles colliding would need an h60 collision
+    # (~2^-60) — the documented cross-tier convention; the DuckDB oracle
+    # stays the string-exact formulation and hash-matches at both SFs.
+    def _shingle_h60(text: pd.Series) -> pd.Series:
+        # h60_py inlined (hashlib only): the kernel must survive
+        # cloudpickle to executors that don't have the package on
+        # sys.path (the same rule as minhash_features_udf)
+        import hashlib
+
+        out = []
+        for t in text:
+            if not isinstance(t, str):
+                out.append([])
+                continue
+            toks = t.lower().split(" ")
+            if len(toks) < n:
+                out.append([])
+            else:
+                out.append(
+                    [
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in {
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        }
+                    ]
+                )
+        return pd.Series(out)
+
+    shingle_h60_udf = F.pandas_udf(_shingle_h60, "array<bigint>")
     sh = (
         _parallelize(df).select(
-            F.col(id_col).alias("__id"), shingles_udf(n)(F.col(text_col)).alias("__sh")
+            F.col(id_col).alias("__id"),
+            shingle_h60_udf(F.col(text_col)).alias("__sh"),
         )
         .where(F.size("__sh") > 0)
         .select("__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("s"))
