@@ -1092,6 +1092,9 @@ def t27_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             h60_col(F.concat_ws(" ", F.slice("__ts", F.col("i"), 3))).alias("g"),
         )
         .distinct()
+        # two readers (first-appearance min, the novelty join) — barrier
+        # so the trigram explode + md5 run once (r12 audit: no reuse)
+        .transform(_compat_barrier())
     )
     mn = tri.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -1727,10 +1730,14 @@ def t37_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, CAST((size(__tk) + {k - 1}) div {k} AS INT) - 1),"
         f" i -> concat_ws(' ', slice(__tk, i * {k} + 1, {k})))"
     )
+    # two readers (frequency pass, removed-index join) — barrier so the
+    # chunking + per-chunk md5 run once (r12 audit: no reuse)
     chunks = docs.select(
         "doc_id",
         F.posexplode(F.expr(chunk_at)).alias("idx", "__chunk"),
-    ).select("doc_id", "idx", h60_col(F.col("__chunk")).alias("h"))
+    ).select("doc_id", "idx", h60_col(F.col("__chunk")).alias("h")).transform(
+        _compat_barrier()
+    )
     freq = (
         chunks.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
